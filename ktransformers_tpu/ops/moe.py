@@ -1,0 +1,198 @@
+"""Grouped (ragged) MoE forward — the heart of the framework.
+
+TPU re-design of the reference's MoE operator family
+(kt-kernel/operators/amx/moe_base.hpp AMX_MOE_BASE::forward, the per-dtype
+AMX_*_MOE_TP variants, and TP_MOE NUMA sharding in operators/moe-tp.hpp):
+
+- The reference buckets tokens per expert with pointer arrays and runs
+  per-expert AMX GEMMs over work-stealing threads. Under XLA's static shapes
+  we instead *sort* the (token, expert) pairs by expert id and run a grouped
+  matmul (`jax.lax.ragged_dot` on the MXU, or the Pallas fused
+  dequant-grouped-matmul for quantized weights).
+- `GeneralMOEConfig.gpu_experts_mask` / `should_skip_expert`
+  (operators/common.hpp:242,256) — experts resident on another shard are
+  skipped by routing them to the out-of-range group E, which `ragged_dot`
+  zero-fills; their combine weight is also zeroed. Partial outputs from
+  different shards then sum exactly like the reference's CPU+GPU partial sum.
+- `physical_to_logical_map` expert remapping (operators/common.hpp) is the
+  `logical_to_physical` gather applied to routed ids before dispatch.
+- prefill vs decode split (moe_base.hpp:165-171): both run through the same
+  sorted grouped matmul here; the Pallas kernel specializes tile sizes by
+  token count instead of keeping two codepaths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ktransformers_tpu.ops.activations import ActivationConfig, glu_activate
+from ktransformers_tpu.quant.formats import QTensor, dequantize
+
+# Pallas grouped quantized matmul, registered at import time on TPU.
+_PALLAS_GMM = None
+
+
+def set_pallas_gmm(fn) -> None:
+    global _PALLAS_GMM
+    _PALLAS_GMM = fn
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MoEWeights:
+    """Per-layer expert weights.
+
+    gate_up: QTensor [E, hidden, 2 * inter]  (gate = [..., :inter]).
+    down:    QTensor [E, inter, hidden].
+    logical_to_physical: optional int32 [E_logical] expert remap.
+    expert_mask: optional bool [E]; True = expert computed on this shard.
+    """
+
+    gate_up: QTensor
+    down: QTensor
+    logical_to_physical: jnp.ndarray | None = None
+    expert_mask: jnp.ndarray | None = None
+
+    @property
+    def num_experts(self) -> int:
+        return self.gate_up.data.shape[0]
+
+    @property
+    def hidden_size(self) -> int:
+        return self.gate_up.data.shape[1]
+
+    @property
+    def intermediate_size(self) -> int:
+        return self.gate_up.data.shape[2] // 2
+
+
+@dataclasses.dataclass(frozen=True)
+class MoEConfig:
+    """Static knobs (analog of GeneralMOEConfig, operators/common.hpp:230)."""
+
+    activation: ActivationConfig = ActivationConfig()
+    impl: str = "auto"  # auto | ref | ragged | pallas
+
+
+def grouped_matmul(
+    x: jnp.ndarray,
+    w: QTensor,
+    group_sizes: jnp.ndarray,
+    *,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """x: [m, k] rows sorted by group; w: [g, k, n]; returns [m, n].
+
+    Rows beyond sum(group_sizes) (dropped/masked experts) come back zero.
+    """
+    if impl == "auto":
+        impl = "pallas" if _PALLAS_GMM is not None else "ragged"
+    if impl == "pallas" and _PALLAS_GMM is not None:
+        return _PALLAS_GMM(x, w, group_sizes)
+    wd = dequantize(w, x.dtype) if w.kind != "bf16" else w.data.astype(x.dtype)
+    return jax.lax.ragged_dot(
+        x, wd, group_sizes.astype(jnp.int32),
+        preferred_element_type=x.dtype,
+    )
+
+
+def moe_dispatch(
+    topk_idx: jnp.ndarray,
+    num_experts: int,
+    *,
+    logical_to_physical: jnp.ndarray | None = None,
+    expert_mask: jnp.ndarray | None = None,
+):
+    """Sort (token, expert) pairs by expert.
+
+    Returns (sort_order [T*k], token_of_row [T*k], group_sizes [E],
+    keep [T*k] float32 0/1 multiplier).
+    """
+    t, k = topk_idx.shape
+    ids = topk_idx
+    if logical_to_physical is not None:
+        ids = logical_to_physical[ids]
+    keep = jnp.ones((t, k), jnp.float32)
+    if expert_mask is not None:
+        local = expert_mask[ids]
+        ids = jnp.where(local, ids, num_experts)
+        keep = jnp.where(local, keep, 0.0)
+    flat = ids.reshape(-1)
+    sort_order = jnp.argsort(flat)  # stable; masked rows (id=E) go last
+    token_of_row = sort_order // k
+    group_sizes = jnp.bincount(flat, length=num_experts).astype(jnp.int32)
+    return sort_order, token_of_row, group_sizes, keep.reshape(-1)
+
+
+def moe_forward(
+    x: jnp.ndarray,
+    weights: MoEWeights,
+    topk_idx: jnp.ndarray,
+    topk_weights: jnp.ndarray,
+    cfg: MoEConfig = MoEConfig(),
+) -> jnp.ndarray:
+    """Routed-expert forward.
+
+    x: [T, hidden]; topk_idx: [T, k] int32; topk_weights: [T, k] f32.
+    Matches MoE_Interface::forward(qlen, k, expert_ids, weights, in, out)
+    (operators/common.hpp:404-408) with sorted grouped matmuls.
+    """
+    t, d = x.shape
+    k = topk_idx.shape[-1]
+    e = weights.num_experts
+    inter = weights.intermediate_size
+
+    sort_order, token_of_row, group_sizes, keep = moe_dispatch(
+        topk_idx,
+        e,
+        logical_to_physical=weights.logical_to_physical,
+        expert_mask=weights.expert_mask,
+    )
+    xs = x[token_of_row]  # [T*k, d]
+
+    h = grouped_matmul(xs, weights.gate_up, group_sizes, impl=cfg.impl)
+    a = glu_activate(h[:, :inter], h[:, inter:], cfg.activation)
+    y = grouped_matmul(a, weights.down, group_sizes, impl=cfg.impl)  # [T*k, d]
+
+    combine = (topk_weights.reshape(-1) * keep)[sort_order]
+    y = y * combine[:, None].astype(y.dtype)
+    # Un-sort and reduce over the k expert copies (gather beats scatter-add
+    # on TPU).
+    inv = jnp.argsort(sort_order)
+    y = y[inv].reshape(t, k, d)
+    return jnp.sum(y, axis=1).astype(x.dtype)
+
+
+def moe_forward_dense_reference(
+    x: jnp.ndarray,
+    weights: MoEWeights,
+    topk_idx: jnp.ndarray,
+    topk_weights: jnp.ndarray,
+    cfg: MoEConfig = MoEConfig(),
+) -> jnp.ndarray:
+    """O(E) dense check impl: every expert computed for every token.
+
+    Mirrors the torch reference MoE used by the reference's accuracy tests
+    (kt-kernel/test/per_commit/test_moe_amx_accuracy_int8.py moe_torch).
+    Only for tests.
+    """
+    e = weights.num_experts
+    inter = weights.intermediate_size
+    gu = dequantize(weights.gate_up, jnp.float32)
+    dn = dequantize(weights.down, jnp.float32)
+    xf = x.astype(jnp.float32)
+    h = jnp.einsum("td,edf->tef", xf, gu)
+    a = glu_activate(h[..., :inter], h[..., inter:], cfg.activation)
+    y = jnp.einsum("tef,efd->ted", a, dn)  # [T, E, d]
+    t, k = topk_idx.shape
+    ids = topk_idx
+    if weights.logical_to_physical is not None:
+        ids = weights.logical_to_physical[ids]
+    w = topk_weights
+    if weights.expert_mask is not None:
+        w = jnp.where(weights.expert_mask[ids], w, 0.0)
+    sel = jnp.take_along_axis(y, ids[:, :, None], axis=1)  # [T, k, d]
+    return jnp.sum(sel * w[:, :, None], axis=1).astype(x.dtype)

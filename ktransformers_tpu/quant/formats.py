@@ -1,0 +1,190 @@
+"""Quantized tensor container + reference quantize/dequantize transforms.
+
+Formats (the TPU re-design of the reference's kernel dtype matrix,
+kt-kernel/python/experts.py:34-67):
+
+| kind          | reference analog       | storage                 | scales              |
+|---------------|------------------------|-------------------------|---------------------|
+| ``bf16``      | BF16 native            | bf16                    | —                   |
+| ``int8``      | AMXINT8                | int8                    | per-out-channel f32 |
+| ``int4``      | AMXINT4 / RAWINT4      | uint8 (2 nibbles per b) | per-out-channel f32 |
+| ``int4_g``    | K2 group-128 INT4      | uint8 packed            | per-group f32       |
+| ``int4_gz``   | AWQ/GPTQ INT4 (asym)   | uint8 packed            | per-group f32+zero  |
+| ``fp8``       | FP8 per-channel        | float8_e4m3fn           | per-out-channel f32 |
+| ``mxfp4``     | MXFP4 (e2m1+ue8m0)     | uint8 e2m1 nibble codes | per-group-32 ue8m0  |
+
+int4 values are nibble-packed along K (two consecutive k rows per byte:
+low nibble = even k, high = odd k) because the axon TPU runtime cannot take
+native ``jnp.int4`` arrays as jit arguments; packed uint8 is also exactly the
+layout the Pallas fused dequant-matmul kernels consume.
+
+Weight convention everywhere: weights are stored **[..., in_features,
+out_features]** ("K, N") so they feed `x @ w` / `ragged_dot` directly; the
+"out channel" scale axis is the last one. Symmetric int quantization matches
+the reference scheme: per-column scale = absmax / qmax
+(kt-kernel/operators/amx/la/amx_quantization.hpp semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+INT_QMAX = {"int8": 127.0, "int4": 7.0, "int4_g": 7.0}
+
+INT4_KINDS = ("int4", "int4_g", "int4_gz", "mxfp4")
+
+
+def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """Pack int values in [-8, 7] along axis -2 (K): [..., K, N] -> uint8
+    [..., K/2, N]. Low nibble = even k, high nibble = odd k."""
+    q = q.astype(jnp.int32) & 0xF
+    lo = q[..., 0::2, :]
+    hi = q[..., 1::2, :]
+    return (lo | (hi << 4)).astype(jnp.uint8)
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pack_int4: uint8 [..., K/2, N] -> int8 [..., K, N]
+    (sign-extended)."""
+    b = packed.astype(jnp.int32)
+    lo = ((b & 0xF) ^ 8) - 8
+    hi = (((b >> 4) & 0xF) ^ 8) - 8
+    out = jnp.stack([lo, hi], axis=-2)  # [..., K/2, 2, N]
+    *lead, k2, _, n = out.shape
+    return out.reshape(*lead, k2 * 2, n).astype(jnp.int8)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QTensor:
+    """A (possibly) quantized tensor pytree.
+
+    data:   packed storage, shape [..., K, N] (int4/int8/fp8/bf16).
+    scales: None (bf16) | [..., 1, N] per-channel | [..., K/G, N] per-group.
+    zeros:  None | per-group zero points (same shape as scales), in quantized
+            units (asymmetric formats only).
+    kind:   static format tag.
+    group_size: static; 0 = per-channel.
+    """
+
+    data: jnp.ndarray
+    scales: jnp.ndarray | None
+    zeros: jnp.ndarray | None
+    kind: str = dataclasses.field(metadata=dict(static=True), default="bf16")
+    group_size: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def out_features(self) -> int:
+        return self.data.shape[-1]
+
+    @property
+    def in_features(self) -> int:
+        k = self.data.shape[-2]
+        return k * 2 if self.kind in INT4_KINDS else k
+
+    def astype_kind(self, dtype: Any) -> "QTensor":
+        return dequantize(self, dtype)
+
+    def nbytes(self) -> int:
+        n = self.data.size * jnp.dtype(self.data.dtype).itemsize
+        for t in (self.scales, self.zeros):
+            if t is not None:
+                n += t.size * jnp.dtype(t.dtype).itemsize
+        return n
+
+
+def _group_reshape(w: jnp.ndarray, group_size: int) -> jnp.ndarray:
+    """[..., K, N] -> [..., K/G, G, N]"""
+    *lead, k, n = w.shape
+    assert k % group_size == 0, (k, group_size)
+    return w.reshape(*lead, k // group_size, group_size, n)
+
+
+def quantize(
+    w: jnp.ndarray, kind: str, group_size: int = 128, scale_dtype=jnp.float32
+) -> QTensor:
+    """Quantize a float weight [..., K, N] into the given format."""
+    if kind in ("bf16", "fp16", "f32"):
+        dt = {"bf16": jnp.bfloat16, "fp16": jnp.float16, "f32": jnp.float32}[kind]
+        return QTensor(w.astype(dt), None, None, kind="bf16", group_size=0)
+
+    wf = w.astype(jnp.float32)
+    if kind in ("int8", "int4"):
+        qmax = INT_QMAX[kind]
+        absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+        scales = jnp.maximum(absmax, 1e-10) / qmax
+        q = jnp.clip(jnp.round(wf / scales), -qmax, qmax)
+        data = q.astype(jnp.int8) if kind == "int8" else pack_int4(q)
+        return QTensor(data, scales.astype(scale_dtype), None, kind=kind, group_size=0)
+
+    if kind == "int4_g":
+        g = _group_reshape(wf, group_size)
+        absmax = jnp.max(jnp.abs(g), axis=-2, keepdims=True)
+        scales = jnp.maximum(absmax, 1e-10) / 7.0
+        q = jnp.clip(jnp.round(g / scales), -7, 7)
+        *lead, kg, _, n = q.shape
+        data = pack_int4(q.reshape(*lead, kg * group_size, n))
+        return QTensor(
+            data,
+            scales.squeeze(-2).astype(scale_dtype),
+            None,
+            kind=kind,
+            group_size=group_size,
+        )
+
+    if kind == "int4_gz":
+        # Asymmetric: q = round(w/s) + z, q in [0, 15]; stored as q - 8.
+        g = _group_reshape(wf, group_size)
+        wmin = jnp.min(g, axis=-2, keepdims=True)
+        wmax = jnp.max(g, axis=-2, keepdims=True)
+        scales = jnp.maximum(wmax - wmin, 1e-10) / 15.0
+        zeros = jnp.round(-wmin / scales)  # in [0, 15]
+        q = jnp.clip(jnp.round(g / scales) + zeros, 0, 15) - 8
+        *lead, kg, _, n = q.shape
+        data = pack_int4(q.reshape(*lead, kg * group_size, n))
+        return QTensor(
+            data,
+            scales.squeeze(-2).astype(scale_dtype),
+            (zeros - 8).squeeze(-2).astype(scale_dtype),
+            kind=kind,
+            group_size=group_size,
+        )
+
+    if kind == "fp8":
+        # float8_e4m3fn with per-out-channel scale (reference
+        # fp8-perchannel-moe.hpp); max representable 448.
+        absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+        scales = jnp.maximum(absmax, 1e-10) / 448.0
+        data = (wf / scales).astype(jnp.float8_e4m3fn)
+        return QTensor(data, scales.astype(scale_dtype), None, kind=kind, group_size=0)
+
+    raise ValueError(f"unknown quant kind: {kind}")
+
+
+def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Reconstruct a dense float tensor [..., K, N]."""
+    if qt.kind == "bf16" or qt.scales is None:
+        return qt.data.astype(dtype)
+    if qt.kind in ("int8", "fp8"):
+        return (qt.data.astype(jnp.float32) * qt.scales).astype(dtype)
+    if qt.kind == "int4":
+        q = unpack_int4(qt.data).astype(jnp.float32)
+        return (q * qt.scales).astype(dtype)
+    if qt.kind in ("int4_g", "int4_gz"):
+        q = unpack_int4(qt.data).astype(jnp.float32)
+        g = _group_reshape(q, qt.group_size)
+        scales = qt.scales[..., :, None, :]
+        if qt.kind == "int4_gz":
+            g = g - qt.zeros[..., :, None, :]
+        out = g * scales
+        *lead, kg, gs, n = out.shape
+        return out.reshape(*lead, kg * gs, n).astype(dtype)
+    raise ValueError(qt.kind)
