@@ -1,0 +1,120 @@
+"""Random parameter initialization at any quant format (tests, benches)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ktransformers_tpu.models.spec import ModelSpec
+from ktransformers_tpu.ops.moe import MoEWeights
+from ktransformers_tpu.quant.formats import quantize
+
+
+def _rand(rng: np.random.Generator, shape, scale=None):
+    scale = scale if scale is not None else (1.0 / np.sqrt(shape[0]))
+    return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * scale)
+
+
+def _q(rng, shape, kind, group_size, scale=None):
+    return quantize(_rand(rng, shape, scale), kind, group_size=group_size)
+
+
+def init_params(
+    spec: ModelSpec,
+    seed: int = 0,
+    quant: str = "bf16",
+    moe_quant: str | None = None,
+    group_size: int = 128,
+):
+    """Build a full random params pytree. `quant` applies to attention/dense
+    weights, `moe_quant` (default = quant) to routed experts — mirroring the
+    reference's split of GPU-dense vs CPU-expert formats."""
+    rng = np.random.default_rng(seed)
+    moe_quant = moe_quant or quant
+    a = spec.attention
+    d = spec.hidden_size
+
+    layers = []
+    for li in range(spec.num_layers):
+        lp = {
+            "input_norm": jnp.ones((d,), jnp.float32),
+            "post_attn_norm": jnp.ones((d,), jnp.float32),
+        }
+        if a.kind == "mla":
+            nope, dr, r, v = (
+                a.qk_nope_head_dim,
+                a.qk_rope_head_dim,
+                a.kv_lora_rank,
+                a.v_head_dim,
+            )
+            h = a.num_heads
+            attn = {
+                "kv_a": _q(rng, (d, r + dr), quant, group_size),
+                "kv_a_norm": jnp.ones((r,), jnp.float32),
+                "w_uk": _rand(rng, (h, nope, r), scale=1.0 / np.sqrt(nope)),
+                "w_uv": _rand(rng, (h, r, v), scale=1.0 / np.sqrt(r)),
+                "o_proj": _q(rng, (h * v, d), quant, group_size),
+            }
+            if a.q_lora_rank:
+                attn["q_a"] = _q(rng, (d, a.q_lora_rank), quant, group_size)
+                attn["q_a_norm"] = jnp.ones((a.q_lora_rank,), jnp.float32)
+                attn["q_b"] = _q(
+                    rng, (a.q_lora_rank, h * (nope + dr)), quant, group_size
+                )
+            else:
+                attn["q_proj"] = _q(rng, (d, h * (nope + dr)), quant, group_size)
+        else:
+            h, hkv, hd = a.num_heads, a.num_kv_heads, a.head_dim
+            attn = {
+                "q_proj": _q(rng, (d, h * hd), quant, group_size),
+                "k_proj": _q(rng, (d, hkv * hd), quant, group_size),
+                "v_proj": _q(rng, (d, hkv * hd), quant, group_size),
+                "o_proj": _q(rng, (h * hd, d), quant, group_size),
+            }
+            if a.attention_bias:
+                attn["q_bias"] = _rand(rng, (h * hd,), 0.01)
+                attn["k_bias"] = _rand(rng, (hkv * hd,), 0.01)
+                attn["v_bias"] = _rand(rng, (hkv * hd,), 0.01)
+            if a.qk_norm:
+                attn["q_norm"] = jnp.ones((hd,), jnp.float32)
+                attn["k_norm"] = jnp.ones((hd,), jnp.float32)
+        lp["attn"] = attn
+
+        if spec.moe is not None and spec.moe.is_moe_layer(li):
+            m = spec.moe
+            f = m.moe_intermediate_size
+            moe = {
+                "router_w": _rand(rng, (m.num_experts, d)),
+                "experts": MoEWeights(
+                    gate_up=_q(rng, (m.num_experts, d, 2 * f), moe_quant, group_size),
+                    down=_q(rng, (m.num_experts, f, d), moe_quant, group_size),
+                ),
+            }
+            if m.gate.has_correction_bias:
+                moe["router_bias_corr"] = jnp.zeros((m.num_experts,), jnp.float32)
+            if m.shared_expert_intermediate_size:
+                fs = m.shared_expert_intermediate_size
+                moe["shared"] = {
+                    "gate_up": _q(rng, (d, 2 * fs), quant, group_size),
+                    "down": _q(rng, (fs, d), quant, group_size),
+                }
+                if m.shared_expert_gate:
+                    moe["shared_gate"] = _rand(rng, (1, d))
+            lp["moe"] = moe
+        else:
+            f = spec.intermediate_size
+            lp["mlp"] = {
+                "gate_up": _q(rng, (d, 2 * f), quant, group_size),
+                "down": _q(rng, (f, d), quant, group_size),
+            }
+        layers.append(lp)
+
+    params = {
+        "embed": _rand(rng, (spec.vocab_size, d), scale=0.02),
+        "layers": layers,
+        "final_norm": jnp.ones((d,), jnp.float32),
+    }
+    if not spec.tie_word_embeddings:
+        params["lm_head"] = _q(rng, (d, spec.vocab_size), quant, group_size)
+    return params

@@ -1,0 +1,304 @@
+"""The unified functional decoder: embeddings -> N layers (MLA/GQA attention +
+dense/MoE MLP) -> norm -> lm_head, with a static-shape KV cache.
+
+Re-designs the reference's flattened serving models
+(archive/ktransformers/models/custom_modeling_deepseek_v3.py
+KDeepseekV3ForCausalLM, custom_modeling_qwen2/3_moe) as one parameterized
+pure function over a params pytree. MLA runs *absorbed* everywhere
+(reference: operators/attention.py:69-196) so the cache holds only
+(kv_lora_rank + rope_dim) per token; the cache layout matches the
+reference's compressed paged cache (models/custom_cache.py KDeepSeekV3Cache:
+ckv + k_pe) minus the paging, which the serving layer adds.
+
+Params are nested dicts of `QTensor`s / arrays; weights may be quantized
+per-module via the placement spec (placement/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ktransformers_tpu.models.spec import ModelSpec
+from ktransformers_tpu.ops.activations import glu_activate
+from ktransformers_tpu.ops.attention import mha, mla_absorbed
+from ktransformers_tpu.ops.gate import route
+from ktransformers_tpu.ops.linear import linear
+from ktransformers_tpu.ops.moe import MoEConfig, MoEWeights, moe_forward
+from ktransformers_tpu.ops.norm import rms_norm
+from ktransformers_tpu.ops.rope import (
+    apply_rope,
+    precompute_rope_tables,
+    rope_attention_scale,
+)
+from ktransformers_tpu.quant.formats import QTensor, dequantize, quantize
+
+NEG_INF = -1e30
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Static-shape KV cache.
+
+    MLA: ckv [L, B, S, R], kpe [L, B, S, Dr]  (k/v fields None)
+    GQA: k [L, B, S, Hkv, D], v [L, B, S, Hkv, D]  (ckv/kpe None)
+    lengths: [B] int32 — tokens already cached per sequence.
+    """
+
+    lengths: jnp.ndarray
+    ckv: jnp.ndarray | None = None
+    kpe: jnp.ndarray | None = None
+    k: jnp.ndarray | None = None
+    v: jnp.ndarray | None = None
+
+    @property
+    def max_len(self) -> int:
+        arr = self.ckv if self.ckv is not None else self.k
+        return arr.shape[2]
+
+    @staticmethod
+    def create(
+        spec: ModelSpec, batch: int, max_len: int, dtype=jnp.bfloat16
+    ) -> "KVCache":
+        a = spec.attention
+        lengths = jnp.zeros((batch,), jnp.int32)
+        if a.kind == "mla":
+            return KVCache(
+                lengths=lengths,
+                ckv=jnp.zeros(
+                    (spec.num_layers, batch, max_len, a.kv_lora_rank), dtype
+                ),
+                kpe=jnp.zeros(
+                    (spec.num_layers, batch, max_len, a.qk_rope_head_dim), dtype
+                ),
+            )
+        return KVCache(
+            lengths=lengths,
+            k=jnp.zeros(
+                (spec.num_layers, batch, max_len, a.num_kv_heads, a.head_dim),
+                dtype,
+            ),
+            v=jnp.zeros(
+                (spec.num_layers, batch, max_len, a.num_kv_heads, a.head_dim),
+                dtype,
+            ),
+        )
+
+    def bytes_per_token_per_layer(self, spec: ModelSpec) -> int:
+        a = spec.attention
+        itemsize = jnp.dtype(
+            (self.ckv if self.ckv is not None else self.k).dtype
+        ).itemsize
+        if a.kind == "mla":
+            return (a.kv_lora_rank + a.qk_rope_head_dim) * itemsize
+        return 2 * a.num_kv_heads * a.head_dim * itemsize
+
+
+def _attn_mask(pos_offset: jnp.ndarray, q_len: int, kv_len: int) -> jnp.ndarray:
+    """Additive causal mask [B, q_len, kv_len] from per-seq offsets [B]."""
+    qpos = pos_offset[:, None, None] + jnp.arange(q_len)[None, :, None]
+    kpos = jnp.arange(kv_len)[None, None, :]
+    return jnp.where(kpos <= qpos, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def _write_cache(buf: jnp.ndarray, new: jnp.ndarray, offset: jnp.ndarray):
+    """Write new [B, S, ...] into buf [B, Smax, ...] at per-seq offset [B]."""
+
+    def one(b, n, off):
+        return jax.lax.dynamic_update_slice(
+            b, n.astype(b.dtype), (off,) + (0,) * (b.ndim - 1)
+        )
+
+    return jax.vmap(one)(buf, new, offset)
+
+
+def _mla_attention(p, spec: ModelSpec, x, layer_cache, pos_offset, rope_cs):
+    a = spec.attention
+    b, s, _ = x.shape
+    h = a.num_heads
+    nope, dr, r = a.qk_nope_head_dim, a.qk_rope_head_dim, a.kv_lora_rank
+
+    if a.q_lora_rank:
+        q = linear(x, p["q_a"], p.get("q_a_bias"))
+        q = rms_norm(q, p["q_a_norm"], spec.rms_norm_eps)
+        q = linear(q, p["q_b"])
+    else:
+        q = linear(x, p["q_proj"])
+    q = q.reshape(b, s, h, nope + dr)
+    q_nope, q_pe = q[..., :nope], q[..., nope:]
+
+    ckv_kpe = linear(x, p["kv_a"], p.get("kv_a_bias"))  # [B,S,R+Dr]
+    ckv = rms_norm(ckv_kpe[..., :r], p["kv_a_norm"], spec.rms_norm_eps)
+    k_pe = ckv_kpe[..., r:]
+
+    # rope (interleaved, deepseek layout)
+    cos, sin = rope_cs  # [B, S, dr/2]
+    q_pe = q_pe.transpose(0, 2, 1, 3)  # [B,H,S,Dr]
+    q_pe = apply_rope(q_pe, cos[:, None], sin[:, None], interleaved=a_interleaved(spec))
+    k_pe = apply_rope(k_pe, cos, sin, interleaved=a_interleaved(spec))
+
+    # absorbed query: [B,H,S,R]
+    w_uk = p["w_uk"]  # [H, nope, R]
+    q_nope_eff = jnp.einsum(
+        "bshn,hnr->bhsr",
+        q_nope.astype(jnp.float32),
+        w_uk.astype(jnp.float32),
+    ).astype(x.dtype)
+
+    ckv_buf = _write_cache(layer_cache[0], ckv, pos_offset)
+    kpe_buf = _write_cache(layer_cache[1], k_pe, pos_offset)
+
+    scale = a.softmax_scale or (
+        (nope + dr) ** -0.5 * rope_attention_scale(spec.rope)
+    )
+    mask = _attn_mask(pos_offset, s, ckv_buf.shape[1])
+    attn = mla_absorbed(
+        q_nope_eff, q_pe, ckv_buf, kpe_buf, scale=scale, mask=mask
+    )  # [B,H,S,R]
+
+    w_uv = p["w_uv"]  # [H, R, v]
+    out = jnp.einsum(
+        "bhsr,hrv->bshv", attn.astype(jnp.float32), w_uv.astype(jnp.float32)
+    ).astype(x.dtype)
+    out = out.reshape(b, s, h * a.v_head_dim)
+    return linear(out, p["o_proj"], p.get("o_bias")), (ckv_buf, kpe_buf)
+
+
+def a_interleaved(spec: ModelSpec) -> bool:
+    return spec.rope.interleaved
+
+
+def _gqa_attention(p, spec: ModelSpec, x, layer_cache, pos_offset, rope_cs):
+    a = spec.attention
+    b, s, _ = x.shape
+    h, hkv, d = a.num_heads, a.num_kv_heads, a.head_dim
+
+    q = linear(x, p["q_proj"], p.get("q_bias")).reshape(b, s, h, d)
+    k = linear(x, p["k_proj"], p.get("k_bias")).reshape(b, s, hkv, d)
+    v = linear(x, p["v_proj"], p.get("v_bias")).reshape(b, s, hkv, d)
+
+    if a.qk_norm:
+        q = rms_norm(q, p["q_norm"], spec.rms_norm_eps)
+        k = rms_norm(k, p["k_norm"], spec.rms_norm_eps)
+
+    cos, sin = rope_cs  # [B, S, d/2]
+    q = apply_rope(q.transpose(0, 2, 1, 3), cos[:, None], sin[:, None])
+    k = apply_rope(k.transpose(0, 2, 1, 3), cos[:, None], sin[:, None])
+    k = k.transpose(0, 2, 1, 3)  # back to [B,S,Hkv,D]
+
+    k_buf = _write_cache(layer_cache[0], k, pos_offset)
+    v_buf = _write_cache(layer_cache[1], v, pos_offset)
+
+    scale = a.softmax_scale or d**-0.5
+    mask = _attn_mask(pos_offset, s, k_buf.shape[1])
+    out = mha(
+        q,
+        k_buf.transpose(0, 2, 1, 3),
+        v_buf.transpose(0, 2, 1, 3),
+        scale=scale,
+        mask=mask,
+    )  # [B,H,S,D]
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    return linear(out, p["o_proj"], p.get("o_bias")), (k_buf, v_buf)
+
+
+def _dense_mlp(p, spec: ModelSpec, x):
+    h = linear(x, p["gate_up"])
+    f = h.shape[-1] // 2
+    act = glu_activate(h[..., :f], h[..., f:], spec.activation)
+    return linear(act, p["down"])
+
+
+def _moe_mlp(p, spec: ModelSpec, x):
+    b, s, d = x.shape
+    flat = x.reshape(b * s, d)
+    logits = flat.astype(jnp.float32) @ p["router_w"].astype(jnp.float32).T
+    topk_idx, topk_w = route(
+        logits, spec.moe.gate, p.get("router_bias_corr")
+    )
+    y = moe_forward(
+        flat,
+        p["experts"],
+        topk_idx,
+        topk_w,
+        MoEConfig(activation=spec.activation),
+    )
+    if "shared" in p and p["shared"] is not None:
+        y_sh = _dense_mlp(p["shared"], spec, flat)
+        if spec.moe.shared_expert_gate:
+            g = jax.nn.sigmoid(
+                flat.astype(jnp.float32) @ p["shared_gate"].astype(jnp.float32).T
+            )
+            y_sh = y_sh * g.astype(y_sh.dtype)
+        y = y + y_sh
+    return y.reshape(b, s, d)
+
+
+def forward(
+    params,
+    spec: ModelSpec,
+    tokens: jnp.ndarray,  # [B, S] int32
+    cache: KVCache,
+    rope_tables=None,  # (cos, sin) full tables; precomputed if None
+    compute_dtype=jnp.bfloat16,
+):
+    """One forward pass over S new tokens per sequence; returns
+    (logits [B, S, V], updated cache). Positions are cache.lengths + arange(S).
+    """
+    b, s = tokens.shape
+    x = params["embed"][tokens].astype(compute_dtype)
+
+    if rope_tables is None:
+        rope_tables = precompute_rope_tables(spec.rope)
+    cos_t, sin_t = rope_tables
+    pos = cache.lengths[:, None] + jnp.arange(s)[None, :]  # [B,S]
+    rope_cs = (cos_t[pos], sin_t[pos])
+
+    mla = spec.attention.kind == "mla"
+    new_a = []
+    new_b = []
+    for li, lp in enumerate(params["layers"]):
+        res = x
+        xn = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
+        layer_cache = (
+            (cache.ckv[li], cache.kpe[li]) if mla else (cache.k[li], cache.v[li])
+        )
+        attn_out, (buf_a, buf_b) = (
+            _mla_attention(lp["attn"], spec, xn, layer_cache, cache.lengths, rope_cs)
+            if mla
+            else _gqa_attention(
+                lp["attn"], spec, xn, layer_cache, cache.lengths, rope_cs
+            )
+        )
+        new_a.append(buf_a)
+        new_b.append(buf_b)
+        x = res + attn_out
+
+        res = x
+        xn = rms_norm(x, lp["post_attn_norm"], spec.rms_norm_eps)
+        if "moe" in lp:
+            x = res + _moe_mlp(lp["moe"], spec, xn)
+        else:
+            x = res + _dense_mlp(lp["mlp"], spec, xn)
+
+    x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
+    lm_head = params.get("lm_head")
+    if lm_head is None:
+        logits = x @ params["embed"].astype(x.dtype).T
+    else:
+        logits = linear(x, lm_head)
+
+    stack_a = jnp.stack(new_a)
+    stack_b = jnp.stack(new_b)
+    new_cache = KVCache(
+        lengths=cache.lengths + s,
+        ckv=stack_a if mla else None,
+        kpe=stack_b if mla else None,
+        k=None if mla else stack_a,
+        v=None if mla else stack_b,
+    )
+    return logits, new_cache

@@ -1,0 +1,289 @@
+"""ModelSpec: static architecture description + HF config translators.
+
+The TPU analog of the reference's YAML injection rules *plus* modeling files:
+a single declarative record of everything the decoder needs, derived from a
+HuggingFace config dict. Supported families mirror the reference model zoo
+(archive/ktransformers/models/: deepseek v2/v3, qwen2/3-moe, mixtral, llama,
+qwen2/3 dense, glm4-moe).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+from ktransformers_tpu.ops.activations import ActivationConfig
+from ktransformers_tpu.ops.gate import GateConfig
+from ktransformers_tpu.ops.rope import RopeConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class AttentionSpec:
+    kind: str  # "gqa" | "mla"
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int  # gqa head dim; for mla = qk_nope + qk_rope
+    # mla-only:
+    q_lora_rank: int | None = None
+    kv_lora_rank: int = 0
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+    # knobs
+    attention_bias: bool = False
+    qk_norm: bool = False  # qwen3-style per-head RMSNorm on q/k
+    softmax_scale: float | None = None  # None = head_dim**-0.5 (x yarn mscale)
+
+    @property
+    def rotary_dim(self) -> int:
+        return self.qk_rope_head_dim if self.kind == "mla" else self.head_dim
+
+
+@dataclasses.dataclass(frozen=True)
+class MoESpec:
+    num_experts: int
+    top_k: int
+    moe_intermediate_size: int
+    gate: GateConfig = None  # type: ignore[assignment]
+    shared_expert_intermediate_size: int = 0  # 0 = no shared experts
+    shared_expert_gate: bool = False  # qwen2-moe sigmoid gate on shared out
+    first_k_dense: int = 0  # first_k_dense_replace
+    moe_layer_freq: int = 1
+    # deepseek checks layer_idx % freq == 0; qwen checks (layer_idx+1) % step
+    moe_layer_offset: int = 0
+    mlp_only_layers: tuple[int, ...] = ()  # qwen3-moe explicit dense layers
+
+    def is_moe_layer(self, layer_idx: int) -> bool:
+        if layer_idx in self.mlp_only_layers:
+            return False
+        return (
+            layer_idx >= self.first_k_dense
+            and (layer_idx + self.moe_layer_offset) % self.moe_layer_freq == 0
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    model_type: str
+    vocab_size: int
+    hidden_size: int
+    num_layers: int
+    intermediate_size: int  # dense-MLP layers
+    rms_norm_eps: float
+    attention: AttentionSpec
+    rope: RopeConfig
+    activation: ActivationConfig = ActivationConfig()
+    moe: MoESpec | None = None
+    tie_word_embeddings: bool = False
+    max_position: int = 4096
+
+
+def _rope_from_hf(cfg: dict, dim: int, interleaved: bool) -> RopeConfig:
+    scaling = cfg.get("rope_scaling") or {}
+    stype = scaling.get("type") or scaling.get("rope_type")
+    return RopeConfig(
+        dim=dim,
+        base=float(cfg.get("rope_theta", 10000.0)),
+        max_position=int(cfg.get("max_position_embeddings", 4096)),
+        scaling_type=stype if stype in ("yarn", "linear") else None,
+        scaling_factor=float(scaling.get("factor", 1.0)),
+        original_max_position=int(
+            scaling.get("original_max_position_embeddings", 4096)
+        ),
+        beta_fast=float(scaling.get("beta_fast", 32.0)),
+        beta_slow=float(scaling.get("beta_slow", 1.0)),
+        mscale=float(scaling.get("mscale", 1.0)),
+        mscale_all_dim=float(scaling.get("mscale_all_dim", 0.0)),
+        interleaved=interleaved,
+    )
+
+
+def _deepseek_spec(cfg: dict, model_type: str) -> ModelSpec:
+    v3 = model_type == "deepseek_v3"
+    qk_rope = int(cfg["qk_rope_head_dim"])
+    qk_nope = int(cfg["qk_nope_head_dim"])
+    attn = AttentionSpec(
+        kind="mla",
+        num_heads=int(cfg["num_attention_heads"]),
+        num_kv_heads=int(cfg["num_attention_heads"]),
+        head_dim=qk_nope + qk_rope,
+        q_lora_rank=cfg.get("q_lora_rank"),
+        kv_lora_rank=int(cfg["kv_lora_rank"]),
+        qk_nope_head_dim=qk_nope,
+        qk_rope_head_dim=qk_rope,
+        v_head_dim=int(cfg["v_head_dim"]),
+        attention_bias=bool(cfg.get("attention_bias", False)),
+    )
+    topk_method = cfg.get("topk_method", "noaux_tc" if v3 else "greedy")
+    gate = GateConfig(
+        num_experts=int(cfg["n_routed_experts"]),
+        top_k=int(cfg["num_experts_per_tok"]),
+        scoring="sigmoid" if cfg.get("scoring_func", "softmax") == "sigmoid" or v3 else "softmax",
+        group_method={
+            "greedy": "none",
+            "group_limited_greedy": "group_max",
+            "noaux_tc": "group_top2sum",
+        }[topk_method],
+        n_group=int(cfg.get("n_group", 1) or 1),
+        topk_group=int(cfg.get("topk_group", 1) or 1),
+        norm_topk_prob=bool(cfg.get("norm_topk_prob", v3)),
+        routed_scaling_factor=float(cfg.get("routed_scaling_factor", 1.0)),
+        has_correction_bias=(topk_method == "noaux_tc"),
+    )
+    moe = MoESpec(
+        num_experts=int(cfg["n_routed_experts"]),
+        top_k=int(cfg["num_experts_per_tok"]),
+        moe_intermediate_size=int(cfg["moe_intermediate_size"]),
+        gate=gate,
+        shared_expert_intermediate_size=int(cfg.get("n_shared_experts") or 0)
+        * int(cfg["moe_intermediate_size"]),
+        first_k_dense=int(cfg.get("first_k_dense_replace", 0)),
+        moe_layer_freq=int(cfg.get("moe_layer_freq", 1)),
+    )
+    return ModelSpec(
+        model_type=model_type,
+        vocab_size=int(cfg["vocab_size"]),
+        hidden_size=int(cfg["hidden_size"]),
+        num_layers=int(cfg["num_hidden_layers"]),
+        intermediate_size=int(cfg["intermediate_size"]),
+        rms_norm_eps=float(cfg.get("rms_norm_eps", 1e-6)),
+        attention=attn,
+        rope=_rope_from_hf(cfg, qk_rope, interleaved=True),
+        moe=moe,
+        tie_word_embeddings=bool(cfg.get("tie_word_embeddings", False)),
+        max_position=int(cfg.get("max_position_embeddings", 4096)),
+    )
+
+
+def _gqa_attn(cfg: dict, qk_norm: bool = False) -> AttentionSpec:
+    heads = int(cfg["num_attention_heads"])
+    head_dim = int(cfg.get("head_dim") or cfg["hidden_size"] // heads)
+    return AttentionSpec(
+        kind="gqa",
+        num_heads=heads,
+        num_kv_heads=int(cfg.get("num_key_value_heads", heads)),
+        head_dim=head_dim,
+        attention_bias=bool(cfg.get("attention_bias", False))
+        or cfg.get("model_type") in ("qwen2", "qwen2_moe"),
+        qk_norm=qk_norm,
+    )
+
+
+def _qwen_moe_spec(cfg: dict, model_type: str) -> ModelSpec:
+    q3 = model_type == "qwen3_moe"
+    gate = GateConfig(
+        num_experts=int(cfg["num_experts"]),
+        top_k=int(cfg["num_experts_per_tok"]),
+        scoring="softmax",
+        norm_topk_prob=bool(cfg.get("norm_topk_prob", False)),
+    )
+    moe = MoESpec(
+        num_experts=int(cfg["num_experts"]),
+        top_k=int(cfg["num_experts_per_tok"]),
+        moe_intermediate_size=int(cfg["moe_intermediate_size"]),
+        gate=gate,
+        shared_expert_intermediate_size=0
+        if q3
+        else int(cfg.get("shared_expert_intermediate_size", 0)),
+        shared_expert_gate=not q3,
+        moe_layer_freq=int(cfg.get("decoder_sparse_step", 1)),
+        moe_layer_offset=1,
+        mlp_only_layers=tuple(cfg.get("mlp_only_layers", []) or []),
+    )
+    return ModelSpec(
+        model_type=model_type,
+        vocab_size=int(cfg["vocab_size"]),
+        hidden_size=int(cfg["hidden_size"]),
+        num_layers=int(cfg["num_hidden_layers"]),
+        intermediate_size=int(cfg["intermediate_size"]),
+        rms_norm_eps=float(cfg.get("rms_norm_eps", 1e-6)),
+        attention=_gqa_attn(cfg, qk_norm=q3),
+        rope=_rope_from_hf(
+            cfg,
+            int(cfg.get("head_dim") or cfg["hidden_size"] // cfg["num_attention_heads"]),
+            interleaved=False,
+        ),
+        moe=moe,
+        tie_word_embeddings=bool(cfg.get("tie_word_embeddings", False)),
+        max_position=int(cfg.get("max_position_embeddings", 4096)),
+    )
+
+
+def _mixtral_spec(cfg: dict) -> ModelSpec:
+    # Mixtral: softmax over all experts, top-k, renormalize — identical to
+    # softmax + norm_topk_prob.
+    gate = GateConfig(
+        num_experts=int(cfg["num_local_experts"]),
+        top_k=int(cfg["num_experts_per_tok"]),
+        scoring="softmax",
+        norm_topk_prob=True,
+    )
+    moe = MoESpec(
+        num_experts=int(cfg["num_local_experts"]),
+        top_k=int(cfg["num_experts_per_tok"]),
+        moe_intermediate_size=int(cfg["intermediate_size"]),
+        gate=gate,
+    )
+    return ModelSpec(
+        model_type="mixtral",
+        vocab_size=int(cfg["vocab_size"]),
+        hidden_size=int(cfg["hidden_size"]),
+        num_layers=int(cfg["num_hidden_layers"]),
+        intermediate_size=int(cfg["intermediate_size"]),
+        rms_norm_eps=float(cfg.get("rms_norm_eps", 1e-5)),
+        attention=_gqa_attn(cfg),
+        rope=_rope_from_hf(
+            cfg,
+            int(cfg.get("head_dim") or cfg["hidden_size"] // cfg["num_attention_heads"]),
+            interleaved=False,
+        ),
+        moe=moe,
+        tie_word_embeddings=bool(cfg.get("tie_word_embeddings", False)),
+        max_position=int(cfg.get("max_position_embeddings", 4096)),
+    )
+
+
+def _dense_spec(cfg: dict, model_type: str) -> ModelSpec:
+    qk_norm = model_type in ("qwen3",)
+    return ModelSpec(
+        model_type=model_type,
+        vocab_size=int(cfg["vocab_size"]),
+        hidden_size=int(cfg["hidden_size"]),
+        num_layers=int(cfg["num_hidden_layers"]),
+        intermediate_size=int(cfg["intermediate_size"]),
+        rms_norm_eps=float(cfg.get("rms_norm_eps", 1e-6)),
+        attention=_gqa_attn(cfg, qk_norm=qk_norm),
+        rope=_rope_from_hf(
+            cfg,
+            int(cfg.get("head_dim") or cfg["hidden_size"] // cfg["num_attention_heads"]),
+            interleaved=False,
+        ),
+        moe=None,
+        tie_word_embeddings=bool(cfg.get("tie_word_embeddings", False)),
+        max_position=int(cfg.get("max_position_embeddings", 4096)),
+    )
+
+
+_TRANSLATORS = {
+    "deepseek_v2": lambda c: _deepseek_spec(c, "deepseek_v2"),
+    "deepseek_v3": lambda c: _deepseek_spec(c, "deepseek_v3"),
+    "kimi_k2": lambda c: _deepseek_spec(c, "deepseek_v3"),
+    "qwen2_moe": lambda c: _qwen_moe_spec(c, "qwen2_moe"),
+    "qwen3_moe": lambda c: _qwen_moe_spec(c, "qwen3_moe"),
+    "mixtral": _mixtral_spec,
+    "llama": lambda c: _dense_spec(c, "llama"),
+    "qwen2": lambda c: _dense_spec(c, "qwen2"),
+    "qwen3": lambda c: _dense_spec(c, "qwen3"),
+}
+
+
+def spec_from_hf_config(cfg: Any) -> ModelSpec:
+    """Build a ModelSpec from an HF config object or dict."""
+    if not isinstance(cfg, dict):
+        cfg = cfg.to_dict()
+    mt = cfg.get("model_type")
+    if mt not in _TRANSLATORS:
+        raise ValueError(
+            f"unsupported model_type {mt!r}; supported: {sorted(_TRANSLATORS)}"
+        )
+    return _TRANSLATORS[mt](cfg)
