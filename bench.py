@@ -1,0 +1,133 @@
+"""Benchmark: DeepSeek-V2-Lite (16B-A2.4B) shaped MoE, int4 experts, one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+
+Baseline anchor: the reference's best published *single-user decode* for its
+CPU+GPU hetero stack, 13.69 tok/s (DeepSeek-V3 671B Q4_K_M, 2x Xeon 6454S +
+RTX 4090D; doc/en/DeepseekR1_V3_tutorial.md:137-141, see BASELINE.md). This
+round benches the PR1 config (DeepSeek-V2-Lite class, SURVEY.md §7 stage 2)
+on one TPU v5e chip; multi-chip 671B comes in later rounds.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ktransformers_tpu.engine.generate import Generator
+    from ktransformers_tpu.models.init import init_params_synthetic
+    from ktransformers_tpu.models.spec import spec_from_hf_config
+
+    # DeepSeek-V2-Lite architecture (deepseek-ai/DeepSeek-V2-Lite config).
+    cfg = dict(
+        model_type="deepseek_v2",
+        vocab_size=102400,
+        hidden_size=2048,
+        intermediate_size=10944,
+        moe_intermediate_size=1408,
+        num_hidden_layers=27,
+        num_attention_heads=16,
+        num_key_value_heads=16,
+        n_shared_experts=2,
+        n_routed_experts=64,
+        num_experts_per_tok=6,
+        first_k_dense_replace=1,
+        moe_layer_freq=1,
+        topk_method="greedy",
+        norm_topk_prob=False,
+        routed_scaling_factor=1.0,
+        scoring_func="softmax",
+        kv_lora_rank=512,
+        q_lora_rank=None,
+        qk_rope_head_dim=64,
+        qk_nope_head_dim=128,
+        v_head_dim=128,
+        max_position_embeddings=2048,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+    )
+    spec = spec_from_hf_config(cfg)
+    log("devices:", jax.devices())
+
+    t0 = time.perf_counter()
+    params = init_params_synthetic(spec, quant="int8", moe_quant="int4_g")
+    jax.block_until_ready(params)
+    nbytes = sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(params)
+    )
+    log(f"params ready in {time.perf_counter()-t0:.1f}s, {nbytes/1e9:.2f} GB")
+
+    gen = Generator(params, spec, max_len=1024, batch=1)
+    cache = gen.new_cache()
+
+    prompt_len = 512
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg["vocab_size"], (1, prompt_len)),
+        jnp.int32,
+    )
+
+    # --- prefill ---
+    t0 = time.perf_counter()
+    last_logits, cache = gen.prefill(cache, tokens)
+    jax.block_until_ready(last_logits)
+    prefill_compile_s = time.perf_counter() - t0
+
+    cache2 = gen.new_cache()
+    t0 = time.perf_counter()
+    last_logits, cache2 = gen.prefill(cache2, tokens)
+    jax.block_until_ready(last_logits)
+    prefill_s = time.perf_counter() - t0
+    prefill_tps = prompt_len / prefill_s
+    log(f"prefill: {prefill_tps:.1f} tok/s (compile {prefill_compile_s:.1f}s)")
+
+    # --- decode ---
+    decode = gen._step(1)
+    tok = jnp.argmax(last_logits, -1).astype(jnp.int32)[:, None]
+    # warmup/compile
+    logits, cache2 = decode(tok, cache2)
+    jax.block_until_ready(logits)
+
+    n_steps = 64
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        logits, cache2 = decode(tok, cache2)
+        tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+    jax.block_until_ready(logits)
+    decode_s = time.perf_counter() - t0
+    decode_tps = n_steps / decode_s
+    log(f"decode: {decode_tps:.2f} tok/s")
+
+    baseline = 13.69  # reference single-user decode tok/s (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "deepseek-v2-lite-16B-A2.4B int4 single-user decode, "
+                    "1x TPU v5e chip (baseline: reference DeepSeek-V3-671B "
+                    "q4km decode on 2xXeon+4090)"
+                ),
+                "value": round(decode_tps, 2),
+                "unit": "tok/s",
+                "vs_baseline": round(decode_tps / baseline, 3),
+                "extra": {
+                    "prefill_tok_s": round(prefill_tps, 1),
+                    "params_gb": round(nbytes / 1e9, 2),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

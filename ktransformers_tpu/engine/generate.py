@@ -1,0 +1,143 @@
+"""Generator: chunked prefill + jitted decode with donated KV cache.
+
+Reference analog: archive/ktransformers/util/utils.py `prefill_and_generate`
+(chunked prefill loop, utils.py:496-511) + CUDAGraphRunner decode
+(cuda_graph_runner.py). CUDA-graph capture maps to `jax.jit` with donated
+cache buffers: the same fixed-shape step is compiled once and replayed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ktransformers_tpu.models.model import KVCache, forward
+from ktransformers_tpu.models.spec import ModelSpec
+from ktransformers_tpu.engine.sampler import SamplingConfig, sample
+from ktransformers_tpu.ops.rope import precompute_rope_tables
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerateConfig:
+    max_new_tokens: int = 128
+    prefill_chunk: int = 256  # reference: chunk_size / chunked_prefill_size
+    sampling: SamplingConfig = SamplingConfig()
+    eos_token_id: int | None = None
+    seed: int = 0
+
+
+class Generator:
+    """Owns the jitted steps for one (spec, params, batch, max_len) shape set.
+
+    Compiled entries are cached per query-length bucket, mirroring the
+    reference's per-batch-size CUDA graph buckets (model_runner.py:58-69).
+    """
+
+    def __init__(
+        self,
+        params,
+        spec: ModelSpec,
+        max_len: int = 2048,
+        batch: int = 1,
+        cache_dtype=jnp.bfloat16,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.spec = spec
+        self.max_len = max_len
+        self.batch = batch
+        self.cache_dtype = cache_dtype
+        self.compute_dtype = compute_dtype
+        self.rope_tables = precompute_rope_tables(spec.rope)
+        self._steps = {}  # q_len -> jitted fn
+
+    def new_cache(self) -> KVCache:
+        return KVCache.create(
+            self.spec, self.batch, self.max_len, dtype=self.cache_dtype
+        )
+
+    def _step(self, q_len: int):
+        if q_len not in self._steps:
+            spec = self.spec
+            rope_tables = self.rope_tables
+            compute_dtype = self.compute_dtype
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def step(params, tokens, cache):
+                return forward(
+                    params,
+                    spec,
+                    tokens,
+                    cache,
+                    rope_tables=rope_tables,
+                    compute_dtype=compute_dtype,
+                )
+
+            self._steps[q_len] = partial(step, self.params)
+        return self._steps[q_len]
+
+    _prefill_chunk = 256
+
+    def prefill(self, cache: KVCache, tokens: jnp.ndarray):
+        """Chunked prefill of tokens [B, S]; returns (last_logits [B, V], cache)."""
+        _, s = tokens.shape
+        logits = None
+        i = 0
+        while i < s:
+            n = min(self._prefill_chunk, s - i)
+            logits, cache = self._step(n)(tokens[:, i : i + n], cache)
+            i += n
+        return logits[:, -1], cache
+
+    def generate(
+        self,
+        prompt_ids,
+        cfg: GenerateConfig = GenerateConfig(),
+        on_token=None,
+    ) -> list[list[int]]:
+        """Generate for a batch of prompts (list of token-id lists or [B, S]
+        array of equal-length prompts). Returns generated ids per sequence."""
+        self._prefill_chunk = cfg.prefill_chunk
+        if isinstance(prompt_ids, (list, tuple)) and isinstance(
+            prompt_ids[0], (list, tuple)
+        ):
+            lens = {len(p) for p in prompt_ids}
+            assert len(lens) == 1, "batched generate requires equal prompt lengths"
+            prompt = jnp.asarray(np.array(prompt_ids, np.int32))
+        else:
+            prompt = jnp.asarray(prompt_ids, jnp.int32)
+            if prompt.ndim == 1:
+                prompt = prompt[None]
+        b, s = prompt.shape
+        assert b == self.batch, (b, self.batch)
+        assert s + cfg.max_new_tokens <= self.max_len
+
+        cache = self.new_cache()
+        last_logits, cache = self.prefill(cache, prompt)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        out = [[] for _ in range(b)]
+        finished = np.zeros(b, bool)
+        decode = self._step(1)
+
+        key, sub = jax.random.split(key)
+        tok = sample(last_logits, sub, cfg.sampling)
+        for step_i in range(cfg.max_new_tokens):
+            tok_np = np.asarray(tok)
+            for bi in range(b):
+                if not finished[bi]:
+                    out[bi].append(int(tok_np[bi]))
+                    if cfg.eos_token_id is not None and tok_np[bi] == cfg.eos_token_id:
+                        finished[bi] = True
+            if on_token is not None:
+                on_token(tok_np)
+            if finished.all() or step_i == cfg.max_new_tokens - 1:
+                break
+            logits, cache = decode(tok[:, None], cache)
+            key, sub = jax.random.split(key)
+            tok = sample(logits[:, -1], sub, cfg.sampling)
+        return out

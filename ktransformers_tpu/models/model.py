@@ -42,23 +42,27 @@ NEG_INF = -1e30
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    """Static-shape KV cache.
+    """Static-shape KV cache, one buffer pair per layer.
 
-    MLA: ckv [L, B, S, R], kpe [L, B, S, Dr]  (k/v fields None)
-    GQA: k [L, B, S, Hkv, D], v [L, B, S, Hkv, D]  (ckv/kpe None)
+    MLA: bufs_a[l] = ckv [B, S, R];       bufs_b[l] = k_pe [B, S, Dr]
+    GQA: bufs_a[l] = k   [B, S, Hkv, D];  bufs_b[l] = v    [B, S, Hkv, D]
     lengths: [B] int32 — tokens already cached per sequence.
+
+    Per-layer buffers (not one stacked [L, ...] array) so a jitted step with
+    donated cache updates each layer in place instead of re-stacking.
     """
 
     lengths: jnp.ndarray
-    ckv: jnp.ndarray | None = None
-    kpe: jnp.ndarray | None = None
-    k: jnp.ndarray | None = None
-    v: jnp.ndarray | None = None
+    bufs_a: list
+    bufs_b: list
 
     @property
     def max_len(self) -> int:
-        arr = self.ckv if self.ckv is not None else self.k
-        return arr.shape[2]
+        return self.bufs_a[0].shape[1]
+
+    @property
+    def batch(self) -> int:
+        return self.bufs_a[0].shape[0]
 
     @staticmethod
     def create(
@@ -67,32 +71,19 @@ class KVCache:
         a = spec.attention
         lengths = jnp.zeros((batch,), jnp.int32)
         if a.kind == "mla":
-            return KVCache(
-                lengths=lengths,
-                ckv=jnp.zeros(
-                    (spec.num_layers, batch, max_len, a.kv_lora_rank), dtype
-                ),
-                kpe=jnp.zeros(
-                    (spec.num_layers, batch, max_len, a.qk_rope_head_dim), dtype
-                ),
-            )
+            sa = (batch, max_len, a.kv_lora_rank)
+            sb = (batch, max_len, a.qk_rope_head_dim)
+        else:
+            sa = sb = (batch, max_len, a.num_kv_heads, a.head_dim)
         return KVCache(
             lengths=lengths,
-            k=jnp.zeros(
-                (spec.num_layers, batch, max_len, a.num_kv_heads, a.head_dim),
-                dtype,
-            ),
-            v=jnp.zeros(
-                (spec.num_layers, batch, max_len, a.num_kv_heads, a.head_dim),
-                dtype,
-            ),
+            bufs_a=[jnp.zeros(sa, dtype) for _ in range(spec.num_layers)],
+            bufs_b=[jnp.zeros(sb, dtype) for _ in range(spec.num_layers)],
         )
 
     def bytes_per_token_per_layer(self, spec: ModelSpec) -> int:
         a = spec.attention
-        itemsize = jnp.dtype(
-            (self.ckv if self.ckv is not None else self.k).dtype
-        ).itemsize
+        itemsize = jnp.dtype(self.bufs_a[0].dtype).itemsize
         if a.kind == "mla":
             return (a.kv_lora_rank + a.qk_rope_head_dim) * itemsize
         return 2 * a.num_kv_heads * a.head_dim * itemsize
@@ -264,9 +255,7 @@ def forward(
     for li, lp in enumerate(params["layers"]):
         res = x
         xn = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
-        layer_cache = (
-            (cache.ckv[li], cache.kpe[li]) if mla else (cache.k[li], cache.v[li])
-        )
+        layer_cache = (cache.bufs_a[li], cache.bufs_b[li])
         attn_out, (buf_a, buf_b) = (
             _mla_attention(lp["attn"], spec, xn, layer_cache, cache.lengths, rope_cs)
             if mla
@@ -292,13 +281,7 @@ def forward(
     else:
         logits = linear(x, lm_head)
 
-    stack_a = jnp.stack(new_a)
-    stack_b = jnp.stack(new_b)
     new_cache = KVCache(
-        lengths=cache.lengths + s,
-        ckv=stack_a if mla else None,
-        kpe=stack_b if mla else None,
-        k=None if mla else stack_a,
-        v=None if mla else stack_b,
+        lengths=cache.lengths + s, bufs_a=new_a, bufs_b=new_b
     )
     return logits, new_cache

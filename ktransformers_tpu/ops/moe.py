@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ktransformers_tpu.ops.activations import ActivationConfig, glu_activate
-from ktransformers_tpu.quant.formats import QTensor, dequantize
+from ktransformers_tpu.quant.formats import QTensor, dequantize, unpack_int4
 
 # Pallas grouped quantized matmul, registered at import time on TPU.
 _PALLAS_GMM = None
@@ -87,16 +87,88 @@ def grouped_matmul(
     """x: [m, k] rows sorted by group; w: [g, k, n]; returns [m, n].
 
     Rows beyond sum(group_sizes) (dropped/masked experts) come back zero.
+    Per-out-channel scales are hoisted past ragged_dot (scale rows by their
+    expert's scale vector after the int matmul).
     """
     if impl == "auto":
         impl = "pallas" if _PALLAS_GMM is not None else "ragged"
     if impl == "pallas" and _PALLAS_GMM is not None:
         return _PALLAS_GMM(x, w, group_sizes)
-    wd = dequantize(w, x.dtype) if w.kind != "bf16" else w.data.astype(x.dtype)
+
+    e = w.data.shape[0]
+    gs = group_sizes.astype(jnp.int32)
+    if w.kind == "bf16":
+        wd = w.data.astype(x.dtype)
+    elif w.kind in ("int8", "int4", "fp8"):
+        if w.kind == "int4":
+            codes = unpack_int4(w.data)
+        else:
+            codes = w.data
+        y = jax.lax.ragged_dot(
+            x, codes.astype(x.dtype), gs, preferred_element_type=jnp.float32
+        )
+        # expert id of each sorted row -> per-row output scale
+        row_expert = jnp.repeat(
+            jnp.arange(e), gs, total_repeat_length=x.shape[0]
+        )
+        s = w.scales.reshape(e, -1)[row_expert]  # [m, n]
+        return (y * s).astype(x.dtype)
+    else:
+        wd = dequantize(w, x.dtype)
     return jax.lax.ragged_dot(
-        x, wd, group_sizes.astype(jnp.int32),
-        preferred_element_type=x.dtype,
+        x, wd, gs, preferred_element_type=x.dtype
     )
+
+
+def _gathered_codes(w: QTensor, ids: jnp.ndarray) -> jnp.ndarray:
+    """Gather expert weight codes: w.data [E, Kp, N], ids [T, k] ->
+    float32 codes [T, k, K, N] (int4 unpacked)."""
+    q = w.data[ids]
+    if w.kind in ("int4", "int4_g", "int4_gz"):
+        q = unpack_int4(q)
+    return q
+
+
+def gathered_matmul(x: jnp.ndarray, w: QTensor, ids: jnp.ndarray) -> jnp.ndarray:
+    """Decode-path expert matmul that only touches the routed experts' bytes.
+
+    x: [T, K] (same input to each of the k experts) or [T, k, K]
+    (per-expert inputs); w: QTensor [E, K, N]; ids: [T, k].
+    Returns [T, k, N]. Analog of the reference's decode GEMV path
+    (moe_base.hpp forward_decode / llamafile forward_one): bandwidth scales
+    with *active* experts, not total experts.
+    """
+    q = _gathered_codes(w, ids).astype(jnp.float32)  # [T,k,K,N]
+    xf = x.astype(jnp.float32)
+    per_expert_x = x.ndim == 3
+
+    if w.kind in ("bf16", "int8", "int4", "fp8"):
+        eq = "ted,tedn->ten" if per_expert_x else "td,tedn->ten"
+        y = jnp.einsum(eq, xf, q)
+        if w.scales is not None:
+            y = y * w.scales.reshape(w.data.shape[0], 1, -1)[ids].reshape(
+                ids.shape[0], ids.shape[1], -1
+            )
+        return y.astype(x.dtype)
+
+    # group-wise kinds
+    g = w.group_size
+    t, k = ids.shape
+    kk, n = q.shape[-2], q.shape[-1]
+    qg = q.reshape(t, k, kk // g, g, n)
+    if per_expert_x:
+        xg = xf.reshape(t, k, kk // g, g)
+        part = jnp.einsum("teGg,teGgn->teGn", xg, qg)
+        xsum = jnp.sum(xg, axis=-1)  # [t,k,G]
+    else:
+        xg = xf.reshape(t, kk // g, g)
+        part = jnp.einsum("tGg,teGgn->teGn", xg, qg)
+        xsum = jnp.sum(xg, axis=-1)[:, None]  # [t,1,G]
+    scales = w.scales[ids]  # [t,k,G,n]
+    if w.kind == "int4_gz":
+        part = part - xsum[..., None] * w.zeros[ids]
+    y = jnp.sum(part * scales, axis=2)
+    return y.astype(x.dtype)
 
 
 def moe_dispatch(
@@ -127,6 +199,39 @@ def moe_dispatch(
     return sort_order, token_of_row, group_sizes, keep.reshape(-1)
 
 
+DECODE_GATHER_MAX_TOKENS = 16
+
+
+def _moe_forward_gather(
+    x: jnp.ndarray,
+    weights: MoEWeights,
+    topk_idx: jnp.ndarray,
+    topk_weights: jnp.ndarray,
+    cfg: MoEConfig,
+) -> jnp.ndarray:
+    """Decode path: gather only the routed experts' (quantized) bytes.
+
+    Analog of the reference's decode split (moe_base.hpp:165-171
+    forward_decode, llamafile forward_one): per-token expert GEMV where HBM
+    traffic scales with active experts.
+    """
+    t, k = topk_idx.shape
+    e = weights.num_experts
+    inter = weights.intermediate_size
+    ids = topk_idx
+    if weights.logical_to_physical is not None:
+        ids = weights.logical_to_physical[ids]
+    w = topk_weights
+    if weights.expert_mask is not None:
+        local = weights.expert_mask[ids]
+        w = jnp.where(local, w, 0.0)
+        ids = jnp.where(local, ids, 0)  # clamp masked to a valid index
+    h = gathered_matmul(x, weights.gate_up, ids)  # [t,k,2F]
+    a = glu_activate(h[..., :inter], h[..., inter:], cfg.activation)
+    y = gathered_matmul(a, weights.down, ids)  # [t,k,d]
+    return jnp.sum(y * w[:, :, None].astype(y.dtype), axis=1).astype(x.dtype)
+
+
 def moe_forward(
     x: jnp.ndarray,
     weights: MoEWeights,
@@ -138,9 +243,15 @@ def moe_forward(
 
     x: [T, hidden]; topk_idx: [T, k] int32; topk_weights: [T, k] f32.
     Matches MoE_Interface::forward(qlen, k, expert_ids, weights, in, out)
-    (operators/common.hpp:404-408) with sorted grouped matmuls.
+    (operators/common.hpp:404-408). Few tokens (decode) -> gather path;
+    many tokens (prefill) -> sorted grouped matmul, mirroring the
+    reference's decode/prefill dispatch (moe_base.hpp:165-171).
     """
     t, d = x.shape
+    if cfg.impl == "gather" or (
+        cfg.impl == "auto" and t <= DECODE_GATHER_MAX_TOKENS
+    ):
+        return _moe_forward_gather(x, weights, topk_idx, topk_weights, cfg)
     k = topk_idx.shape[-1]
     e = weights.num_experts
     inter = weights.intermediate_size
