@@ -46,6 +46,9 @@ class Generator:
         cache_dtype=jnp.bfloat16,
         compute_dtype=jnp.bfloat16,
     ):
+        from ktransformers_tpu.ops import pallas as pallas_ops
+
+        pallas_ops.maybe_enable()
         self.params = params
         self.spec = spec
         self.max_len = max_len

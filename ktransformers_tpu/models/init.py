@@ -35,12 +35,11 @@ def init_params_synthetic(
     from ktransformers_tpu.quant.formats import QTensor
 
     moe_quant = moe_quant or quant
-    key = jax.random.PRNGKey(seed)
     counter = [0]
 
     def nk():
         counter[0] += 1
-        return jax.random.fold_in(key, counter[0])
+        return jax.random.fold_in(jax.random.PRNGKey(seed), counter[0])
 
     def q(shape, kind):
         k_dim, n = shape[-2], shape[-1]
@@ -73,9 +72,24 @@ def init_params_synthetic(
             return QTensor(data, scales, None, kind="fp8", group_size=0)
         raise ValueError(kind)
 
-    return _build_params(spec, q, lambda s, sc=0.02: jax.random.normal(
-        jax.random.fold_in(key, 10_000 + counter[0]), s, jnp.float32) * sc,
-        quant, moe_quant)
+    def rand(s, sc=0.02):
+        counter[0] += 1
+        return (
+            jax.random.normal(
+                jax.random.fold_in(
+                    jax.random.PRNGKey(seed), 10_000 + counter[0]
+                ),
+                s,
+                jnp.float32,
+            )
+            * sc
+        )
+
+    # One jitted call for the whole init: eager per-tensor dispatch costs
+    # seconds per op over the axon tunnel; fused it is a single execution.
+    return jax.jit(
+        lambda: _build_params(spec, q, rand, quant, moe_quant)
+    )()
 
 
 def _build_params(spec: ModelSpec, q, rand, quant: str, moe_quant: str):

@@ -35,14 +35,16 @@ def set_pallas_qmatmul(fn) -> None:
 def _int_data(w: QTensor, dtype) -> jnp.ndarray:
     """Weight codes as `dtype` [..., K, N] (unpacks int4 nibbles)."""
     if w.kind in ("int4", "int4_g", "int4_gz"):
-        return unpack_int4(w.data).astype(dtype)
+        return unpack_int4(w.data, w.group_size).astype(dtype)
     return w.data.astype(dtype)
 
 
 def qmatmul(x: jnp.ndarray, w: QTensor, *, impl: str = "auto") -> jnp.ndarray:
     """Compute x @ w for a 2D quantized weight [K, N]; x is [..., K]."""
     if impl == "auto" and _PALLAS_QMATMUL is not None and w.kind != "bf16":
-        return _PALLAS_QMATMUL(x, w)
+        y = _PALLAS_QMATMUL(x, w)
+        if y is not None:
+            return y
 
     if w.kind == "bf16":
         return jnp.matmul(x, w.data.astype(x.dtype))

@@ -33,11 +33,18 @@ from ktransformers_tpu.quant.formats import QTensor, dequantize, unpack_int4
 
 # Pallas grouped quantized matmul, registered at import time on TPU.
 _PALLAS_GMM = None
+# Pallas gathered (decode) expert matmul: fn(x_rows [R,K], w, ids [R]) -> [R,N]
+_PALLAS_GATHER = None
 
 
 def set_pallas_gmm(fn) -> None:
     global _PALLAS_GMM
     _PALLAS_GMM = fn
+
+
+def set_pallas_gather(fn) -> None:
+    global _PALLAS_GATHER
+    _PALLAS_GATHER = fn
 
 
 @jax.tree_util.register_dataclass
@@ -93,7 +100,9 @@ def grouped_matmul(
     if impl == "auto":
         impl = "pallas" if _PALLAS_GMM is not None else "ragged"
     if impl == "pallas" and _PALLAS_GMM is not None:
-        return _PALLAS_GMM(x, w, group_sizes)
+        y = _PALLAS_GMM(x, w, group_sizes)
+        if y is not None:
+            return y
 
     e = w.data.shape[0]
     gs = group_sizes.astype(jnp.int32)
@@ -101,7 +110,7 @@ def grouped_matmul(
         wd = w.data.astype(x.dtype)
     elif w.kind in ("int8", "int4", "fp8"):
         if w.kind == "int4":
-            codes = unpack_int4(w.data)
+            codes = unpack_int4(w.data, w.group_size)
         else:
             codes = w.data
         y = jax.lax.ragged_dot(
@@ -125,7 +134,7 @@ def _gathered_codes(w: QTensor, ids: jnp.ndarray) -> jnp.ndarray:
     float32 codes [T, k, K, N] (int4 unpacked)."""
     q = w.data[ids]
     if w.kind in ("int4", "int4_g", "int4_gz"):
-        q = unpack_int4(q)
+        q = unpack_int4(q, w.group_size)
     return q
 
 
@@ -138,6 +147,18 @@ def gathered_matmul(x: jnp.ndarray, w: QTensor, ids: jnp.ndarray) -> jnp.ndarray
     (moe_base.hpp forward_decode / llamafile forward_one): bandwidth scales
     with *active* experts, not total experts.
     """
+    t, k = ids.shape
+    if _PALLAS_GATHER is not None:
+        kdim = x.shape[-1]
+        if x.ndim == 2:
+            x_rows = jnp.broadcast_to(x[:, None, :], (t, k, kdim)).reshape(
+                t * k, kdim
+            )
+        else:
+            x_rows = x.reshape(t * k, kdim)
+        y = _PALLAS_GATHER(x_rows, w, ids.reshape(t * k))
+        if y is not None:
+            return y.reshape(t, k, -1)
     q = _gathered_codes(w, ids).astype(jnp.float32)  # [T,k,K,N]
     xf = x.astype(jnp.float32)
     per_expert_x = x.ndim == 3

@@ -1,0 +1,54 @@
+"""Pallas TPU kernels and their registration into the op dispatchers.
+
+Call `enable()` (idempotent) to route quantized matmuls through the fused
+kernels; `maybe_enable()` does so only when a non-CPU backend is attached.
+The XLA fallback paths remain available via impl="ref"/"ragged".
+"""
+
+from __future__ import annotations
+
+import jax
+
+_ENABLED = False
+
+PALLAS_KINDS = ("int8", "int4", "int4_g", "int4_gz")
+
+
+def enable() -> None:
+    global _ENABLED
+    if _ENABLED:
+        return
+    from ktransformers_tpu.ops import linear, moe
+    from ktransformers_tpu.ops.pallas.quant_matmul import (
+        gathered_quant_matmul,
+        grouped_quant_matmul,
+        quant_matmul,
+    )
+
+    def _qmatmul(x, w):
+        if w.kind not in PALLAS_KINDS:
+            return None
+        return quant_matmul(x, w)
+
+    def _gather(x_rows, w, ids):
+        if w.kind not in PALLAS_KINDS:
+            return None
+        return gathered_quant_matmul(x_rows, w, ids)
+
+    def _gmm(x_sorted, w, group_sizes):
+        if w.kind not in PALLAS_KINDS:
+            return None
+        return grouped_quant_matmul(x_sorted, w, group_sizes)
+
+    linear.set_pallas_qmatmul(_qmatmul)
+    moe.set_pallas_gather(_gather)
+    moe.set_pallas_gmm(_gmm)
+    _ENABLED = True
+
+
+def maybe_enable() -> bool:
+    """Enable the kernels when running on a real accelerator."""
+    if any(d.platform != "cpu" for d in jax.devices()):
+        enable()
+        return True
+    return False

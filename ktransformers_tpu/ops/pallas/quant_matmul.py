@@ -1,0 +1,446 @@
+"""Pallas fused dequant-matmul kernels: weights stay quantized in HBM and are
+expanded only inside VMEM tiles feeding the MXU.
+
+These are the TPU re-design of the reference's AMX dequant+GEMM kernels
+(kt-kernel/operators/amx/la/amx_kernels.hpp: BufferA/B tile layouts with
+fused `apply_scale` at C-store) and of the CUDA Marlin W4A16 GEMM
+(kt-kernel/cuda/gptq_marlin). The XLA fallback paths in ops/linear.py
+materialize dequantized operands in HBM; these kernels do not — HBM traffic
+is exactly the packed bytes + activations, which is what makes quantized
+decode bandwidth-optimal.
+
+int4 weights use the group-split nibble packing (quant/formats.py
+pack_int4): a K-block covering whole scale groups unpacks into the low-half
+rows (low nibbles) and high-half rows (high nibbles) of each group, so the
+kernel computes y += s_g * (x_lo_g @ q_lo_g + x_hi_g @ q_hi_g) with no
+shuffles — two MXU dots per group.
+
+Tiling: K is NOT tiled — at LLM sizes a full-K x tile-N weight block is
+0.3-2 MB of VMEM (hidden 2048-7168 → packed K/2 rows x 512 lanes), well
+under the ~16 MB budget, and a single K block avoids both accumulation
+grids and boundary-padding hazards. The grid tiles (M, N) only.
+
+Kernels:
+- quant_matmul(x, w):     dense linear (int8 / fp8 / int4 / int4_g / int4_gz)
+- gathered_quant_matmul:  decode MoE — expert index per row via scalar
+                          prefetch; only routed experts' bytes are read
+                          (analog of moe_base.hpp forward_decode)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ktransformers_tpu.quant.formats import QTensor, split_x_for_int4
+
+INT4_KINDS = ("int4", "int4_g", "int4_gz")
+
+MAX_W_BLOCK_BYTES = 4 * 1024 * 1024
+
+
+def _unpack_nibbles(b):
+    """uint8 [R, N] -> (lo, hi) sign-extended int32 in [-8, 7]."""
+    bi = b.astype(jnp.int32)
+    lo = ((bi & 0xF) ^ 8) - 8
+    hi = (((bi >> 4) & 0xF) ^ 8) - 8
+    return lo, hi
+
+
+def _pick_bn(n, k_bytes_per_lane):
+    bn = 512
+    while bn > 128 and bn * k_bytes_per_lane > MAX_W_BLOCK_BYTES:
+        bn //= 2
+    return min(n, bn)
+
+
+def _expand_group_rows(v, n_groups, gs2, k2, bn):
+    """[n_groups, bn] -> [k2, bn], each row repeated gs2 times (sublane-merge
+    reshape — a free view on the (8,128)-tiled layout)."""
+    return jnp.broadcast_to(v[:, None, :], (n_groups, gs2, bn)).reshape(k2, bn)
+
+
+def _int4_matblock(xl, xh, w_blk, s_ref, z_ref, n_groups, gs2, has_zeros, s_idx):
+    """Shared math: full-K packed block [K/2, bn] x activations [M, K/2].
+
+    Unpacks the whole block once and folds scales (and zero-points) into the
+    dequantized weights, so the MXU sees two full-K-contraction dots instead
+    of n_groups narrow ones."""
+    k2, bn = w_blk.shape
+    lo, hi = _unpack_nibbles(w_blk[:])
+    s = s_ref[s_idx] if s_idx else s_ref[:]
+    s_exp = _expand_group_rows(s, n_groups, gs2, k2, bn)
+    lo = lo.astype(jnp.float32)
+    hi = hi.astype(jnp.float32)
+    if has_zeros:
+        z = z_ref[s_idx] if s_idx else z_ref[:]
+        z_exp = _expand_group_rows(z, n_groups, gs2, k2, bn)
+        lo = lo - z_exp
+        hi = hi - z_exp
+    wl = (lo * s_exp).astype(xl.dtype)
+    wh = (hi * s_exp).astype(xh.dtype)
+    return jnp.dot(xl, wl, preferred_element_type=jnp.float32) + jnp.dot(
+        xh, wh, preferred_element_type=jnp.float32
+    )
+
+
+# ---------------------------------------------------------------------------
+# dense: x [M, K] @ w [K, N]
+# ---------------------------------------------------------------------------
+
+
+def _int8_kernel(x_ref, w_ref, s_ref, o_ref):
+    y = jnp.dot(
+        x_ref[:],
+        w_ref[:].astype(x_ref.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = y * s_ref[:]
+
+
+def _int4_kernel(xl_ref, xh_ref, w_ref, s_ref, z_ref, o_ref, *, n_groups, gs2,
+                 has_zeros):
+    o_ref[:] = _int4_matblock(
+        xl_ref[:], xh_ref[:], w_ref, s_ref, z_ref, n_groups, gs2, has_zeros,
+        s_idx=(),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def quant_matmul(x: jnp.ndarray, w: QTensor, interpret: bool = False):
+    """x [..., K] @ w(QTensor [K, N]) -> [..., N] with fused dequant."""
+    *lead, kdim = x.shape
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, kdim)
+    n = w.out_features
+    out_dtype = x.dtype
+    bm = min(m, 512)
+
+    if w.kind in ("int8", "fp8"):
+        bn = _pick_bn(n, kdim)
+        grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
+        y = pl.pallas_call(
+            _int8_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, kdim), lambda i, j: (i, 0)),
+                pl.BlockSpec((kdim, bn), lambda i, j: (0, j)),
+                pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+            interpret=interpret,
+        )(x2, w.data, w.scales)
+        return y.astype(out_dtype).reshape(*lead, n)
+
+    if w.kind in INT4_KINDS:
+        gs = w.group_size or kdim
+        gs2 = gs // 2
+        k2 = kdim // 2
+        n_groups = kdim // gs
+        bn = _pick_bn(n, k2)
+        grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
+        xl, xh = split_x_for_int4(x2, kdim, w.group_size)
+        scales = w.scales.reshape(n_groups, n)
+        zeros = (
+            w.zeros.reshape(n_groups, n)
+            if w.zeros is not None
+            else scales  # placeholder, unread
+        )
+        y = pl.pallas_call(
+            functools.partial(
+                _int4_kernel,
+                n_groups=n_groups,
+                gs2=gs2,
+                has_zeros=w.zeros is not None,
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k2), lambda i, j: (i, 0)),
+                pl.BlockSpec((bm, k2), lambda i, j: (i, 0)),
+                pl.BlockSpec((k2, bn), lambda i, j: (0, j)),
+                pl.BlockSpec((n_groups, bn), lambda i, j: (0, j)),
+                pl.BlockSpec((n_groups, bn), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+            interpret=interpret,
+        )(xl, xh, w.data, scales, zeros)
+        return y.astype(out_dtype).reshape(*lead, n)
+
+    raise ValueError(f"quant_matmul: unsupported kind {w.kind}")
+
+
+# ---------------------------------------------------------------------------
+# gathered (decode MoE): per-row expert index via scalar prefetch
+# ---------------------------------------------------------------------------
+
+
+def _gather_int4_kernel(
+    ids_ref, xl_ref, xh_ref, w_ref, s_ref, z_ref, o_ref, *, n_groups, gs2,
+    has_zeros
+):
+    """Grid (n_tiles, R): program (j, r) computes ALL rows against expert
+    ids[r]'s block (the MXU pads to >=8 rows anyway) and accumulates only
+    row r via a mask — keeps every block's sublane dim full-size, which
+    mosaic requires."""
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    acc = _int4_matblock(
+        xl_ref[:], xh_ref[:], w_ref[0], s_ref, z_ref, n_groups, gs2,
+        has_zeros, s_idx=(0,),
+    )
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, o_ref.shape, 0)
+    o_ref[:] += jnp.where(row_ids == r, acc, 0.0)
+
+
+def _gather_int8_kernel(ids_ref, x_ref, w_ref, s_ref, o_ref):
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    part = jnp.dot(
+        x_ref[:],
+        w_ref[0].astype(x_ref.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    part = part * s_ref[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, o_ref.shape, 0)
+    o_ref[:] += jnp.where(row_ids == r, part, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gathered_quant_matmul(
+    x_rows: jnp.ndarray,  # [R, K] one activation row per (token, slot)
+    w: QTensor,  # [E, K(packed), N]
+    ids: jnp.ndarray,  # [R] int32 expert index per row
+    interpret: bool = False,
+):
+    """Decode-MoE matmul: row r uses expert ids[r]. Returns [R, N] out_dtype.
+
+    Only the routed experts' weight tiles are fetched from HBM (block index
+    map reads the prefetched ids), so per-token traffic is
+    k_active * bytes(expert), like the reference's forward_decode."""
+    r, kdim = x_rows.shape
+    e = w.data.shape[0]
+    n = w.out_features
+    out_dtype = x_rows.dtype
+
+    r8 = max(8, ((r + 7) // 8) * 8)
+    if r8 != r:
+        x_rows = jnp.pad(x_rows, ((0, r8 - r), (0, 0)))
+
+    if w.kind in ("int8", "fp8"):
+        bn = _pick_bn(n, kdim)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(pl.cdiv(n, bn), r),
+            in_specs=[
+                pl.BlockSpec((r8, kdim), lambda j, i, ids: (0, 0)),
+                pl.BlockSpec((1, kdim, bn), lambda j, i, ids: (ids[i], 0, j)),
+                pl.BlockSpec((1, 1, bn), lambda j, i, ids: (ids[i], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((r8, bn), lambda j, i, ids: (0, j)),
+        )
+        y = pl.pallas_call(
+            _gather_int8_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((r8, n), jnp.float32),
+            interpret=interpret,
+        )(ids, x_rows, w.data, w.scales)
+        return y[:r].astype(out_dtype)
+
+    if w.kind in INT4_KINDS:
+        gs = w.group_size or kdim
+        gs2 = gs // 2
+        k2 = kdim // 2
+        n_groups = kdim // gs
+        bn = _pick_bn(n, k2)
+        xl, xh = split_x_for_int4(x_rows, kdim, w.group_size)
+        scales = w.scales.reshape(e, n_groups, n)
+        zeros = (
+            w.zeros.reshape(e, n_groups, n) if w.zeros is not None else scales
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(pl.cdiv(n, bn), r),
+            in_specs=[
+                pl.BlockSpec((r8, k2), lambda j, i, ids: (0, 0)),
+                pl.BlockSpec((r8, k2), lambda j, i, ids: (0, 0)),
+                pl.BlockSpec((1, k2, bn), lambda j, i, ids: (ids[i], 0, j)),
+                pl.BlockSpec((1, n_groups, bn), lambda j, i, ids: (ids[i], 0, j)),
+                pl.BlockSpec((1, n_groups, bn), lambda j, i, ids: (ids[i], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((r8, bn), lambda j, i, ids: (0, j)),
+        )
+        y = pl.pallas_call(
+            functools.partial(
+                _gather_int4_kernel,
+                n_groups=n_groups,
+                gs2=gs2,
+                has_zeros=w.zeros is not None,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((r8, n), jnp.float32),
+            interpret=interpret,
+        )(ids, xl, xh, w.data, scales, zeros)
+        return y[:r].astype(out_dtype)
+
+    raise ValueError(f"gathered_quant_matmul: unsupported kind {w.kind}")
+
+
+# ---------------------------------------------------------------------------
+# grouped (prefill MoE): sorted rows, capacity-padded so each m-tile maps to
+# exactly one expert (tile-group index via scalar prefetch)
+# ---------------------------------------------------------------------------
+
+GROUP_BM = 64
+
+
+def _grouped_int4_kernel(
+    tg_ref, xl_ref, xh_ref, w_ref, s_ref, z_ref, o_ref, *, n_groups, gs2,
+    has_zeros
+):
+    o_ref[:] = _int4_matblock(
+        xl_ref[:], xh_ref[:], w_ref[0], s_ref, z_ref, n_groups, gs2,
+        has_zeros, s_idx=(0,),
+    )
+
+
+def _grouped_int8_kernel(tg_ref, x_ref, w_ref, s_ref, o_ref):
+    y = jnp.dot(
+        x_ref[:],
+        w_ref[0].astype(x_ref.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = y * s_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def grouped_quant_matmul(
+    x_sorted: jnp.ndarray,  # [M, K] rows sorted by group
+    w: QTensor,  # [E, K(packed), N]
+    group_sizes: jnp.ndarray,  # [E] int32; sum may be < M (masked rows)
+    interpret: bool = False,
+):
+    """Prefill-MoE grouped matmul with fused dequant.
+
+    The TPU analog of the reference's prefill expert GEMM pass
+    (moe_base.hpp forward_prefill token bucketing + per-expert AMX GEMM) and
+    of megablox gmm, specialized to quantized weights: rows are re-scattered
+    so every bm-row tile belongs to exactly one expert, the tile->expert map
+    is scalar-prefetched, and each program runs a dense fused-dequant matmul
+    block. Rows past sum(group_sizes) come back zero (masked experts).
+    """
+    m, kdim = x_sorted.shape
+    e = w.data.shape[0]
+    n = w.out_features
+    out_dtype = x_sorted.dtype
+    bm = GROUP_BM
+    mtiles = pl.cdiv(m, bm) + e
+    mpad = mtiles * bm
+
+    gs = group_sizes.astype(jnp.int32)
+    padded_sizes = ((gs + bm - 1) // bm) * bm
+    offsets = jnp.cumsum(gs) - gs  # exclusive
+    padded_offsets = jnp.cumsum(padded_sizes) - padded_sizes
+    total = jnp.sum(gs)
+
+    rows = jnp.arange(m, dtype=jnp.int32)
+    row_group = jnp.repeat(jnp.arange(e, dtype=jnp.int32), gs,
+                           total_repeat_length=m)
+    valid = rows < total
+    dest = jnp.where(
+        valid,
+        padded_offsets[row_group] + (rows - offsets[row_group]),
+        mpad - 1,
+    )
+
+    x_padded = jnp.zeros((mpad, kdim), x_sorted.dtype).at[dest].set(
+        jnp.where(valid[:, None], x_sorted, 0)
+    )
+
+    # tile -> group map: tile t belongs to group g iff
+    # padded_offsets[g] <= t*bm < padded_offsets[g] + padded_sizes[g].
+    tile_starts = padded_offsets // bm  # [E]
+    tile_counts = padded_sizes // bm
+    tile_group = jnp.zeros((mtiles,), jnp.int32)
+    # scatter: for tiles of each group, write g. Use searchsorted instead.
+    tile_idx = jnp.arange(mtiles, dtype=jnp.int32)
+    # group of tile = number of groups fully before it
+    tile_group = (
+        jnp.searchsorted(
+            tile_starts + tile_counts, tile_idx, side="right"
+        ).astype(jnp.int32)
+    )
+    tile_group = jnp.minimum(tile_group, e - 1)
+
+    if w.kind in ("int8", "fp8"):
+        bn = _pick_bn(n, kdim)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(mtiles, pl.cdiv(n, bn)),
+            in_specs=[
+                pl.BlockSpec((bm, kdim), lambda i, j, tg: (i, 0)),
+                pl.BlockSpec((1, kdim, bn), lambda i, j, tg: (tg[i], 0, j)),
+                pl.BlockSpec((1, 1, bn), lambda i, j, tg: (tg[i], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, tg: (i, j)),
+        )
+        y = pl.pallas_call(
+            _grouped_int8_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((mpad, n), jnp.float32),
+            interpret=interpret,
+        )(tile_group, x_padded, w.data, w.scales)
+    elif w.kind in INT4_KINDS:
+        gsz = w.group_size or kdim
+        gs2 = gsz // 2
+        k2 = kdim // 2
+        n_groups = kdim // gsz
+        bn = _pick_bn(n, k2)
+        xl, xh = split_x_for_int4(x_padded, kdim, w.group_size)
+        scales = w.scales.reshape(e, n_groups, n)
+        zeros = (
+            w.zeros.reshape(e, n_groups, n) if w.zeros is not None else scales
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(mtiles, pl.cdiv(n, bn)),
+            in_specs=[
+                pl.BlockSpec((bm, k2), lambda i, j, tg: (i, 0)),
+                pl.BlockSpec((bm, k2), lambda i, j, tg: (i, 0)),
+                pl.BlockSpec((1, k2, bn), lambda i, j, tg: (tg[i], 0, j)),
+                pl.BlockSpec((1, n_groups, bn), lambda i, j, tg: (tg[i], 0, j)),
+                pl.BlockSpec((1, n_groups, bn), lambda i, j, tg: (tg[i], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, tg: (i, j)),
+        )
+        y = pl.pallas_call(
+            functools.partial(
+                _grouped_int4_kernel,
+                n_groups=n_groups,
+                gs2=gs2,
+                has_zeros=w.zeros is not None,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((mpad, n), jnp.float32),
+            interpret=interpret,
+        )(tile_group, xl, xh, w.data, scales, zeros)
+    else:
+        raise ValueError(f"grouped_quant_matmul: unsupported kind {w.kind}")
+
+    out = jnp.where(valid[:, None], y[dest], 0.0)
+    return out.astype(out_dtype)

@@ -38,24 +38,52 @@ INT_QMAX = {"int8": 127.0, "int4": 7.0, "int4_g": 7.0}
 INT4_KINDS = ("int4", "int4_g", "int4_gz", "mxfp4")
 
 
-def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+def pack_int4(q: jnp.ndarray, group_size: int = 0) -> jnp.ndarray:
     """Pack int values in [-8, 7] along axis -2 (K): [..., K, N] -> uint8
-    [..., K/2, N]. Low nibble = even k, high nibble = odd k."""
+    [..., K/2, N] using the *group-split* convention: within each scale
+    group of ``group_size`` rows (0 = the whole K axis is one group), the
+    low nibble holds the first half of the group's rows and the high nibble
+    the second half.
+
+    This layout is chosen for the Pallas fused dequant-matmul kernels: a
+    K-tile of one group unpacks into two contiguous row blocks, so the
+    kernel computes y = x_lo @ lo + x_hi @ hi with no interleaving shuffle.
+    """
+    *lead, k, n = q.shape
+    gs = group_size or k
+    assert k % gs == 0 and gs % 2 == 0, (k, gs)
     q = q.astype(jnp.int32) & 0xF
-    lo = q[..., 0::2, :]
-    hi = q[..., 1::2, :]
-    return (lo | (hi << 4)).astype(jnp.uint8)
+    qg = q.reshape(*lead, k // gs, gs, n)
+    lo = qg[..., : gs // 2, :]
+    hi = qg[..., gs // 2 :, :]
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    return packed.reshape(*lead, k // 2, n)
 
 
-def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of pack_int4: uint8 [..., K/2, N] -> int8 [..., K, N]
-    (sign-extended)."""
-    b = packed.astype(jnp.int32)
+def unpack_int4(packed: jnp.ndarray, group_size: int = 0) -> jnp.ndarray:
+    """Inverse of pack_int4 (same group-split convention): uint8
+    [..., K/2, N] -> int8 [..., K, N], sign-extended."""
+    *lead, k2, n = packed.shape
+    k = k2 * 2
+    gs = group_size or k
+    b = packed.astype(jnp.int32).reshape(*lead, k // gs, gs // 2, n)
     lo = ((b & 0xF) ^ 8) - 8
     hi = (((b >> 4) & 0xF) ^ 8) - 8
-    out = jnp.stack([lo, hi], axis=-2)  # [..., K/2, 2, N]
-    *lead, k2, _, n = out.shape
-    return out.reshape(*lead, k2 * 2, n).astype(jnp.int8)
+    out = jnp.concatenate([lo, hi], axis=-2)  # [..., K/gs, gs, N]
+    return out.reshape(*lead, k, n).astype(jnp.int8)
+
+
+def split_x_for_int4(x: jnp.ndarray, k: int, group_size: int = 0):
+    """Split activation columns to match the group-split nibble packing:
+    returns (x_lo, x_hi) each [..., K/2] where x_lo aligns with low-nibble
+    rows and x_hi with high-nibble rows."""
+    *lead, xk = x.shape
+    assert xk == k
+    gs = group_size or k
+    xg = x.reshape(*lead, k // gs, gs)
+    x_lo = xg[..., : gs // 2].reshape(*lead, k // 2)
+    x_hi = xg[..., gs // 2 :].reshape(*lead, k // 2)
+    return x_lo, x_hi
 
 
 @jax.tree_util.register_dataclass
@@ -131,7 +159,7 @@ def quantize(
         scales = jnp.maximum(absmax, 1e-10) / 7.0
         q = jnp.clip(jnp.round(g / scales), -7, 7)
         *lead, kg, _, n = q.shape
-        data = pack_int4(q.reshape(*lead, kg * group_size, n))
+        data = pack_int4(q.reshape(*lead, kg * group_size, n), group_size)
         return QTensor(
             data,
             scales.squeeze(-2).astype(scale_dtype),
@@ -149,7 +177,7 @@ def quantize(
         zeros = jnp.round(-wmin / scales)  # in [0, 15]
         q = jnp.clip(jnp.round(g / scales) + zeros, 0, 15) - 8
         *lead, kg, _, n = q.shape
-        data = pack_int4(q.reshape(*lead, kg * group_size, n))
+        data = pack_int4(q.reshape(*lead, kg * group_size, n), group_size)
         return QTensor(
             data,
             scales.squeeze(-2).astype(scale_dtype),
@@ -176,10 +204,10 @@ def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     if qt.kind in ("int8", "fp8"):
         return (qt.data.astype(jnp.float32) * qt.scales).astype(dtype)
     if qt.kind == "int4":
-        q = unpack_int4(qt.data).astype(jnp.float32)
+        q = unpack_int4(qt.data, qt.group_size).astype(jnp.float32)
         return (q * qt.scales).astype(dtype)
     if qt.kind in ("int4_g", "int4_gz"):
-        q = unpack_int4(qt.data).astype(jnp.float32)
+        q = unpack_int4(qt.data, qt.group_size).astype(jnp.float32)
         g = _group_reshape(q, qt.group_size)
         scales = qt.scales[..., :, None, :]
         if qt.kind == "int4_gz":
