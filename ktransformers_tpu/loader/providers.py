@@ -1,0 +1,200 @@
+"""Weight providers: safetensors / GGUF / torch-model sources behind one
+`get(name)` interface over HF-style names.
+
+Reference analogs: SafeTensorLoader + GGUFLoader + ModelLoaderFactory
+(kt-kernel/python/utils/loader.py:102-1303,
+archive/ktransformers/util/custom_loader.py:47-528) and the HF<->GGUF name
+translation (archive/ktransformers/util/custom_gguf.py:665).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import numpy as np
+
+from ktransformers_tpu.loader.gguf import GGUFDir
+from ktransformers_tpu.models.loading import WeightProvider
+
+
+class TorchModelProvider(WeightProvider):
+    """Wraps an in-memory transformers torch model."""
+
+    def __init__(self, model):
+        self._sd = dict(model.named_parameters())
+        self._sd.update(dict(model.named_buffers()))
+
+    def get(self, name: str) -> np.ndarray:
+        if name not in self._sd:
+            raise KeyError(name)
+        return self._sd[name].detach().to("cpu").float().numpy()
+
+
+class SafetensorsProvider(WeightProvider):
+    """Multi-file safetensors directory (model.safetensors.index.json) or a
+    single .safetensors file. Dequantizes FP8-blockwise checkpoints
+    (weight + weight_scale_inv, 128x128 blocks — DeepSeek V3 native format)
+    on read, like the reference's SafeTensorLoader (loader.py:296)."""
+
+    def __init__(self, path: str):
+        from safetensors import safe_open
+
+        self._handles = {}
+        self._where = {}
+        if os.path.isfile(path):
+            files = [path]
+        else:
+            index = os.path.join(path, "model.safetensors.index.json")
+            if os.path.exists(index):
+                with open(index) as f:
+                    weight_map = json.load(f)["weight_map"]
+                files = sorted(
+                    {os.path.join(path, v) for v in weight_map.values()}
+                )
+            else:
+                files = sorted(
+                    os.path.join(path, f)
+                    for f in os.listdir(path)
+                    if f.endswith(".safetensors")
+                )
+        for fp in files:
+            h = safe_open(fp, framework="np")
+            self._handles[fp] = h
+            for k in h.keys():
+                self._where[k] = fp
+
+    def keys(self):
+        return list(self._where)
+
+    def _raw(self, name: str) -> np.ndarray:
+        fp = self._where[name]
+        return self._handles[fp].get_tensor(name)
+
+    def get(self, name: str) -> np.ndarray:
+        if name not in self._where:
+            raise KeyError(name)
+        w = self._raw(name)
+        scale_name = name.replace(".weight", ".weight_scale_inv")
+        if (
+            name.endswith(".weight")
+            and w.dtype == np.uint8  # float8 stored as uint8 view
+            and scale_name in self._where
+        ):
+            return self._dequant_fp8_block(w, self._raw(scale_name))
+        if w.dtype == np.uint16:  # bf16 raw view
+            return (w.astype(np.uint32) << 16).view(np.float32)
+        if str(w.dtype) == "float8_e4m3fn" or (
+            scale_name in self._where and w.dtype.itemsize == 1
+        ):
+            return self._dequant_fp8_block(w, self._raw(scale_name))
+        return w
+
+    @staticmethod
+    def _dequant_fp8_block(w: np.ndarray, scale_inv: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp_
+
+        wf = np.asarray(
+            jnp_.asarray(w.view(jnp_.float8_e4m3fn)).astype(jnp_.float32)
+        )
+        bo, bi = 128, 128
+        o, i = wf.shape
+        s = np.asarray(scale_inv, np.float32)
+        s_full = np.repeat(np.repeat(s, bo, axis=0)[:o], bi, axis=1)[:, :i]
+        return wf * s_full
+
+
+# --- GGUF name translation -------------------------------------------------
+
+_GGUF_SUFFIX = {
+    "input_layernorm.weight": "attn_norm.weight",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.q_proj.bias": "attn_q.bias",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.k_proj.bias": "attn_k.bias",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.v_proj.bias": "attn_v.bias",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.q_norm.weight": "attn_q_norm.weight",
+    "self_attn.k_norm.weight": "attn_k_norm.weight",
+    "self_attn.q_a_proj.weight": "attn_q_a.weight",
+    "self_attn.q_a_layernorm.weight": "attn_q_a_norm.weight",
+    "self_attn.q_b_proj.weight": "attn_q_b.weight",
+    "self_attn.kv_a_proj_with_mqa.weight": "attn_kv_a_mqa.weight",
+    "self_attn.kv_a_layernorm.weight": "attn_kv_a_norm.weight",
+    "self_attn.kv_b_proj.weight": "attn_kv_b.weight",
+    "mlp.gate_proj.weight": "ffn_gate.weight",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+    "mlp.gate.weight": "ffn_gate_inp.weight",
+    "block_sparse_moe.gate.weight": "ffn_gate_inp.weight",
+    "mlp.gate.e_score_correction_bias": "exp_probs_b.bias",
+    "mlp.shared_experts.gate_proj.weight": "ffn_gate_shexp.weight",
+    "mlp.shared_experts.up_proj.weight": "ffn_up_shexp.weight",
+    "mlp.shared_experts.down_proj.weight": "ffn_down_shexp.weight",
+    "mlp.shared_expert.gate_proj.weight": "ffn_gate_shexp.weight",
+    "mlp.shared_expert.up_proj.weight": "ffn_up_shexp.weight",
+    "mlp.shared_expert.down_proj.weight": "ffn_down_shexp.weight",
+    "mlp.shared_expert_gate.weight": "ffn_gate_inp_shexp.weight",
+}
+
+_GGUF_TOP = {
+    "model.embed_tokens.weight": "token_embd.weight",
+    "model.norm.weight": "output_norm.weight",
+    "lm_head.weight": "output.weight",
+}
+
+
+class GGUFProvider(WeightProvider):
+    """Serves HF-style names from a GGUF file/dir, dequantizing blocks.
+
+    Stacked expert tensors (``…experts.gate_up_proj`` / ``…experts.down_proj``,
+    the fast path in models/loading.py) are assembled from the 3D
+    ffn_{gate,up,down}_exps tensors.
+    """
+
+    def __init__(self, path: str):
+        self.gguf = GGUFDir(path)
+        self._names = set(self.gguf.tensors())
+
+    def fields(self):
+        return self.gguf.fields
+
+    def get(self, name: str) -> np.ndarray:
+        if name in _GGUF_TOP:
+            g = _GGUF_TOP[name]
+            if g not in self._names and name == "lm_head.weight":
+                g = "token_embd.weight"  # tied
+            if g not in self._names:
+                raise KeyError(name)
+            return self.gguf.load(g)
+
+        m = re.match(r"model\.layers\.(\d+)\.(.+)$", name)
+        if not m:
+            raise KeyError(name)
+        li, suffix = int(m.group(1)), m.group(2)
+
+        if suffix in ("mlp.experts.gate_up_proj", "block_sparse_moe.experts.gate_up_proj"):
+            g = self._load3d(li, "ffn_gate_exps.weight")  # [E, ff, d]
+            u = self._load3d(li, "ffn_up_exps.weight")
+            return np.concatenate(
+                [g.transpose(0, 2, 1), u.transpose(0, 2, 1)], axis=2
+            )  # [E, d, 2ff]
+        if suffix in ("mlp.experts.down_proj", "block_sparse_moe.experts.down_proj"):
+            dn = self._load3d(li, "ffn_down_exps.weight")  # [E, d, ff]
+            return dn.transpose(0, 2, 1)  # [E, ff, d]
+
+        if suffix not in _GGUF_SUFFIX:
+            raise KeyError(name)
+        g = f"blk.{li}.{_GGUF_SUFFIX[suffix]}"
+        if g not in self._names:
+            raise KeyError(name)
+        return self.gguf.load(g)
+
+    def _load3d(self, li: int, gname: str) -> np.ndarray:
+        full = f"blk.{li}.{gname}"
+        if full not in self._names:
+            raise KeyError(full)
+        return self.gguf.load(full)

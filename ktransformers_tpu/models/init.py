@@ -31,153 +31,168 @@ def init_params_synthetic(
     """Device-side synthetic init for *benchmarks at real model scale*:
     quantized tensors are created directly as random codes + constant scales
     (no float source), so a multi-GB model initializes in seconds without
-    host RAM. Distributionally equivalent to quantizing random weights."""
-    from ktransformers_tpu.quant.formats import QTensor
+    host RAM. Distributionally equivalent to quantizing random weights.
 
+    Jitted per layer *type* (dense / MoE / head): identical layers reuse one
+    compiled program, so a 27-layer model costs ~3 compiles instead of ~700
+    eager dispatches over the device tunnel."""
     moe_quant = moe_quant or quant
-    counter = [0]
 
-    def nk():
-        counter[0] += 1
-        return jax.random.fold_in(jax.random.PRNGKey(seed), counter[0])
+    def factories(skey):
+        counter = [0]
 
-    def q(shape, kind):
-        k_dim, n = shape[-2], shape[-1]
-        lead = shape[:-2]
-        scale = 1.0 / np.sqrt(k_dim) / 7.0
-        if kind == "bf16":
-            return QTensor(
-                jax.random.normal(nk(), shape, dtype) / np.sqrt(k_dim),
-                None, None, kind="bf16", group_size=0,
-            )
-        if kind == "int8":
-            data = jax.random.randint(nk(), shape, -127, 128, jnp.int8)
-            scales = jnp.full((*lead, 1, n), scale / 18.0, jnp.float32)
-            return QTensor(data, scales, None, kind="int8", group_size=0)
-        if kind == "int4":
-            data = jax.random.randint(nk(), (*lead, k_dim // 2, n), 0, 256, jnp.uint8)
-            scales = jnp.full((*lead, 1, n), scale, jnp.float32)
-            return QTensor(data, scales, None, kind="int4", group_size=0)
-        if kind == "int4_g":
-            data = jax.random.randint(nk(), (*lead, k_dim // 2, n), 0, 256, jnp.uint8)
-            scales = jnp.full(
-                (*lead, k_dim // group_size, n), scale, jnp.float32
-            )
-            return QTensor(data, scales, None, kind="int4_g", group_size=group_size)
-        if kind == "fp8":
-            data = (
-                jax.random.normal(nk(), shape, jnp.float32) * 57.0
-            ).astype(jnp.float8_e4m3fn)
-            scales = jnp.full((*lead, 1, n), scale / 57.0, jnp.float32)
-            return QTensor(data, scales, None, kind="fp8", group_size=0)
-        raise ValueError(kind)
+        def nk():
+            counter[0] += 1
+            return jax.random.fold_in(skey, counter[0])
 
-    def rand(s, sc=0.02):
-        counter[0] += 1
-        return (
-            jax.random.normal(
-                jax.random.fold_in(
-                    jax.random.PRNGKey(seed), 10_000 + counter[0]
-                ),
-                s,
-                jnp.float32,
-            )
-            * sc
-        )
+        def q(shape, kind):
+            from ktransformers_tpu.quant.formats import QTensor
 
-    # One jitted call for the whole init: eager per-tensor dispatch costs
-    # seconds per op over the axon tunnel; fused it is a single execution.
-    return jax.jit(
-        lambda: _build_params(spec, q, rand, quant, moe_quant)
-    )()
+            k_dim, n = shape[-2], shape[-1]
+            lead = shape[:-2]
+            scale = 1.0 / np.sqrt(k_dim) / 7.0
+            if kind == "bf16":
+                return QTensor(
+                    jax.random.normal(nk(), shape, dtype) / np.sqrt(k_dim),
+                    None, None, kind="bf16", group_size=0,
+                )
+            if kind == "int8":
+                data = jax.random.randint(nk(), shape, -127, 128, jnp.int8)
+                scales = jnp.full((*lead, 1, n), scale / 18.0, jnp.float32)
+                return QTensor(data, scales, None, kind="int8", group_size=0)
+            if kind == "int4":
+                data = jax.random.randint(
+                    nk(), (*lead, k_dim // 2, n), 0, 256, jnp.uint8
+                )
+                scales = jnp.full((*lead, 1, n), scale, jnp.float32)
+                return QTensor(data, scales, None, kind="int4", group_size=0)
+            if kind == "int4_g":
+                data = jax.random.randint(
+                    nk(), (*lead, k_dim // 2, n), 0, 256, jnp.uint8
+                )
+                scales = jnp.full(
+                    (*lead, k_dim // group_size, n), scale, jnp.float32
+                )
+                return QTensor(
+                    data, scales, None, kind="int4_g", group_size=group_size
+                )
+            if kind == "fp8":
+                data = (
+                    jax.random.normal(nk(), shape, jnp.float32) * 57.0
+                ).astype(jnp.float8_e4m3fn)
+                scales = jnp.full((*lead, 1, n), scale / 57.0, jnp.float32)
+                return QTensor(data, scales, None, kind="fp8", group_size=0)
+            raise ValueError(kind)
+
+        def rand(shape, sc=0.02):
+            return jax.random.normal(nk(), shape, jnp.float32) * sc
+
+        return q, rand
+
+    compiled = {}
+
+    def build_layer(li):
+        is_moe = spec.moe is not None and spec.moe.is_moe_layer(li)
+        if is_moe not in compiled:
+
+            def fn(skey):
+                q, rand = factories(skey)
+                return _layer_params(spec, li, q, rand, quant, moe_quant)
+
+            compiled[is_moe] = jax.jit(fn)
+        return compiled[is_moe](jax.random.PRNGKey(seed * 100003 + li))
+
+    layers = [build_layer(li) for li in range(spec.num_layers)]
+
+    def head_fn(skey):
+        q, rand = factories(skey)
+        head = {
+            "embed": rand((spec.vocab_size, spec.hidden_size), 0.02),
+            "final_norm": jnp.ones((spec.hidden_size,), jnp.float32),
+        }
+        if not spec.tie_word_embeddings:
+            head["lm_head"] = q((spec.hidden_size, spec.vocab_size), quant)
+        return head
+
+    head = jax.jit(head_fn)(jax.random.PRNGKey(seed))
+    return {**head, "layers": layers}
 
 
-def _build_params(spec: ModelSpec, q, rand, quant: str, moe_quant: str):
-    """Shared structure builder: q(shape, kind) makes a QTensor, rand(shape,
-    scale) a float array."""
+def _layer_params(spec: ModelSpec, li: int, q, rand, quant: str, moe_quant: str):
+    """One decoder layer's params: q(shape, kind) makes a QTensor,
+    rand(shape, scale) a float array."""
     a = spec.attention
     d = spec.hidden_size
-    layers = []
-    for li in range(spec.num_layers):
-        lp = {
-            "input_norm": jnp.ones((d,), jnp.float32),
-            "post_attn_norm": jnp.ones((d,), jnp.float32),
-        }
-        if a.kind == "mla":
-            nope, dr, r, v = (
-                a.qk_nope_head_dim,
-                a.qk_rope_head_dim,
-                a.kv_lora_rank,
-                a.v_head_dim,
-            )
-            h = a.num_heads
-            attn = {
-                "kv_a": q((d, r + dr), quant),
-                "kv_a_norm": jnp.ones((r,), jnp.float32),
-                "w_uk": rand((h, nope, r), 1.0 / np.sqrt(nope)),
-                "w_uv": rand((h, r, v), 1.0 / np.sqrt(r)),
-                "o_proj": q((h * v, d), quant),
-            }
-            if a.q_lora_rank:
-                attn["q_a"] = q((d, a.q_lora_rank), quant)
-                attn["q_a_norm"] = jnp.ones((a.q_lora_rank,), jnp.float32)
-                attn["q_b"] = q((a.q_lora_rank, h * (nope + dr)), quant)
-            else:
-                attn["q_proj"] = q((d, h * (nope + dr)), quant)
-        else:
-            h, hkv, hd = a.num_heads, a.num_kv_heads, a.head_dim
-            attn = {
-                "q_proj": q((d, h * hd), quant),
-                "k_proj": q((d, hkv * hd), quant),
-                "v_proj": q((d, hkv * hd), quant),
-                "o_proj": q((h * hd, d), quant),
-            }
-            if a.attention_bias:
-                attn["q_bias"] = rand((h * hd,), 0.01)
-                attn["k_bias"] = rand((hkv * hd,), 0.01)
-                attn["v_bias"] = rand((hkv * hd,), 0.01)
-            if a.qk_norm:
-                attn["q_norm"] = jnp.ones((hd,), jnp.float32)
-                attn["k_norm"] = jnp.ones((hd,), jnp.float32)
-        lp["attn"] = attn
-
-        if spec.moe is not None and spec.moe.is_moe_layer(li):
-            m = spec.moe
-            f = m.moe_intermediate_size
-            moe = {
-                "router_w": rand((m.num_experts, d), 1.0 / np.sqrt(d)),
-                "experts": MoEWeights(
-                    gate_up=q((m.num_experts, d, 2 * f), moe_quant),
-                    down=q((m.num_experts, f, d), moe_quant),
-                ),
-            }
-            if m.gate.has_correction_bias:
-                moe["router_bias_corr"] = jnp.zeros((m.num_experts,), jnp.float32)
-            if m.shared_expert_intermediate_size:
-                fs = m.shared_expert_intermediate_size
-                moe["shared"] = {
-                    "gate_up": q((d, 2 * fs), quant),
-                    "down": q((fs, d), quant),
-                }
-                if m.shared_expert_gate:
-                    moe["shared_gate"] = rand((1, d), 1.0 / np.sqrt(d))
-            lp["moe"] = moe
-        else:
-            f = spec.intermediate_size
-            lp["mlp"] = {
-                "gate_up": q((d, 2 * f), quant),
-                "down": q((f, d), quant),
-            }
-        layers.append(lp)
-
-    params = {
-        "embed": rand((spec.vocab_size, d), 0.02),
-        "layers": layers,
-        "final_norm": jnp.ones((d,), jnp.float32),
+    lp = {
+        "input_norm": jnp.ones((d,), jnp.float32),
+        "post_attn_norm": jnp.ones((d,), jnp.float32),
     }
-    if not spec.tie_word_embeddings:
-        params["lm_head"] = q((d, spec.vocab_size), quant)
-    return params
+    if a.kind == "mla":
+        nope, dr, r, v = (
+            a.qk_nope_head_dim,
+            a.qk_rope_head_dim,
+            a.kv_lora_rank,
+            a.v_head_dim,
+        )
+        h = a.num_heads
+        attn = {
+            "kv_a": q((d, r + dr), quant),
+            "kv_a_norm": jnp.ones((r,), jnp.float32),
+            "w_uk": rand((h, nope, r), 1.0 / np.sqrt(nope)),
+            "w_uv": rand((h, r, v), 1.0 / np.sqrt(r)),
+            "o_proj": q((h * v, d), quant),
+        }
+        if a.q_lora_rank:
+            attn["q_a"] = q((d, a.q_lora_rank), quant)
+            attn["q_a_norm"] = jnp.ones((a.q_lora_rank,), jnp.float32)
+            attn["q_b"] = q((a.q_lora_rank, h * (nope + dr)), quant)
+        else:
+            attn["q_proj"] = q((d, h * (nope + dr)), quant)
+    else:
+        h, hkv, hd = a.num_heads, a.num_kv_heads, a.head_dim
+        attn = {
+            "q_proj": q((d, h * hd), quant),
+            "k_proj": q((d, hkv * hd), quant),
+            "v_proj": q((d, hkv * hd), quant),
+            "o_proj": q((h * hd, d), quant),
+        }
+        if a.attention_bias:
+            attn["q_bias"] = rand((h * hd,), 0.01)
+            attn["k_bias"] = rand((hkv * hd,), 0.01)
+            attn["v_bias"] = rand((hkv * hd,), 0.01)
+        if a.qk_norm:
+            attn["q_norm"] = jnp.ones((hd,), jnp.float32)
+            attn["k_norm"] = jnp.ones((hd,), jnp.float32)
+    lp["attn"] = attn
+
+    if spec.moe is not None and spec.moe.is_moe_layer(li):
+        m = spec.moe
+        f = m.moe_intermediate_size
+        moe = {
+            "router_w": rand((m.num_experts, d), 1.0 / np.sqrt(d)),
+            "experts": MoEWeights(
+                gate_up=q((m.num_experts, d, 2 * f), moe_quant),
+                down=q((m.num_experts, f, d), moe_quant),
+            ),
+        }
+        if m.gate.has_correction_bias:
+            moe["router_bias_corr"] = jnp.zeros((m.num_experts,), jnp.float32)
+        if m.shared_expert_intermediate_size:
+            fs = m.shared_expert_intermediate_size
+            moe["shared"] = {
+                "gate_up": q((d, 2 * fs), quant),
+                "down": q((fs, d), quant),
+            }
+            if m.shared_expert_gate:
+                moe["shared_gate"] = rand((1, d), 1.0 / np.sqrt(d))
+        lp["moe"] = moe
+    else:
+        f = spec.intermediate_size
+        lp["mlp"] = {
+            "gate_up": q((d, 2 * f), quant),
+            "down": q((f, d), quant),
+        }
+    return lp
 
 
 def init_params(

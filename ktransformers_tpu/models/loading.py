@@ -1,0 +1,187 @@
+"""Provider-driven params construction: one builder, three weight sources.
+
+The torch importer (models/hf_import.py), the safetensors loader, and the
+GGUF loader all reduce to a `get(name) -> np.ndarray [out, in]` provider
+over HF-style tensor names; this module owns the structure mapping
+(reference analog: per-module .load() after injection,
+archive/ktransformers/util/custom_loader.py + optimize/optimize.py
+load_weights).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from ktransformers_tpu.models.spec import ModelSpec
+from ktransformers_tpu.ops.attention import absorb_kv_b_proj
+from ktransformers_tpu.ops.moe import MoEWeights
+from ktransformers_tpu.quant.formats import quantize
+
+
+class WeightProvider:
+    """get(name) -> np.ndarray in HF layout ([out, in] for linear weights)."""
+
+    def get(self, name: str) -> np.ndarray:
+        raise NotImplementedError
+
+    def maybe(self, name: str):
+        try:
+            return self.get(name)
+        except KeyError:
+            return None
+
+
+def _q(arr: np.ndarray, kind: str, group_size: int):
+    return quantize(jnp.asarray(arr), kind, group_size=group_size)
+
+
+def _t(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(w, np.float32).T)
+
+
+def build_params(
+    p: WeightProvider,
+    spec: ModelSpec,
+    quant: str = "bf16",
+    moe_quant: str | None = None,
+    group_size: int = 128,
+    progress: Callable[[str], None] | None = None,
+):
+    """Assemble the full params pytree from a provider."""
+    moe_quant = moe_quant or quant
+    a = spec.attention
+    get, maybe = p.get, p.maybe
+
+    def vec(name):
+        return jnp.asarray(np.asarray(get(name), np.float32))
+
+    layers = []
+    for li in range(spec.num_layers):
+        if progress:
+            progress(f"layer {li}/{spec.num_layers}")
+        pre = f"model.layers.{li}"
+        lp = {
+            "input_norm": vec(f"{pre}.input_layernorm.weight"),
+            "post_attn_norm": vec(f"{pre}.post_attention_layernorm.weight"),
+        }
+        sa = f"{pre}.self_attn"
+        if a.kind == "mla":
+            kv_b = _t(get(f"{sa}.kv_b_proj.weight"))  # [R, H*(nope+v)]
+            w_uk, w_uv = absorb_kv_b_proj(
+                jnp.asarray(kv_b), a.num_heads, a.qk_nope_head_dim, a.v_head_dim
+            )
+            absorbed_dtype = jnp.float32 if quant == "f32" else jnp.bfloat16
+            attn = {
+                "kv_a": _q(
+                    _t(get(f"{sa}.kv_a_proj_with_mqa.weight")), quant, group_size
+                ),
+                "kv_a_norm": vec(f"{sa}.kv_a_layernorm.weight"),
+                "w_uk": w_uk.astype(absorbed_dtype),
+                "w_uv": w_uv.astype(absorbed_dtype),
+                "o_proj": _q(_t(get(f"{sa}.o_proj.weight")), quant, group_size),
+            }
+            if maybe(f"{sa}.kv_a_proj_with_mqa.bias") is not None:
+                attn["kv_a_bias"] = vec(f"{sa}.kv_a_proj_with_mqa.bias")
+            if a.q_lora_rank:
+                attn["q_a"] = _q(_t(get(f"{sa}.q_a_proj.weight")), quant, group_size)
+                attn["q_a_norm"] = vec(f"{sa}.q_a_layernorm.weight")
+                attn["q_b"] = _q(_t(get(f"{sa}.q_b_proj.weight")), quant, group_size)
+            else:
+                attn["q_proj"] = _q(
+                    _t(get(f"{sa}.q_proj.weight")), quant, group_size
+                )
+        else:
+            attn = {}
+            for nm in ("q", "k", "v", "o"):
+                attn[f"{nm}_proj"] = _q(
+                    _t(get(f"{sa}.{nm}_proj.weight")), quant, group_size
+                )
+                bias = maybe(f"{sa}.{nm}_proj.bias")
+                if bias is not None and nm != "o":
+                    attn[f"{nm}_bias"] = jnp.asarray(np.asarray(bias, np.float32))
+            if a.qk_norm:
+                attn["q_norm"] = vec(f"{sa}.q_norm.weight")
+                attn["k_norm"] = vec(f"{sa}.k_norm.weight")
+        lp["attn"] = attn
+
+        mlp_pre = f"{pre}.mlp"
+        if spec.moe is not None and spec.moe.is_moe_layer(li):
+            m = spec.moe
+            if maybe(f"{mlp_pre}.gate.weight") is None:
+                mlp_pre = f"{pre}.block_sparse_moe"  # mixtral
+            moe = {
+                "router_w": jnp.asarray(
+                    np.asarray(get(f"{mlp_pre}.gate.weight"), np.float32)
+                )
+            }
+            bias = maybe(f"{mlp_pre}.gate.e_score_correction_bias")
+            if bias is not None:
+                moe["router_bias_corr"] = jnp.asarray(np.asarray(bias, np.float32))
+
+            stacked_gu = maybe(f"{mlp_pre}.experts.gate_up_proj")
+            if stacked_gu is not None:
+                # pre-stacked [E, in, 2*out] / down [E, inter, in]
+                gus = np.asarray(stacked_gu, np.float32)
+                dns = np.asarray(get(f"{mlp_pre}.experts.down_proj"), np.float32)
+            else:
+                gus_list, dns_list = [], []
+                for e in range(m.num_experts):
+                    base = f"{mlp_pre}.experts.{e}"
+                    if maybe(f"{base}.gate_proj.weight") is not None:
+                        g = _t(get(f"{base}.gate_proj.weight"))
+                        u = _t(get(f"{base}.up_proj.weight"))
+                        dn = _t(get(f"{base}.down_proj.weight"))
+                    else:  # mixtral w1/w3/w2
+                        g = _t(get(f"{base}.w1.weight"))
+                        u = _t(get(f"{base}.w3.weight"))
+                        dn = _t(get(f"{base}.w2.weight"))
+                    gus_list.append(np.concatenate([g, u], axis=1))
+                    dns_list.append(dn)
+                gus = np.stack(gus_list)
+                dns = np.stack(dns_list)
+            moe["experts"] = MoEWeights(
+                gate_up=_q(gus, moe_quant, group_size),
+                down=_q(dns, moe_quant, group_size),
+            )
+            if m.shared_expert_intermediate_size:
+                base = (
+                    f"{mlp_pre}.shared_experts"
+                    if maybe(f"{mlp_pre}.shared_experts.gate_proj.weight")
+                    is not None
+                    else f"{mlp_pre}.shared_expert"
+                )
+                g = _t(get(f"{base}.gate_proj.weight"))
+                u = _t(get(f"{base}.up_proj.weight"))
+                moe["shared"] = {
+                    "gate_up": _q(np.concatenate([g, u], 1), quant, group_size),
+                    "down": _q(_t(get(f"{base}.down_proj.weight")), quant, group_size),
+                }
+                if m.shared_expert_gate:
+                    moe["shared_gate"] = jnp.asarray(
+                        np.asarray(
+                            get(f"{mlp_pre}.shared_expert_gate.weight"), np.float32
+                        )
+                    )
+            lp["moe"] = moe
+        else:
+            g = _t(get(f"{mlp_pre}.gate_proj.weight"))
+            u = _t(get(f"{mlp_pre}.up_proj.weight"))
+            lp["mlp"] = {
+                "gate_up": _q(np.concatenate([g, u], 1), quant, group_size),
+                "down": _q(_t(get(f"{mlp_pre}.down_proj.weight")), quant, group_size),
+            }
+        layers.append(lp)
+
+    params = {
+        "embed": jnp.asarray(
+            np.asarray(get("model.embed_tokens.weight"), np.float32)
+        ),
+        "layers": layers,
+        "final_norm": jnp.asarray(np.asarray(get("model.norm.weight"), np.float32)),
+    }
+    if not spec.tie_word_embeddings:
+        params["lm_head"] = _q(_t(get("lm_head.weight")), quant, group_size)
+    return params
