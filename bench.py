@@ -91,19 +91,21 @@ def main():
     prefill_tps = prompt_len / prefill_s
     log(f"prefill: {prefill_tps:.1f} tok/s (compile {prefill_compile_s:.1f}s)")
 
-    # --- decode ---
-    decode = gen._step(1)
-    tok = jnp.argmax(last_logits, -1).astype(jnp.int32)[:, None]
-    # warmup/compile
-    logits, cache2 = decode(tok, cache2)
-    jax.block_until_ready(logits)
+    # --- decode (sampling fused into the jitted step) ---
+    from ktransformers_tpu.engine.sampler import SamplingConfig
 
-    n_steps = 64
+    decode = gen._decode_step(SamplingConfig())
+    key = jax.random.PRNGKey(0)
+    tok = jnp.argmax(last_logits, -1).astype(jnp.int32)
+    # warmup/compile
+    tok, cache2, key = decode(tok[:, None], cache2, key)
+    jax.block_until_ready(tok)
+
+    n_steps = 128
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        logits, cache2 = decode(tok, cache2)
-        tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
-    jax.block_until_ready(logits)
+        tok, cache2, key = decode(tok[:, None], cache2, key)
+    jax.block_until_ready(tok)
     decode_s = time.perf_counter() - t0
     decode_tps = n_steps / decode_s
     log(f"decode: {decode_tps:.2f} tok/s")

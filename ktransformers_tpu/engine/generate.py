@@ -83,6 +83,33 @@ class Generator:
             self._steps[q_len] = partial(step, self.params)
         return self._steps[q_len]
 
+    def _decode_step(self, sampling: SamplingConfig):
+        """Fused decode step: forward + sampling inside one jit, so the host
+        loop only moves one int32 per token (the reference keeps sampling on
+        device inside the CUDA graph for the same reason)."""
+        key_ = ("decode", sampling)
+        if key_ not in self._steps:
+            spec = self.spec
+            rope_tables = self.rope_tables
+            compute_dtype = self.compute_dtype
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def step(params, tok, cache, key):
+                logits, cache = forward(
+                    params,
+                    spec,
+                    tok,
+                    cache,
+                    rope_tables=rope_tables,
+                    compute_dtype=compute_dtype,
+                )
+                key, sub = jax.random.split(key)
+                nxt = sample(logits[:, -1], sub, sampling)
+                return nxt, cache, key
+
+            self._steps[key_] = partial(step, self.params)
+        return self._steps[key_]
+
     _prefill_chunk = 256
 
     def prefill(self, cache: KVCache, tokens: jnp.ndarray):
@@ -125,22 +152,30 @@ class Generator:
         key = jax.random.PRNGKey(cfg.seed)
         out = [[] for _ in range(b)]
         finished = np.zeros(b, bool)
-        decode = self._step(1)
+        decode = self._decode_step(cfg.sampling)
 
         key, sub = jax.random.split(key)
         tok = sample(last_logits, sub, cfg.sampling)
+
+        # One-step software pipeline: dispatch step i+1 before reading token
+        # i from the device, so the host round-trip overlaps device compute.
+        pending = [tok]
         for step_i in range(cfg.max_new_tokens):
-            tok_np = np.asarray(tok)
+            if step_i < cfg.max_new_tokens - 1 and not finished.all():
+                nxt, cache, key = decode(tok[:, None], cache, key)
+                tok = nxt
+                pending.append(nxt)
+            tok_np = np.asarray(pending.pop(0))
             for bi in range(b):
                 if not finished[bi]:
                     out[bi].append(int(tok_np[bi]))
-                    if cfg.eos_token_id is not None and tok_np[bi] == cfg.eos_token_id:
+                    if (
+                        cfg.eos_token_id is not None
+                        and tok_np[bi] == cfg.eos_token_id
+                    ):
                         finished[bi] = True
             if on_token is not None:
                 on_token(tok_np)
-            if finished.all() or step_i == cfg.max_new_tokens - 1:
+            if finished.all():
                 break
-            logits, cache = decode(tok[:, None], cache)
-            key, sub = jax.random.split(key)
-            tok = sample(logits[:, -1], sub, cfg.sampling)
         return out

@@ -48,12 +48,21 @@ def build_params(
     quant: str = "bf16",
     moe_quant: str | None = None,
     group_size: int = 128,
+    placement=None,  # PlacementSpec: per-module quant override
     progress: Callable[[str], None] | None = None,
 ):
-    """Assemble the full params pytree from a provider."""
+    """Assemble the full params pytree from a provider.
+
+    `placement` (placement/spec.py) overrides quant per module path — the
+    load-time half of the reference's YAML injection rules."""
     moe_quant = moe_quant or quant
     a = spec.attention
     get, maybe = p.get, p.maybe
+
+    def pick(path: str, default_kind: str):
+        if placement is None:
+            return default_kind, group_size
+        return placement.quant_for(path)
 
     def vec(name):
         return jnp.asarray(np.asarray(get(name), np.float32))
@@ -76,28 +85,40 @@ def build_params(
             absorbed_dtype = jnp.float32 if quant == "f32" else jnp.bfloat16
             attn = {
                 "kv_a": _q(
-                    _t(get(f"{sa}.kv_a_proj_with_mqa.weight")), quant, group_size
+                    _t(get(f"{sa}.kv_a_proj_with_mqa.weight")),
+                    *pick(f"layers.{li}.attn.kv_a", quant),
                 ),
                 "kv_a_norm": vec(f"{sa}.kv_a_layernorm.weight"),
                 "w_uk": w_uk.astype(absorbed_dtype),
                 "w_uv": w_uv.astype(absorbed_dtype),
-                "o_proj": _q(_t(get(f"{sa}.o_proj.weight")), quant, group_size),
+                "o_proj": _q(
+                    _t(get(f"{sa}.o_proj.weight")),
+                    *pick(f"layers.{li}.attn.o_proj", quant),
+                ),
             }
             if maybe(f"{sa}.kv_a_proj_with_mqa.bias") is not None:
                 attn["kv_a_bias"] = vec(f"{sa}.kv_a_proj_with_mqa.bias")
             if a.q_lora_rank:
-                attn["q_a"] = _q(_t(get(f"{sa}.q_a_proj.weight")), quant, group_size)
+                attn["q_a"] = _q(
+                    _t(get(f"{sa}.q_a_proj.weight")),
+                    *pick(f"layers.{li}.attn.q_a", quant),
+                )
                 attn["q_a_norm"] = vec(f"{sa}.q_a_layernorm.weight")
-                attn["q_b"] = _q(_t(get(f"{sa}.q_b_proj.weight")), quant, group_size)
+                attn["q_b"] = _q(
+                    _t(get(f"{sa}.q_b_proj.weight")),
+                    *pick(f"layers.{li}.attn.q_b", quant),
+                )
             else:
                 attn["q_proj"] = _q(
-                    _t(get(f"{sa}.q_proj.weight")), quant, group_size
+                    _t(get(f"{sa}.q_proj.weight")),
+                    *pick(f"layers.{li}.attn.q_proj", quant),
                 )
         else:
             attn = {}
             for nm in ("q", "k", "v", "o"):
                 attn[f"{nm}_proj"] = _q(
-                    _t(get(f"{sa}.{nm}_proj.weight")), quant, group_size
+                    _t(get(f"{sa}.{nm}_proj.weight")),
+                    *pick(f"layers.{li}.attn.{nm}_proj", quant),
                 )
                 bias = maybe(f"{sa}.{nm}_proj.bias")
                 if bias is not None and nm != "o":
@@ -142,9 +163,10 @@ def build_params(
                     dns_list.append(dn)
                 gus = np.stack(gus_list)
                 dns = np.stack(dns_list)
+            ek, eg = pick(f"layers.{li}.moe.experts", moe_quant)
             moe["experts"] = MoEWeights(
-                gate_up=_q(gus, moe_quant, group_size),
-                down=_q(dns, moe_quant, group_size),
+                gate_up=_q(gus, ek, eg),
+                down=_q(dns, ek, eg),
             )
             if m.shared_expert_intermediate_size:
                 base = (
@@ -155,9 +177,10 @@ def build_params(
                 )
                 g = _t(get(f"{base}.gate_proj.weight"))
                 u = _t(get(f"{base}.up_proj.weight"))
+                sk, sg = pick(f"layers.{li}.moe.shared", quant)
                 moe["shared"] = {
-                    "gate_up": _q(np.concatenate([g, u], 1), quant, group_size),
-                    "down": _q(_t(get(f"{base}.down_proj.weight")), quant, group_size),
+                    "gate_up": _q(np.concatenate([g, u], 1), sk, sg),
+                    "down": _q(_t(get(f"{base}.down_proj.weight")), sk, sg),
                 }
                 if m.shared_expert_gate:
                     moe["shared_gate"] = jnp.asarray(
@@ -169,9 +192,10 @@ def build_params(
         else:
             g = _t(get(f"{mlp_pre}.gate_proj.weight"))
             u = _t(get(f"{mlp_pre}.up_proj.weight"))
+            mk, mg = pick(f"layers.{li}.mlp", quant)
             lp["mlp"] = {
-                "gate_up": _q(np.concatenate([g, u], 1), quant, group_size),
-                "down": _q(_t(get(f"{mlp_pre}.down_proj.weight")), quant, group_size),
+                "gate_up": _q(np.concatenate([g, u], 1), mk, mg),
+                "down": _q(_t(get(f"{mlp_pre}.down_proj.weight")), mk, mg),
             }
         layers.append(lp)
 
@@ -183,5 +207,7 @@ def build_params(
         "final_norm": jnp.asarray(np.asarray(get("model.norm.weight"), np.float32)),
     }
     if not spec.tie_word_embeddings:
-        params["lm_head"] = _q(_t(get("lm_head.weight")), quant, group_size)
+        params["lm_head"] = _q(
+            _t(get("lm_head.weight")), *pick("lm_head", quant)
+        )
     return params

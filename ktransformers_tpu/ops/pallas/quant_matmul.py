@@ -102,8 +102,10 @@ def _int8_kernel(x_ref, w_ref, s_ref, o_ref):
     o_ref[:] = y * s_ref[:]
 
 
-def _int4_kernel(xl_ref, xh_ref, w_ref, s_ref, z_ref, o_ref, *, n_groups, gs2,
+def _int4_kernel(xl_ref, xh_ref, w_ref, s_ref, *rest, n_groups, gs2,
                  has_zeros):
+    z_ref = rest[0] if has_zeros else None
+    o_ref = rest[-1]
     o_ref[:] = _int4_matblock(
         xl_ref[:], xh_ref[:], w_ref, s_ref, z_ref, n_groups, gs2, has_zeros,
         s_idx=(),
@@ -148,30 +150,30 @@ def quant_matmul(x: jnp.ndarray, w: QTensor, interpret: bool = False):
         grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
         xl, xh = split_x_for_int4(x2, kdim, w.group_size)
         scales = w.scales.reshape(n_groups, n)
-        zeros = (
-            w.zeros.reshape(n_groups, n)
-            if w.zeros is not None
-            else scales  # placeholder, unread
-        )
+        has_zeros = w.zeros is not None
+        ins = [xl, xh, w.data, scales]
+        in_specs = [
+            pl.BlockSpec((bm, k2), lambda i, j: (i, 0)),
+            pl.BlockSpec((bm, k2), lambda i, j: (i, 0)),
+            pl.BlockSpec((k2, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((n_groups, bn), lambda i, j: (0, j)),
+        ]
+        if has_zeros:
+            ins.append(w.zeros.reshape(n_groups, n))
+            in_specs.append(pl.BlockSpec((n_groups, bn), lambda i, j: (0, j)))
         y = pl.pallas_call(
             functools.partial(
                 _int4_kernel,
                 n_groups=n_groups,
                 gs2=gs2,
-                has_zeros=w.zeros is not None,
+                has_zeros=has_zeros,
             ),
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((bm, k2), lambda i, j: (i, 0)),
-                pl.BlockSpec((bm, k2), lambda i, j: (i, 0)),
-                pl.BlockSpec((k2, bn), lambda i, j: (0, j)),
-                pl.BlockSpec((n_groups, bn), lambda i, j: (0, j)),
-                pl.BlockSpec((n_groups, bn), lambda i, j: (0, j)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
             out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
             interpret=interpret,
-        )(xl, xh, w.data, scales, zeros)
+        )(*ins)
         return y.astype(out_dtype).reshape(*lead, n)
 
     raise ValueError(f"quant_matmul: unsupported kind {w.kind}")
@@ -183,9 +185,10 @@ def quant_matmul(x: jnp.ndarray, w: QTensor, interpret: bool = False):
 
 
 def _gather_int4_kernel(
-    ids_ref, xl_ref, xh_ref, w_ref, s_ref, z_ref, o_ref, *, n_groups, gs2,
-    has_zeros
+    ids_ref, xl_ref, xh_ref, w_ref, s_ref, *rest, n_groups, gs2, has_zeros
 ):
+    z_ref = rest[0] if has_zeros else None
+    o_ref = rest[-1]
     """Grid (n_tiles, R): program (j, r) computes ALL rows against expert
     ids[r]'s block (the MXU pads to >=8 rows anyway) and accumulates only
     row r via a mask — keeps every block's sublane dim full-size, which
@@ -270,19 +273,23 @@ def gathered_quant_matmul(
         bn = _pick_bn(n, k2)
         xl, xh = split_x_for_int4(x_rows, kdim, w.group_size)
         scales = w.scales.reshape(e, n_groups, n)
-        zeros = (
-            w.zeros.reshape(e, n_groups, n) if w.zeros is not None else scales
-        )
+        has_zeros = w.zeros is not None
+        ins = [ids, xl, xh, w.data, scales]
+        in_specs = [
+            pl.BlockSpec((r8, k2), lambda j, i, ids: (0, 0)),
+            pl.BlockSpec((r8, k2), lambda j, i, ids: (0, 0)),
+            pl.BlockSpec((1, k2, bn), lambda j, i, ids: (ids[i], 0, j)),
+            pl.BlockSpec((1, n_groups, bn), lambda j, i, ids: (ids[i], 0, j)),
+        ]
+        if has_zeros:
+            ins.append(w.zeros.reshape(e, n_groups, n))
+            in_specs.append(
+                pl.BlockSpec((1, n_groups, bn), lambda j, i, ids: (ids[i], 0, j))
+            )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(pl.cdiv(n, bn), r),
-            in_specs=[
-                pl.BlockSpec((r8, k2), lambda j, i, ids: (0, 0)),
-                pl.BlockSpec((r8, k2), lambda j, i, ids: (0, 0)),
-                pl.BlockSpec((1, k2, bn), lambda j, i, ids: (ids[i], 0, j)),
-                pl.BlockSpec((1, n_groups, bn), lambda j, i, ids: (ids[i], 0, j)),
-                pl.BlockSpec((1, n_groups, bn), lambda j, i, ids: (ids[i], 0, j)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((r8, bn), lambda j, i, ids: (0, j)),
         )
         y = pl.pallas_call(
@@ -290,12 +297,12 @@ def gathered_quant_matmul(
                 _gather_int4_kernel,
                 n_groups=n_groups,
                 gs2=gs2,
-                has_zeros=w.zeros is not None,
+                has_zeros=has_zeros,
             ),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((r8, n), jnp.float32),
             interpret=interpret,
-        )(ids, xl, xh, w.data, scales, zeros)
+        )(*ins)
         return y[:r].astype(out_dtype)
 
     raise ValueError(f"gathered_quant_matmul: unsupported kind {w.kind}")
@@ -310,9 +317,10 @@ GROUP_BM = 64
 
 
 def _grouped_int4_kernel(
-    tg_ref, xl_ref, xh_ref, w_ref, s_ref, z_ref, o_ref, *, n_groups, gs2,
-    has_zeros
+    tg_ref, xl_ref, xh_ref, w_ref, s_ref, *rest, n_groups, gs2, has_zeros
 ):
+    z_ref = rest[0] if has_zeros else None
+    o_ref = rest[-1]
     o_ref[:] = _int4_matblock(
         xl_ref[:], xh_ref[:], w_ref[0], s_ref, z_ref, n_groups, gs2,
         has_zeros, s_idx=(0,),
@@ -413,19 +421,23 @@ def grouped_quant_matmul(
         bn = _pick_bn(n, k2)
         xl, xh = split_x_for_int4(x_padded, kdim, w.group_size)
         scales = w.scales.reshape(e, n_groups, n)
-        zeros = (
-            w.zeros.reshape(e, n_groups, n) if w.zeros is not None else scales
-        )
+        has_zeros = w.zeros is not None
+        ins = [tile_group, xl, xh, w.data, scales]
+        in_specs = [
+            pl.BlockSpec((bm, k2), lambda i, j, tg: (i, 0)),
+            pl.BlockSpec((bm, k2), lambda i, j, tg: (i, 0)),
+            pl.BlockSpec((1, k2, bn), lambda i, j, tg: (tg[i], 0, j)),
+            pl.BlockSpec((1, n_groups, bn), lambda i, j, tg: (tg[i], 0, j)),
+        ]
+        if has_zeros:
+            ins.append(w.zeros.reshape(e, n_groups, n))
+            in_specs.append(
+                pl.BlockSpec((1, n_groups, bn), lambda i, j, tg: (tg[i], 0, j))
+            )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(mtiles, pl.cdiv(n, bn)),
-            in_specs=[
-                pl.BlockSpec((bm, k2), lambda i, j, tg: (i, 0)),
-                pl.BlockSpec((bm, k2), lambda i, j, tg: (i, 0)),
-                pl.BlockSpec((1, k2, bn), lambda i, j, tg: (tg[i], 0, j)),
-                pl.BlockSpec((1, n_groups, bn), lambda i, j, tg: (tg[i], 0, j)),
-                pl.BlockSpec((1, n_groups, bn), lambda i, j, tg: (tg[i], 0, j)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((bm, bn), lambda i, j, tg: (i, j)),
         )
         y = pl.pallas_call(
@@ -433,12 +445,12 @@ def grouped_quant_matmul(
                 _grouped_int4_kernel,
                 n_groups=n_groups,
                 gs2=gs2,
-                has_zeros=w.zeros is not None,
+                has_zeros=has_zeros,
             ),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((mpad, n), jnp.float32),
             interpret=interpret,
-        )(tile_group, xl, xh, w.data, scales, zeros)
+        )(*ins)
     else:
         raise ValueError(f"grouped_quant_matmul: unsupported kind {w.kind}")
 
