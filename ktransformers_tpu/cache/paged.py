@@ -1,0 +1,97 @@
+"""Paged KV cache in HBM + host-side page allocator.
+
+Analog of the reference's paged caches (models/custom_cache.py
+KDeepSeekV3Cache: ckv+kpe pages; KGQACache) and of kvc2's GPUPageCache
+(kvc2/src/gpu_cache.cpp) which owns the device tensors handed to the
+engine. Pages are shared across layers by index: page p of layer l lives at
+bufs[l][p], so one page id serves the whole model — same convention as the
+reference's block tables (scheduler.cpp:797-824).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ktransformers_tpu.models.spec import ModelSpec
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PagedKVCache:
+    """bufs_a[l]: [P, page, R] (MLA ckv) or [P, page, Hkv, D] (GQA k);
+    bufs_b[l]: k_pe / v."""
+
+    bufs_a: list
+    bufs_b: list
+    page_size: int = dataclasses.field(metadata=dict(static=True), default=64)
+
+    @property
+    def num_pages(self) -> int:
+        return self.bufs_a[0].shape[0]
+
+    @staticmethod
+    def create(
+        spec: ModelSpec, num_pages: int, page_size: int = 64, dtype=jnp.bfloat16
+    ) -> "PagedKVCache":
+        a = spec.attention
+        if a.kind == "mla":
+            sa = (num_pages, page_size, a.kv_lora_rank)
+            sb = (num_pages, page_size, a.qk_rope_head_dim)
+        else:
+            sa = sb = (num_pages, page_size, a.num_kv_heads, a.head_dim)
+        return PagedKVCache(
+            bufs_a=[jnp.zeros(sa, dtype) for _ in range(spec.num_layers)],
+            bufs_b=[jnp.zeros(sb, dtype) for _ in range(spec.num_layers)],
+            page_size=page_size,
+        )
+
+    def bytes_per_page(self, spec: ModelSpec) -> int:
+        a = self.bufs_a[0]
+        b = self.bufs_b[0]
+        per_layer = (
+            a[0].size * a.dtype.itemsize + b[0].size * b.dtype.itemsize
+        )
+        return per_layer * len(self.bufs_a)
+
+
+class PageAllocator:
+    """Host-side free-list allocator with refcounts (prefix-cache pages are
+    shared across queries). Analog of kvc2's page pool + eviction hooks
+    (page_aligned_memory_pool.cpp)."""
+
+    def __init__(self, num_pages: int):
+        self.num_pages = num_pages
+        self._free = list(range(num_pages - 1, -1, -1))
+        self._refs = [0] * num_pages
+
+    @property
+    def free_count(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int = 1) -> list[int]:
+        if len(self._free) < n:
+            raise MemoryError(
+                f"KV page pool exhausted ({n} requested, {len(self._free)} free)"
+            )
+        pages = [self._free.pop() for _ in range(n)]
+        for p in pages:
+            self._refs[p] = 1
+        return pages
+
+    def retain(self, pages: list[int]) -> None:
+        for p in pages:
+            assert self._refs[p] > 0, f"retain of free page {p}"
+            self._refs[p] += 1
+
+    def release(self, pages: list[int]) -> None:
+        for p in pages:
+            self._refs[p] -= 1
+            assert self._refs[p] >= 0, f"double free of page {p}"
+            if self._refs[p] == 0:
+                self._free.append(p)
+
+    def refcount(self, page: int) -> int:
+        return self._refs[page]

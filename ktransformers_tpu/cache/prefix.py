@@ -1,0 +1,124 @@
+"""Token-prefix cache over KV pages (kvc2's role, HBM tier).
+
+Reference: archive/csrc/balance_serve/kvc2 — a prefix tree keyed by token
+arrays whose nodes own KV blocks across GPU/CPU/Disk tiers
+(doc/en/prefix_cache.md, kvc2/src/prefix.cpp). This is the HBM tier: pages
+stay in the device pool and are shared between queries via refcounts; a
+host-DRAM tier (device_put round-trips) hangs off the same tree.
+
+Keying: one trie level per *full page* of tokens (page_size tokens), same
+granularity as the reference's block-level matching. A lookup returns the
+longest fully-cached page-aligned prefix and retains those pages for the
+caller (matched_length semantics of kvc2 lookup_to_gpu,
+kvc2/src/kvc2.h:46-136).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+from ktransformers_tpu.cache.paged import PageAllocator
+
+
+@dataclasses.dataclass
+class _Node:
+    page: int  # device page id holding this token block's KV
+    children: dict = dataclasses.field(default_factory=dict)
+    last_used: float = 0.0
+    parent: Optional["_Node"] = None
+    key: tuple = ()
+
+
+class PrefixCache:
+    """Page-granular prefix tree with refcounted device pages + LRU trim."""
+
+    def __init__(self, allocator: PageAllocator, page_size: int):
+        self.alloc = allocator
+        self.page_size = page_size
+        self.root = _Node(page=-1)
+        self._nodes = 0
+        self.hits = 0
+        self.misses = 0
+
+    def _blocks(self, tokens: list[int]):
+        ps = self.page_size
+        n_full = len(tokens) // ps
+        return [tuple(tokens[i * ps : (i + 1) * ps]) for i in range(n_full)]
+
+    def lookup(self, tokens: list[int]) -> tuple[int, list[int]]:
+        """Longest cached page-aligned prefix.
+
+        Returns (matched_tokens, page_ids); the returned pages are retained
+        for the caller (caller must release them when the query ends)."""
+        node = self.root
+        pages = []
+        now = time.monotonic()
+        for block in self._blocks(tokens):
+            child = node.children.get(block)
+            if child is None:
+                break
+            child.last_used = now
+            pages.append(child.page)
+            node = child
+        if pages:
+            self.alloc.retain(pages)
+            self.hits += 1
+        else:
+            self.misses += 1
+        return len(pages) * self.page_size, pages
+
+    def insert(self, tokens: list[int], pages: list[int]) -> None:
+        """Record fully-written pages for this token prefix. The cache takes
+        its own reference on newly-inserted pages."""
+        node = self.root
+        now = time.monotonic()
+        for i, block in enumerate(self._blocks(tokens)):
+            if i >= len(pages):
+                break
+            child = node.children.get(block)
+            if child is None:
+                child = _Node(page=pages[i], parent=node, key=block)
+                node.children[block] = child
+                self.alloc.retain([pages[i]])
+                self._nodes += 1
+            child.last_used = now
+            node = child
+
+    def trim(self, target_free_pages: int) -> int:
+        """Evict least-recently-used leaves until the allocator has
+        `target_free_pages` free (kvc2 eviction, evict_count kvc2.h:39)."""
+        evicted = 0
+        while self.alloc.free_count < target_free_pages:
+            leaf = self._lru_leaf()
+            if leaf is None:
+                break
+            del leaf.parent.children[leaf.key]
+            self.alloc.release([leaf.page])
+            self._nodes -= 1
+            evicted += 1
+        return evicted
+
+    def _lru_leaf(self) -> Optional[_Node]:
+        best = None
+
+        def walk(n: _Node):
+            nonlocal best
+            for c in n.children.values():
+                if c.children:
+                    walk(c)
+                else:
+                    if best is None or c.last_used < best.last_used:
+                        best = c
+
+        walk(self.root)
+        return best
+
+    def stats(self) -> dict:
+        return {
+            "nodes": self._nodes,
+            "hits": self.hits,
+            "misses": self.misses,
+            "free_pages": self.alloc.free_count,
+        }

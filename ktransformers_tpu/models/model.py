@@ -211,13 +211,17 @@ def _moe_mlp(p, spec: ModelSpec, x):
     topk_idx, topk_w = route(
         logits, spec.moe.gate, p.get("router_bias_corr")
     )
-    y = moe_forward(
-        flat,
-        p["experts"],
-        topk_idx,
-        topk_w,
-        MoEConfig(activation=spec.activation),
-    )
+    cfg = MoEConfig(activation=spec.activation)
+
+    from ktransformers_tpu.parallel.context import get_parallel_context
+
+    ctx = get_parallel_context()
+    if ctx is not None and ctx.use_ep and ctx.ep_size > 1:
+        from ktransformers_tpu.parallel.ep import moe_forward_ep
+
+        y = moe_forward_ep(flat, p["experts"], topk_idx, topk_w, cfg, ctx.mesh)
+    else:
+        y = moe_forward(flat, p["experts"], topk_idx, topk_w, cfg)
     if "shared" in p and p["shared"] is not None:
         y_sh = _dense_mlp(p["shared"], spec, flat)
         if spec.moe.shared_expert_gate:

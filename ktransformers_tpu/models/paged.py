@@ -1,0 +1,207 @@
+"""Paged-KV forward: the serving-engine model step.
+
+Same math as models/model.py `forward` but the KV cache is a page pool
+(cache/paged.py) addressed through per-sequence page tables — the engine
+analog of the reference's custom_modeling_* forward over paged caches
+(models/custom_modeling_deepseek_v3.py + custom_cache.py page layout,
+block tables from sched/scheduler.cpp:797-824).
+
+Two jitted entry points, mirroring the reference's prefill/decode model
+paths (balance_serve ForwardBatchInput minibatches):
+- `forward_paged(tokens [B, S], page_tables, lengths)` — chunked prefill
+  (usually B=1 per chunk) or batched decode (S=1), with `logits_last_only`
+  so prefill chunks don't pay the lm_head on every token.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ktransformers_tpu.cache.paged import PagedKVCache
+from ktransformers_tpu.models.model import NEG_INF, a_interleaved
+from ktransformers_tpu.models.spec import ModelSpec
+from ktransformers_tpu.ops.attention import mha, mla_absorbed
+from ktransformers_tpu.ops.linear import linear
+from ktransformers_tpu.ops.moe import MoEConfig
+from ktransformers_tpu.ops.norm import rms_norm
+from ktransformers_tpu.ops.rope import (
+    apply_rope,
+    precompute_rope_tables,
+    rope_attention_scale,
+)
+from ktransformers_tpu.models.model import _dense_mlp, _moe_mlp
+
+
+def _write_pages(buf, new, page_tables, lengths, page_size):
+    """Scatter new [B, S, ...] into pages at positions lengths[b] + j."""
+    b, s = new.shape[:2]
+    pos = lengths[:, None] + jnp.arange(s)[None, :]  # [B, S]
+    pid = jnp.take_along_axis(page_tables, pos // page_size, axis=1)  # [B,S]
+    slot = pos % page_size
+    flat = new.reshape(b * s, *new.shape[2:])
+    return buf.at[pid.reshape(-1), slot.reshape(-1)].set(
+        flat.astype(buf.dtype)
+    )
+
+
+def _gather_pages(buf, page_tables):
+    """[P, page, ...] x [B, Pmax] -> [B, Pmax*page, ...]"""
+    g = buf[page_tables]  # [B, Pmax, page, ...]
+    b, pmax, page = g.shape[:3]
+    return g.reshape(b, pmax * page, *g.shape[3:])
+
+
+def _attn_mask(lengths, q_len, kv_len):
+    qpos = lengths[:, None, None] + jnp.arange(q_len)[None, :, None]
+    kpos = jnp.arange(kv_len)[None, None, :]
+    return jnp.where(kpos <= qpos, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size):
+    a = spec.attention
+    b, s, _ = x.shape
+    h = a.num_heads
+    nope, dr, r = a.qk_nope_head_dim, a.qk_rope_head_dim, a.kv_lora_rank
+
+    if a.q_lora_rank:
+        q = linear(x, p["q_a"], p.get("q_a_bias"))
+        q = rms_norm(q, p["q_a_norm"], spec.rms_norm_eps)
+        q = linear(q, p["q_b"])
+    else:
+        q = linear(x, p["q_proj"])
+    q = q.reshape(b, s, h, nope + dr)
+    q_nope, q_pe = q[..., :nope], q[..., nope:]
+
+    ckv_kpe = linear(x, p["kv_a"], p.get("kv_a_bias"))
+    ckv = rms_norm(ckv_kpe[..., :r], p["kv_a_norm"], spec.rms_norm_eps)
+    k_pe = ckv_kpe[..., r:]
+
+    cos, sin = rope_cs
+    q_pe = q_pe.transpose(0, 2, 1, 3)
+    q_pe = apply_rope(q_pe, cos[:, None], sin[:, None], interleaved=a_interleaved(spec))
+    k_pe = apply_rope(k_pe, cos, sin, interleaved=a_interleaved(spec))
+
+    w_uk = p["w_uk"]
+    q_nope_eff = jnp.einsum(
+        "bshn,hnr->bhsr",
+        q_nope.astype(jnp.float32),
+        w_uk.astype(jnp.float32),
+    ).astype(x.dtype)
+
+    buf_a = _write_pages(bufs[0], ckv, page_tables, lengths, page_size)
+    buf_b = _write_pages(bufs[1], k_pe, page_tables, lengths, page_size)
+    ckv_all = _gather_pages(buf_a, page_tables)  # [B, Smax, R]
+    kpe_all = _gather_pages(buf_b, page_tables)
+
+    scale = a.softmax_scale or (
+        (nope + dr) ** -0.5 * rope_attention_scale(spec.rope)
+    )
+    mask = _attn_mask(lengths, s, ckv_all.shape[1])
+    attn = mla_absorbed(
+        q_nope_eff, q_pe, ckv_all, kpe_all, scale=scale, mask=mask
+    )
+    w_uv = p["w_uv"]
+    out = jnp.einsum(
+        "bhsr,hrv->bshv", attn.astype(jnp.float32), w_uv.astype(jnp.float32)
+    ).astype(x.dtype)
+    out = out.reshape(b, s, h * a.v_head_dim)
+    return linear(out, p["o_proj"], p.get("o_bias")), (buf_a, buf_b)
+
+
+def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size):
+    a = spec.attention
+    b, s, _ = x.shape
+    h, hkv, d = a.num_heads, a.num_kv_heads, a.head_dim
+
+    q = linear(x, p["q_proj"], p.get("q_bias")).reshape(b, s, h, d)
+    k = linear(x, p["k_proj"], p.get("k_bias")).reshape(b, s, hkv, d)
+    v = linear(x, p["v_proj"], p.get("v_bias")).reshape(b, s, hkv, d)
+    if a.qk_norm:
+        q = rms_norm(q, p["q_norm"], spec.rms_norm_eps)
+        k = rms_norm(k, p["k_norm"], spec.rms_norm_eps)
+
+    cos, sin = rope_cs
+    q = apply_rope(q.transpose(0, 2, 1, 3), cos[:, None], sin[:, None])
+    k = apply_rope(k.transpose(0, 2, 1, 3), cos[:, None], sin[:, None])
+    k = k.transpose(0, 2, 1, 3)
+
+    buf_a = _write_pages(bufs[0], k, page_tables, lengths, page_size)
+    buf_b = _write_pages(bufs[1], v, page_tables, lengths, page_size)
+    k_all = _gather_pages(buf_a, page_tables)  # [B, Smax, Hkv, D]
+    v_all = _gather_pages(buf_b, page_tables)
+
+    scale = a.softmax_scale or d**-0.5
+    mask = _attn_mask(lengths, s, k_all.shape[1])
+    out = mha(
+        q,
+        k_all.transpose(0, 2, 1, 3),
+        v_all.transpose(0, 2, 1, 3),
+        scale=scale,
+        mask=mask,
+    )
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    return linear(out, p["o_proj"], p.get("o_bias")), (buf_a, buf_b)
+
+
+def forward_paged(
+    params,
+    spec: ModelSpec,
+    tokens: jnp.ndarray,  # [B, S]
+    kv: PagedKVCache,
+    page_tables: jnp.ndarray,  # [B, Pmax] int32
+    lengths: jnp.ndarray,  # [B] int32 (tokens already cached)
+    rope_tables=None,
+    compute_dtype=jnp.bfloat16,
+    logits_last_only: bool = True,
+):
+    """Returns (logits [B, 1 or S, V], updated PagedKVCache)."""
+    b, s = tokens.shape
+    x = params["embed"][tokens].astype(compute_dtype)
+
+    if rope_tables is None:
+        rope_tables = precompute_rope_tables(spec.rope)
+    cos_t, sin_t = rope_tables
+    pos = lengths[:, None] + jnp.arange(s)[None, :]
+    rope_cs = (cos_t[pos], sin_t[pos])
+
+    mla = spec.attention.kind == "mla"
+    new_a, new_b = [], []
+    for li, lp in enumerate(params["layers"]):
+        res = x
+        xn = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
+        attn_fn = _mla_paged if mla else _gqa_paged
+        attn_out, (buf_a, buf_b) = attn_fn(
+            lp["attn"],
+            spec,
+            xn,
+            (kv.bufs_a[li], kv.bufs_b[li]),
+            page_tables,
+            lengths,
+            rope_cs,
+            kv.page_size,
+        )
+        new_a.append(buf_a)
+        new_b.append(buf_b)
+        x = res + attn_out
+
+        res = x
+        xn = rms_norm(x, lp["post_attn_norm"], spec.rms_norm_eps)
+        if "moe" in lp:
+            x = res + _moe_mlp(lp["moe"], spec, xn)
+        else:
+            x = res + _dense_mlp(lp["mlp"], spec, xn)
+
+    x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
+    if logits_last_only:
+        x = x[:, -1:, :]
+    lm_head = params.get("lm_head")
+    if lm_head is None:
+        logits = x @ params["embed"].astype(x.dtype).T
+    else:
+        logits = linear(x, lm_head)
+
+    new_kv = PagedKVCache(
+        bufs_a=new_a, bufs_b=new_b, page_size=kv.page_size
+    )
+    return logits, new_kv

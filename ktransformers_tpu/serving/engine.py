@@ -1,0 +1,255 @@
+"""ServeEngine: executes scheduler batches as fixed-shape jitted steps.
+
+Analog of the reference's Engine.loop + ModelRunner
+(server/backend/interfaces/balance_serve.py:144-381, inference/
+model_runner.py): CUDA-graph buckets become per-shape jit caches; the
+"fetch next batch while GPU runs" overlap becomes JAX async dispatch (the
+next batch is planned on host while the device executes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ktransformers_tpu.cache.paged import PagedKVCache, PageAllocator
+from ktransformers_tpu.cache.prefix import PrefixCache
+from ktransformers_tpu.models.paged import forward_paged
+from ktransformers_tpu.models.spec import ModelSpec
+from ktransformers_tpu.ops.rope import precompute_rope_tables
+from ktransformers_tpu.serving.scheduler import (
+    DECODE,
+    BatchPlan,
+    Query,
+    Scheduler,
+    SchedulerConfig,
+)
+
+
+def _batched_sample(logits, key, temps, top_ps):
+    """Per-sequence temperature/top-p sampling (vectorized); temp<=0 rows
+    are greedy. Analog of the reference's per-query sampler
+    (inference/sampling/sampler.py)."""
+    logits = logits.astype(jnp.float32)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    t = jnp.maximum(temps, 1e-6)[:, None]
+    scaled = logits / t
+    # top-p filter per row
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_mask = cum - probs > top_ps[:, None]
+    cutoff = jnp.min(
+        jnp.where(cutoff_mask, jnp.inf, sorted_logits), axis=-1, keepdims=True
+    )
+    filtered = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+    sampled = jax.random.categorical(key, filtered, axis=-1).astype(jnp.int32)
+    return jnp.where(temps > 0, sampled, greedy)
+
+
+class ServeEngine:
+    def __init__(
+        self,
+        params,
+        spec: ModelSpec,
+        cfg: SchedulerConfig = SchedulerConfig(),
+        num_pages: int = 512,
+        cache_dtype=jnp.bfloat16,
+        compute_dtype=jnp.bfloat16,
+        enable_prefix_cache: bool = True,
+    ):
+        from ktransformers_tpu.ops import pallas as pallas_ops
+
+        pallas_ops.maybe_enable()
+        self.params = params
+        self.spec = spec
+        self.cfg = cfg
+        self.kv = PagedKVCache.create(
+            spec, num_pages, cfg.page_size, dtype=cache_dtype
+        )
+        self.alloc = PageAllocator(num_pages)
+        self.prefix = (
+            PrefixCache(self.alloc, cfg.page_size) if enable_prefix_cache else None
+        )
+        self.scheduler = Scheduler(cfg, self.alloc, self.prefix)
+        self.compute_dtype = compute_dtype
+        self.rope_tables = precompute_rope_tables(spec.rope)
+        self._steps = {}
+        self._key = jax.random.PRNGKey(0)
+        self._lock = threading.Lock()
+        self._running = False
+        self._thread = None
+        self.steps_executed = 0
+
+    # -- jitted steps -------------------------------------------------------
+
+    def _prefill_step(self, s: int):
+        name = ("prefill", s)
+        if name not in self._steps:
+            spec, rope, cdt = self.spec, self.rope_tables, self.compute_dtype
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def step(params, tokens, kv, page_table, length):
+                return forward_paged(
+                    params,
+                    spec,
+                    tokens,
+                    kv,
+                    page_table,
+                    length,
+                    rope_tables=rope,
+                    compute_dtype=cdt,
+                    logits_last_only=True,
+                )
+
+            self._steps[name] = partial(step, self.params)
+        return self._steps[name]
+
+    def _decode_step(self, b: int):
+        name = ("decode", b)
+        if name not in self._steps:
+            spec, rope, cdt = self.spec, self.rope_tables, self.compute_dtype
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def step(params, tokens, kv, page_tables, lengths, key, temps, top_ps):
+                logits, kv = forward_paged(
+                    params,
+                    spec,
+                    tokens,
+                    kv,
+                    page_tables,
+                    lengths,
+                    rope_tables=rope,
+                    compute_dtype=cdt,
+                    logits_last_only=True,
+                )
+                key, sub = jax.random.split(key)
+                toks = _batched_sample(logits[:, -1], sub, temps, top_ps)
+                return toks, kv, key
+
+            self._steps[name] = partial(step, self.params)
+        return self._steps[name]
+
+    # -- execution ----------------------------------------------------------
+
+    def _pad_table(self, pages: list[int]) -> np.ndarray:
+        pt = np.zeros(self.cfg.max_pages_per_query, np.int32)
+        pt[: len(pages)] = pages
+        return pt
+
+    def _run_prefill(self, plan: BatchPlan) -> None:
+        q = plan.queries[0]
+        chunk = plan.chunk
+        # Chunks are either the full prefill_chunk or the final remainder;
+        # remainders compile per distinct length (bounded; proper bucketing
+        # with masked cache writes is a later optimization).
+        tokens = np.asarray([chunk], np.int32)
+        step = self._prefill_step(len(chunk))
+        logits, self.kv = step(
+            tokens,
+            self.kv,
+            jnp.asarray(self._pad_table(q.pages))[None],
+            jnp.asarray([q.prefill_pos], jnp.int32),
+        )
+        self.scheduler.prefill_done_chunk(q, len(chunk))
+        if q.state == DECODE:
+            # first generated token comes from the last prefill logits
+            self._key, sub = jax.random.split(self._key)
+            temps = jnp.asarray([q.sampling.temperature], jnp.float32)
+            tps = jnp.asarray([q.sampling.top_p], jnp.float32)
+            tok = _batched_sample(logits[:, -1], sub, temps, tps)
+            self.scheduler.push_token(q, int(tok[0]))
+
+    def _run_decode(self, plan: BatchPlan) -> None:
+        qs = plan.queries
+        b = self.cfg.max_batch_size  # fixed shape (CUDA-graph bucket analog)
+        tokens = np.zeros((b, 1), np.int32)
+        tables = np.zeros((b, self.cfg.max_pages_per_query), np.int32)
+        lengths = np.zeros((b,), np.int32)
+        temps = np.zeros((b,), np.float32)
+        top_ps = np.ones((b,), np.float32)
+        for i, q in enumerate(qs):
+            # the token being decoded is the last generated one; its KV gets
+            # written at position total_len - 1
+            tokens[i, 0] = q.last_token
+            tables[i] = self._pad_table(q.pages)
+            lengths[i] = q.total_len - 1
+            temps[i] = q.sampling.temperature
+            top_ps[i] = q.sampling.top_p
+        # make sure every active row has a page for the next token
+        ok = all(
+            self.scheduler._ensure_pages(q, q.total_len + 1) for q in qs
+        )
+        if not ok:
+            raise MemoryError("KV pages exhausted during decode")
+        for i, q in enumerate(qs):
+            tables[i] = self._pad_table(q.pages)
+
+        step = self._decode_step(b)
+        toks, self.kv, self._key = step(
+            jnp.asarray(tokens),
+            self.kv,
+            jnp.asarray(tables),
+            jnp.asarray(lengths),
+            self._key,
+            jnp.asarray(temps),
+            jnp.asarray(top_ps),
+        )
+        toks_np = np.asarray(toks)
+        for i, q in enumerate(qs):
+            self.scheduler.push_token(q, int(toks_np[i]))
+
+    def step(self) -> bool:
+        """Run one scheduler batch; returns False when idle."""
+        plan = self.scheduler.next_batch()
+        if plan is None:
+            return False
+        if plan.kind == "prefill":
+            self._run_prefill(plan)
+        else:
+            self._run_decode(plan)
+        self.steps_executed += 1
+        return True
+
+    # -- public API ---------------------------------------------------------
+
+    def submit(self, prompt, **kw) -> Query:
+        with self._lock:
+            return self.scheduler.add_query(list(prompt), **kw)
+
+    def generate_sync(self, prompt, **kw) -> list[int]:
+        """Blocking single-query helper (tests / CLI)."""
+        q = self.submit(prompt, **kw)
+        while q.state != "done":
+            with self._lock:
+                if not self.step():
+                    time.sleep(0.001)
+        return list(q.output_ids)
+
+    def run_forever(self, poll_s: float = 0.002) -> None:
+        self._running = True
+        while self._running:
+            with self._lock:
+                busy = self.step()
+            if not busy:
+                time.sleep(poll_s)
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self.run_forever, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def metrics(self) -> dict:
+        m = self.scheduler.metrics()
+        m["engine_steps"] = self.steps_executed
+        return m

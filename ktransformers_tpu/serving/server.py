@@ -1,0 +1,237 @@
+"""OpenAI-compatible HTTP server (aiohttp) over ServeEngine.
+
+Analog of the reference's FastAPI app (archive/ktransformers/server/main.py
+create_app + server/api/: /v1/chat/completions, /v1/completions, /v1/models,
+Ollama-style endpoints) — on aiohttp because fastapi/uvicorn are not in this
+environment. Streaming uses SSE chunks in the OpenAI format; /metrics
+exposes Prometheus text (reference: sched/metrics.h exposer).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import uuid
+
+from aiohttp import web
+
+from ktransformers_tpu.engine.sampler import SamplingConfig
+from ktransformers_tpu.serving.engine import ServeEngine
+
+
+class SimpleTokenizer:
+    """Whitespace/codepoint fallback tokenizer for tests and raw-id mode."""
+
+    eos_token_id = None
+
+    def encode(self, text: str):
+        return [ord(c) % 50000 for c in text]
+
+    def decode(self, ids):
+        return "".join(chr((i % 94) + 33) for i in ids)
+
+    def apply_chat_template(self, messages, **kw):
+        return "\n".join(f"{m['role']}: {m['content']}" for m in messages)
+
+
+def _sse(data) -> bytes:
+    return f"data: {json.dumps(data)}\n\n".encode()
+
+
+class OpenAIServer:
+    def __init__(self, engine: ServeEngine, tokenizer=None, model_name="ktransformers-tpu"):
+        self.engine = engine
+        self.tok = tokenizer or SimpleTokenizer()
+        self.model_name = model_name
+        self.app = web.Application()
+        self.app.add_routes(
+            [
+                web.get("/health", self.health),
+                web.get("/v1/models", self.models),
+                web.get("/metrics", self.metrics),
+                web.post("/v1/completions", self.completions),
+                web.post("/v1/chat/completions", self.chat_completions),
+            ]
+        )
+
+    # -- helpers -----------------------------------------------------------
+
+    def _prompt_ids(self, body: dict) -> list[int]:
+        if "messages" in body:
+            text = self.tok.apply_chat_template(
+                body["messages"], tokenize=False, add_generation_prompt=True
+            )
+            ids = self.tok.encode(text)
+        else:
+            prompt = body.get("prompt", "")
+            if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
+                return prompt
+            ids = self.tok.encode(prompt)
+        return list(ids)
+
+    def _sampling(self, body: dict) -> SamplingConfig:
+        return SamplingConfig(
+            temperature=float(body.get("temperature", 0.0) or 0.0),
+            top_p=float(body.get("top_p", 1.0) or 1.0),
+            top_k=int(body.get("top_k", 0) or 0),
+        )
+
+    async def _collect(self, q) -> list[int]:
+        loop = asyncio.get_running_loop()
+        out = []
+        while True:
+            tok = await loop.run_in_executor(None, q.out_queue.get)
+            if tok is None:
+                return out
+            out.append(tok)
+
+    # -- endpoints ---------------------------------------------------------
+
+    async def health(self, request):
+        return web.json_response({"status": "ok"})
+
+    async def models(self, request):
+        return web.json_response(
+            {
+                "object": "list",
+                "data": [
+                    {
+                        "id": self.model_name,
+                        "object": "model",
+                        "owned_by": "ktransformers_tpu",
+                    }
+                ],
+            }
+        )
+
+    async def metrics(self, request):
+        lines = []
+        for k, v in self.engine.metrics().items():
+            lines.append(f"# TYPE ktransformers_tpu_{k} gauge")
+            lines.append(f"ktransformers_tpu_{k} {float(v)}")
+        return web.Response(text="\n".join(lines) + "\n")
+
+    async def completions(self, request):
+        return await self._serve(request, chat=False)
+
+    async def chat_completions(self, request):
+        return await self._serve(request, chat=True)
+
+    async def _serve(self, request, chat: bool):
+        body = await request.json()
+        ids = self._prompt_ids(body)
+        max_new = int(
+            body.get("max_tokens", body.get("max_completion_tokens", 128)) or 128
+        )
+        q = self.engine.submit(
+            ids,
+            max_new_tokens=max_new,
+            sampling=self._sampling(body),
+            eos_token_id=getattr(self.tok, "eos_token_id", None),
+        )
+        rid = f"{'chatcmpl' if chat else 'cmpl'}-{uuid.uuid4().hex[:12]}"
+        created = int(time.time())
+
+        if body.get("stream"):
+            resp = web.StreamResponse(
+                headers={
+                    "Content-Type": "text/event-stream",
+                    "Cache-Control": "no-cache",
+                }
+            )
+            await resp.prepare(request)
+            loop = asyncio.get_running_loop()
+            while True:
+                tok = await loop.run_in_executor(None, q.out_queue.get)
+                if tok is None:
+                    break
+                delta_text = self.tok.decode([tok])
+                if chat:
+                    chunk = {
+                        "id": rid,
+                        "object": "chat.completion.chunk",
+                        "created": created,
+                        "model": self.model_name,
+                        "choices": [
+                            {
+                                "index": 0,
+                                "delta": {"content": delta_text},
+                                "finish_reason": None,
+                            }
+                        ],
+                    }
+                else:
+                    chunk = {
+                        "id": rid,
+                        "object": "text_completion",
+                        "created": created,
+                        "model": self.model_name,
+                        "choices": [
+                            {"index": 0, "text": delta_text, "finish_reason": None}
+                        ],
+                    }
+                await resp.write(_sse(chunk))
+            final = {
+                "id": rid,
+                "object": "chat.completion.chunk" if chat else "text_completion",
+                "created": created,
+                "model": self.model_name,
+                "choices": [
+                    {
+                        "index": 0,
+                        "delta" if chat else "text": {} if chat else "",
+                        "finish_reason": q.finish_reason or "stop",
+                    }
+                ],
+            }
+            await resp.write(_sse(final))
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
+
+        out = await self._collect(q)
+        text = self.tok.decode(out)
+        usage = {
+            "prompt_tokens": len(ids),
+            "completion_tokens": len(out),
+            "total_tokens": len(ids) + len(out),
+        }
+        if chat:
+            payload = {
+                "id": rid,
+                "object": "chat.completion",
+                "created": created,
+                "model": self.model_name,
+                "choices": [
+                    {
+                        "index": 0,
+                        "message": {"role": "assistant", "content": text},
+                        "finish_reason": q.finish_reason or "stop",
+                    }
+                ],
+                "usage": usage,
+            }
+        else:
+            payload = {
+                "id": rid,
+                "object": "text_completion",
+                "created": created,
+                "model": self.model_name,
+                "choices": [
+                    {
+                        "index": 0,
+                        "text": text,
+                        "finish_reason": q.finish_reason or "stop",
+                    }
+                ],
+                "usage": usage,
+            }
+        return web.json_response(payload)
+
+
+def serve(engine: ServeEngine, tokenizer=None, host="0.0.0.0", port=8192):
+    """Blocking entry: start the engine thread + HTTP server."""
+    engine.start()
+    srv = OpenAIServer(engine, tokenizer)
+    web.run_app(srv.app, host=host, port=port)

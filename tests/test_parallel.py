@@ -1,0 +1,118 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: EP-sharded MoE must
+match the single-device result exactly; the full model under a dp/ep/tp
+mesh must match the unsharded model. The reference has no multi-node tests
+(SURVEY.md §4); this is the mesh coverage it lacks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ktransformers_tpu.models.init import init_params
+from ktransformers_tpu.models.model import KVCache, forward
+from ktransformers_tpu.models.spec import spec_from_hf_config
+from ktransformers_tpu.ops.gate import GateConfig, route
+from ktransformers_tpu.ops.moe import MoEConfig, MoEWeights, moe_forward
+from ktransformers_tpu.parallel.context import parallel_context
+from ktransformers_tpu.parallel.ep import moe_forward_ep
+from ktransformers_tpu.parallel.mesh import make_mesh
+from ktransformers_tpu.parallel.shardings import (
+    batch_sharding,
+    cache_shardings,
+    param_shardings,
+)
+from ktransformers_tpu.quant.formats import quantize
+
+from tests.test_generate import TINY_DS
+
+
+def test_moe_forward_ep_matches_single(rng):
+    e, d, f, k, t = 16, 64, 96, 4, 32
+    gu = jnp.asarray(rng.standard_normal((e, d, 2 * f)).astype(np.float32) * 0.05)
+    dn = jnp.asarray(rng.standard_normal((e, f, d)).astype(np.float32) * 0.05)
+    w = MoEWeights(gate_up=quantize(gu, "bf16"), down=quantize(dn, "bf16"))
+    x = jnp.asarray(rng.standard_normal((t, d)).astype(np.float32))
+    logits = jnp.asarray(rng.standard_normal((t, e)).astype(np.float32))
+    idx, wts = route(logits, GateConfig(num_experts=e, top_k=k, norm_topk_prob=True))
+    cfg = MoEConfig()
+
+    y_ref = moe_forward(x, w, idx, wts, cfg)
+
+    mesh = make_mesh(dp=1, ep=4, tp=2)
+    y_ep = moe_forward_ep(x, w, idx, wts, cfg, mesh)
+    np.testing.assert_allclose(
+        np.asarray(y_ep), np.asarray(y_ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_moe_forward_ep_quantized(rng):
+    e, d, f, k, t = 8, 64, 64, 2, 8
+    gu = jnp.asarray(rng.standard_normal((e, d, 2 * f)).astype(np.float32) * 0.05)
+    dn = jnp.asarray(rng.standard_normal((e, f, d)).astype(np.float32) * 0.05)
+    w = MoEWeights(
+        gate_up=quantize(gu, "int8"), down=quantize(dn, "int8")
+    )
+    x = jnp.asarray(rng.standard_normal((t, d)).astype(np.float32))
+    logits = jnp.asarray(rng.standard_normal((t, e)).astype(np.float32))
+    idx, wts = route(logits, GateConfig(num_experts=e, top_k=k))
+    cfg = MoEConfig()
+    mesh = make_mesh(dp=1, ep=8, tp=1)
+    y_ep = moe_forward_ep(x, w, idx, wts, cfg, mesh)
+    y_ref = moe_forward(x, w, idx, wts, cfg)
+    np.testing.assert_allclose(
+        np.asarray(y_ep), np.asarray(y_ref), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_full_model_sharded_matches_unsharded():
+    spec = spec_from_hf_config(dict(TINY_DS))
+    params = init_params(spec, seed=0, quant="bf16")
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, 96, (2, 10)), jnp.int32)
+
+    cache = KVCache.create(spec, 2, 16, dtype=jnp.float32)
+    ref_logits, _ = forward(params, spec, tokens, cache, compute_dtype=jnp.float32)
+
+    mesh = make_mesh(dp=2, ep=2, tp=2)
+    p_sh = jax.tree.map(
+        lambda x, s: jax.device_put(x, s),
+        params,
+        param_shardings(params, spec, mesh),
+    )
+    cache2 = KVCache.create(spec, 2, 16, dtype=jnp.float32)
+    cache2 = jax.tree.map(
+        lambda x, s: jax.device_put(x, s),
+        cache2,
+        cache_shardings(cache2, spec, mesh),
+    )
+    tok_sh = jax.device_put(tokens, batch_sharding(mesh))
+
+    with mesh, parallel_context(mesh):
+        fn = jax.jit(
+            lambda p, t, c: forward(p, spec, t, c, compute_dtype=jnp.float32)
+        )
+        logits, _ = fn(p_sh, tok_sh, cache2)
+        logits.block_until_ready()
+
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_ep_with_prefix_of_experts_on_each_shard(rng):
+    """Sanity: expert routing correctness when tokens hit experts on every
+    shard (forces cross-shard psum to matter)."""
+    e, d, f, t = 8, 32, 32, 4
+    gu = jnp.asarray(rng.standard_normal((e, d, 2 * f)).astype(np.float32) * 0.1)
+    dn = jnp.asarray(rng.standard_normal((e, f, d)).astype(np.float32) * 0.1)
+    w = MoEWeights(gate_up=quantize(gu, "bf16"), down=quantize(dn, "bf16"))
+    x = jnp.ones((t, d), jnp.float32)
+    # route token i to experts (i, i+4): spans both halves under ep=2
+    idx = jnp.asarray([[i, i + 4] for i in range(t)], jnp.int32)
+    wts = jnp.full((t, 2), 0.5, jnp.float32)
+    mesh = make_mesh(dp=1, ep=2, tp=1)
+    y_ep = moe_forward_ep(x, w, idx, wts, MoEConfig(), mesh)
+    y_ref = moe_forward(x, w, idx, wts, MoEConfig())
+    np.testing.assert_allclose(
+        np.asarray(y_ep), np.asarray(y_ref), rtol=1e-5, atol=1e-5
+    )

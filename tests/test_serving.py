@@ -1,0 +1,184 @@
+"""Serving stack tests: paged forward parity, scheduler/page accounting,
+continuous batching vs single-user generation, prefix cache reuse."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ktransformers_tpu.cache.paged import PageAllocator, PagedKVCache
+from ktransformers_tpu.cache.prefix import PrefixCache
+from ktransformers_tpu.engine.generate import GenerateConfig, Generator
+from ktransformers_tpu.engine.sampler import SamplingConfig
+from ktransformers_tpu.models.init import init_params
+from ktransformers_tpu.models.model import KVCache, forward
+from ktransformers_tpu.models.paged import forward_paged
+from ktransformers_tpu.models.spec import spec_from_hf_config
+from ktransformers_tpu.serving.engine import ServeEngine
+from ktransformers_tpu.serving.scheduler import SchedulerConfig
+
+from tests.test_generate import TINY_DS
+
+TINY_GQA = dict(
+    model_type="qwen2",
+    vocab_size=96,
+    hidden_size=32,
+    intermediate_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=128,
+    rms_norm_eps=1e-6,
+    rope_theta=10000.0,
+    tie_word_embeddings=False,
+    attention_bias=True,
+)
+
+
+def _spec_params(cfg):
+    spec = spec_from_hf_config(dict(cfg))
+    params = init_params(spec, seed=0, quant="bf16")
+    return spec, params
+
+
+def test_paged_forward_matches_contiguous():
+    for cfg in (TINY_DS, TINY_GQA):
+        spec, params = _spec_params(cfg)
+        rng = np.random.default_rng(0)
+        tokens = jnp.asarray(rng.integers(0, 96, (1, 20)), jnp.int32)
+
+        cache = KVCache.create(spec, 1, 64, dtype=jnp.float32)
+        ref_logits, _ = forward(
+            params, spec, tokens, cache, compute_dtype=jnp.float32
+        )
+
+        kv = PagedKVCache.create(spec, num_pages=16, page_size=8, dtype=jnp.float32)
+        pt = jnp.asarray(np.arange(8, dtype=np.int32))[None]  # pages 0..7
+        # two chunks: 12 then 8 tokens
+        l1, kv = forward_paged(
+            params, spec, tokens[:, :12], kv, pt,
+            jnp.asarray([0], jnp.int32), compute_dtype=jnp.float32,
+        )
+        l2, kv = forward_paged(
+            params, spec, tokens[:, 12:], kv, pt,
+            jnp.asarray([12], jnp.int32), compute_dtype=jnp.float32,
+        )
+        np.testing.assert_allclose(
+            np.asarray(l2[:, -1]),
+            np.asarray(ref_logits[:, -1]),
+            rtol=1e-4,
+            atol=1e-4,
+        )
+
+
+def test_page_allocator_refcounts():
+    a = PageAllocator(8)
+    p = a.alloc(3)
+    assert a.free_count == 5
+    a.retain([p[0]])
+    a.release(p)
+    assert a.free_count == 7  # p[0] still referenced
+    a.release([p[0]])
+    assert a.free_count == 8
+
+
+def test_prefix_cache_match_and_evict():
+    a = PageAllocator(8)
+    pc = PrefixCache(a, page_size=4)
+    toks = list(range(10))  # 2 full pages
+    pages = a.alloc(2)
+    pc.insert(toks, pages)
+    a.release(pages)  # our reference gone; cache still holds them
+    assert a.free_count == 6
+
+    matched, got = pc.lookup(toks)
+    assert matched == 8 and got == pages
+    a.release(got)
+
+    # different prefix -> no match
+    matched, got = pc.lookup([99] + toks)
+    assert matched == 0 and got == []
+
+    # eviction frees the pages
+    evicted = pc.trim(8)
+    assert evicted == 2 and a.free_count == 8
+
+
+def test_serving_matches_single_user():
+    """Continuous batching with interleaved queries must give the same
+    greedy outputs as the single-user Generator — the correctness invariant
+    of the whole serving stack."""
+    spec, params = _spec_params(TINY_DS)
+
+    gen = Generator(
+        params, spec, max_len=96, batch=1,
+        cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+    )
+    prompts = [list(range(7)), list(range(20, 30)), list(range(40, 45))]
+    expected = [
+        gen.generate([p], GenerateConfig(max_new_tokens=8))[0] for p in prompts
+    ]
+
+    eng = ServeEngine(
+        params,
+        spec,
+        SchedulerConfig(max_batch_size=4, prefill_chunk=8, page_size=8,
+                        max_pages_per_query=8),
+        num_pages=64,
+        cache_dtype=jnp.float32,
+        compute_dtype=jnp.float32,
+    )
+    queries = [eng.submit(p, max_new_tokens=8) for p in prompts]
+    for _ in range(500):
+        if not eng.step() and all(q.state == "done" for q in queries):
+            break
+    got = [list(q.output_ids) for q in queries]
+    assert got == expected, (got, expected)
+    assert all(q.finish_reason == "length" for q in queries)
+
+
+def test_serving_prefix_cache_reuse():
+    spec, params = _spec_params(TINY_DS)
+    eng = ServeEngine(
+        params,
+        spec,
+        SchedulerConfig(max_batch_size=4, prefill_chunk=8, page_size=8,
+                        max_pages_per_query=8),
+        num_pages=64,
+        cache_dtype=jnp.float32,
+        compute_dtype=jnp.float32,
+    )
+    prompt = list(range(30))  # 3 full pages + tail
+    out1 = eng.generate_sync(prompt, max_new_tokens=4)
+    q2 = eng.submit(prompt, max_new_tokens=4)
+    while q2.state != "done":
+        eng.step()
+    assert list(q2.output_ids) == out1
+    assert q2.matched_len == 24  # 3 pages of 8 reused
+    assert eng.prefix.hits >= 1
+
+
+def test_serving_mixed_sampling_and_eos():
+    spec, params = _spec_params(TINY_DS)
+    eng = ServeEngine(
+        params, spec,
+        SchedulerConfig(max_batch_size=4, prefill_chunk=8, page_size=8,
+                        max_pages_per_query=8),
+        num_pages=64, cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+    )
+    free = eng.generate_sync(list(range(6)), max_new_tokens=10)
+    # pick an EOS token at its first occurrence in the stream
+    k, eos = next(
+        (i, t) for i, t in enumerate(free) if t not in free[:i]
+    )
+    out = eng.generate_sync(
+        list(range(6)), max_new_tokens=10, eos_token_id=eos
+    )
+    assert out == free[: k + 1] and out[-1] == eos
+
+    q = eng.submit(
+        list(range(6)),
+        max_new_tokens=5,
+        sampling=SamplingConfig(temperature=0.8, top_p=0.9),
+    )
+    while q.state != "done":
+        eng.step()
+    assert len(q.output_ids) == 5
