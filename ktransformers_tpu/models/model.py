@@ -39,6 +39,23 @@ from ktransformers_tpu.quant.formats import QTensor, dequantize, quantize
 NEG_INF = -1e30
 
 
+def plinear(p: dict, key: str, x, bias=None):
+    """linear() through params dict with optional LoRA sibling
+    "<key>_lora" = {"a": [K, r], "b": [r, N]} (alpha/r folded into b).
+    The SFT path trains only these adapters (reference: kt_adapt_peft_lora,
+    python/sft/lora.py)."""
+    y = linear(x, p[key], bias)
+    lora = p.get(key + "_lora")
+    if lora is not None:
+        xf = x.astype(jnp.float32)
+        delta = (xf @ lora["a"].astype(jnp.float32)) @ lora["b"].astype(
+            jnp.float32
+        )
+        y = y + delta.astype(y.dtype)
+    return y
+
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
@@ -114,15 +131,15 @@ def _mla_attention(p, spec: ModelSpec, x, layer_cache, pos_offset, rope_cs):
     nope, dr, r = a.qk_nope_head_dim, a.qk_rope_head_dim, a.kv_lora_rank
 
     if a.q_lora_rank:
-        q = linear(x, p["q_a"], p.get("q_a_bias"))
+        q = plinear(p, "q_a", x, p.get("q_a_bias"))
         q = rms_norm(q, p["q_a_norm"], spec.rms_norm_eps)
-        q = linear(q, p["q_b"])
+        q = plinear(p, "q_b", q)
     else:
-        q = linear(x, p["q_proj"])
+        q = plinear(p, "q_proj", x)
     q = q.reshape(b, s, h, nope + dr)
     q_nope, q_pe = q[..., :nope], q[..., nope:]
 
-    ckv_kpe = linear(x, p["kv_a"], p.get("kv_a_bias"))  # [B,S,R+Dr]
+    ckv_kpe = plinear(p, "kv_a", x, p.get("kv_a_bias"))  # [B,S,R+Dr]
     ckv = rms_norm(ckv_kpe[..., :r], p["kv_a_norm"], spec.rms_norm_eps)
     k_pe = ckv_kpe[..., r:]
 
@@ -156,7 +173,7 @@ def _mla_attention(p, spec: ModelSpec, x, layer_cache, pos_offset, rope_cs):
         "bhsr,hrv->bshv", attn.astype(jnp.float32), w_uv.astype(jnp.float32)
     ).astype(x.dtype)
     out = out.reshape(b, s, h * a.v_head_dim)
-    return linear(out, p["o_proj"], p.get("o_bias")), (ckv_buf, kpe_buf)
+    return plinear(p, "o_proj", out, p.get("o_bias")), (ckv_buf, kpe_buf)
 
 
 def a_interleaved(spec: ModelSpec) -> bool:
@@ -168,9 +185,9 @@ def _gqa_attention(p, spec: ModelSpec, x, layer_cache, pos_offset, rope_cs):
     b, s, _ = x.shape
     h, hkv, d = a.num_heads, a.num_kv_heads, a.head_dim
 
-    q = linear(x, p["q_proj"], p.get("q_bias")).reshape(b, s, h, d)
-    k = linear(x, p["k_proj"], p.get("k_bias")).reshape(b, s, hkv, d)
-    v = linear(x, p["v_proj"], p.get("v_bias")).reshape(b, s, hkv, d)
+    q = plinear(p, "q_proj", x, p.get("q_bias")).reshape(b, s, h, d)
+    k = plinear(p, "k_proj", x, p.get("k_bias")).reshape(b, s, hkv, d)
+    v = plinear(p, "v_proj", x, p.get("v_bias")).reshape(b, s, hkv, d)
 
     if a.qk_norm:
         q = rms_norm(q, p["q_norm"], spec.rms_norm_eps)
@@ -194,14 +211,14 @@ def _gqa_attention(p, spec: ModelSpec, x, layer_cache, pos_offset, rope_cs):
         mask=mask,
     )  # [B,H,S,D]
     out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
-    return linear(out, p["o_proj"], p.get("o_bias")), (k_buf, v_buf)
+    return plinear(p, "o_proj", out, p.get("o_bias")), (k_buf, v_buf)
 
 
 def _dense_mlp(p, spec: ModelSpec, x):
-    h = linear(x, p["gate_up"])
+    h = plinear(p, "gate_up", x)
     f = h.shape[-1] // 2
     act = glu_activate(h[..., :f], h[..., f:], spec.activation)
-    return linear(act, p["down"])
+    return plinear(p, "down", act)
 
 
 def _moe_mlp(p, spec: ModelSpec, x):

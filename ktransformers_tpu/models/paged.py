@@ -33,6 +33,23 @@ from ktransformers_tpu.ops.rope import (
 from ktransformers_tpu.models.model import _dense_mlp, _moe_mlp
 
 
+def plinear(p: dict, key: str, x, bias=None):
+    """linear() through params dict with optional LoRA sibling
+    "<key>_lora" = {"a": [K, r], "b": [r, N]} (alpha/r folded into b).
+    The SFT path trains only these adapters (reference: kt_adapt_peft_lora,
+    python/sft/lora.py)."""
+    y = linear(x, p[key], bias)
+    lora = p.get(key + "_lora")
+    if lora is not None:
+        xf = x.astype(jnp.float32)
+        delta = (xf @ lora["a"].astype(jnp.float32)) @ lora["b"].astype(
+            jnp.float32
+        )
+        y = y + delta.astype(y.dtype)
+    return y
+
+
+
 def _write_pages(buf, new, page_tables, lengths, page_size):
     """Scatter new [B, S, ...] into pages at positions lengths[b] + j."""
     b, s = new.shape[:2]
@@ -65,15 +82,15 @@ def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size):
     nope, dr, r = a.qk_nope_head_dim, a.qk_rope_head_dim, a.kv_lora_rank
 
     if a.q_lora_rank:
-        q = linear(x, p["q_a"], p.get("q_a_bias"))
+        q = plinear(p, "q_a", x, p.get("q_a_bias"))
         q = rms_norm(q, p["q_a_norm"], spec.rms_norm_eps)
-        q = linear(q, p["q_b"])
+        q = plinear(p, "q_b", q)
     else:
-        q = linear(x, p["q_proj"])
+        q = plinear(p, "q_proj", x)
     q = q.reshape(b, s, h, nope + dr)
     q_nope, q_pe = q[..., :nope], q[..., nope:]
 
-    ckv_kpe = linear(x, p["kv_a"], p.get("kv_a_bias"))
+    ckv_kpe = plinear(p, "kv_a", x, p.get("kv_a_bias"))
     ckv = rms_norm(ckv_kpe[..., :r], p["kv_a_norm"], spec.rms_norm_eps)
     k_pe = ckv_kpe[..., r:]
 
@@ -106,7 +123,7 @@ def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size):
         "bhsr,hrv->bshv", attn.astype(jnp.float32), w_uv.astype(jnp.float32)
     ).astype(x.dtype)
     out = out.reshape(b, s, h * a.v_head_dim)
-    return linear(out, p["o_proj"], p.get("o_bias")), (buf_a, buf_b)
+    return plinear(p, "o_proj", out, p.get("o_bias")), (buf_a, buf_b)
 
 
 def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size):
@@ -114,9 +131,9 @@ def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size):
     b, s, _ = x.shape
     h, hkv, d = a.num_heads, a.num_kv_heads, a.head_dim
 
-    q = linear(x, p["q_proj"], p.get("q_bias")).reshape(b, s, h, d)
-    k = linear(x, p["k_proj"], p.get("k_bias")).reshape(b, s, hkv, d)
-    v = linear(x, p["v_proj"], p.get("v_bias")).reshape(b, s, hkv, d)
+    q = plinear(p, "q_proj", x, p.get("q_bias")).reshape(b, s, h, d)
+    k = plinear(p, "k_proj", x, p.get("k_bias")).reshape(b, s, hkv, d)
+    v = plinear(p, "v_proj", x, p.get("v_bias")).reshape(b, s, hkv, d)
     if a.qk_norm:
         q = rms_norm(q, p["q_norm"], spec.rms_norm_eps)
         k = rms_norm(k, p["k_norm"], spec.rms_norm_eps)
@@ -141,7 +158,7 @@ def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size):
         mask=mask,
     )
     out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
-    return linear(out, p["o_proj"], p.get("o_bias")), (buf_a, buf_b)
+    return plinear(p, "o_proj", out, p.get("o_bias")), (buf_a, buf_b)
 
 
 def forward_paged(

@@ -56,12 +56,17 @@ class MoEWeights:
     down:    QTensor [E, inter, hidden].
     logical_to_physical: optional int32 [E_logical] expert remap.
     expert_mask: optional bool [E]; True = expert computed on this shard.
+    lora: optional per-expert LoRA factors (SFT path; analog of the
+      reference's fused expert LoRA, operators/amx/sft_moe.hpp):
+      {"gate_up_a": [E, hidden, r], "gate_up_b": [E, r, 2*inter],
+       "down_a": [E, inter, r], "down_b": [E, r, hidden]} * (alpha / r).
     """
 
     gate_up: QTensor
     down: QTensor
     logical_to_physical: jnp.ndarray | None = None
     expert_mask: jnp.ndarray | None = None
+    lora: dict | None = None
 
     @property
     def num_experts(self) -> int:
@@ -247,9 +252,21 @@ def _moe_forward_gather(
         local = weights.expert_mask[ids]
         w = jnp.where(local, w, 0.0)
         ids = jnp.where(local, ids, 0)  # clamp masked to a valid index
+    def lora_add(h, inp, name):
+        if weights.lora is None:
+            return h
+        af = weights.lora[f"{name}_a"][ids].astype(jnp.float32)  # [t,k,K,r]
+        bf = weights.lora[f"{name}_b"][ids].astype(jnp.float32)  # [t,k,r,N]
+        inp_f = inp.astype(jnp.float32)
+        eq = "ted,tedr->ter" if inp.ndim == 3 else "td,tedr->ter"
+        la = jnp.einsum(eq, inp_f, af)
+        return h + jnp.einsum("ter,tern->ten", la, bf).astype(h.dtype)
+
     h = gathered_matmul(x, weights.gate_up, ids)  # [t,k,2F]
+    h = lora_add(h, x, "gate_up")
     a = glu_activate(h[..., :inter], h[..., inter:], cfg.activation)
     y = gathered_matmul(a, weights.down, ids)  # [t,k,d]
+    y = lora_add(y, a, "down")
     return jnp.sum(y * w[:, :, None].astype(y.dtype), axis=1).astype(x.dtype)
 
 
@@ -285,9 +302,28 @@ def moe_forward(
     )
     xs = x[token_of_row]  # [T*k, d]
 
+    def lora_add(h, inp, name):
+        if weights.lora is None:
+            return h
+        la = jax.lax.ragged_dot(
+            inp,
+            weights.lora[f"{name}_a"].astype(inp.dtype),
+            group_sizes,
+            preferred_element_type=jnp.float32,
+        )
+        lb = jax.lax.ragged_dot(
+            la.astype(inp.dtype),
+            weights.lora[f"{name}_b"].astype(inp.dtype),
+            group_sizes,
+            preferred_element_type=jnp.float32,
+        )
+        return h + lb.astype(h.dtype)
+
     h = grouped_matmul(xs, weights.gate_up, group_sizes, impl=cfg.impl)
+    h = lora_add(h, xs, "gate_up")
     a = glu_activate(h[:, :inter], h[:, inter:], cfg.activation)
     y = grouped_matmul(a, weights.down, group_sizes, impl=cfg.impl)  # [T*k, d]
+    y = lora_add(y, a, "down")
 
     combine = (topk_weights.reshape(-1) * keep)[sort_order]
     y = y * combine[:, None].astype(y.dtype)

@@ -1,0 +1,105 @@
+"""LoRA SFT trainer: cross-entropy over (input_ids, labels) batches, AdamW
+on the LoRA leaves only, quantized base frozen.
+
+Reference analog: the LLaMA-Factory x kt-kernel training step (SURVEY.md
+§3.4): KTMoEFunction forward/backward + PEFT optimizer over fused LoRA
+buffers. Here the backward is plain autodiff through the MoE ops and the
+optimizer is optax; data parallelism = `dp` mesh axis via sharded batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ktransformers_tpu.models.model import KVCache, forward
+from ktransformers_tpu.models.spec import ModelSpec
+from ktransformers_tpu.sft.lora import merge_lora_params, split_lora
+
+IGNORE_INDEX = -100
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    b1: float = 0.9
+    b2: float = 0.999
+    max_grad_norm: float = 1.0
+    seq_len: int = 512
+
+
+def loss_fn(params, spec: ModelSpec, input_ids, labels, compute_dtype):
+    """Token-level CE; labels == IGNORE_INDEX are masked (prompt tokens)."""
+    b, s = input_ids.shape
+    cache = KVCache.create(spec, b, s, dtype=compute_dtype)
+    logits, _ = forward(
+        params, spec, input_ids, cache, compute_dtype=compute_dtype
+    )
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tgt = jnp.where(labels == IGNORE_INDEX, 0, labels)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    mask = (labels != IGNORE_INDEX).astype(jnp.float32)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+class Trainer:
+    def __init__(
+        self,
+        params_with_lora,
+        spec: ModelSpec,
+        cfg: TrainConfig = TrainConfig(),
+        compute_dtype=jnp.float32,
+    ):
+        self.spec = spec
+        self.cfg = cfg
+        self.compute_dtype = compute_dtype
+        self.lora, self.base = split_lora(params_with_lora)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adamw(
+                cfg.learning_rate,
+                b1=cfg.b1,
+                b2=cfg.b2,
+                weight_decay=cfg.weight_decay,
+            ),
+        )
+        self.opt_state = self.tx.init(
+            jax.tree.map(lambda x: x, self.lora, is_leaf=lambda x: x is None)
+        )
+        self._step = None
+
+    def _build_step(self):
+        spec, cdt, tx = self.spec, self.compute_dtype, self.tx
+
+        @jax.jit
+        def step(lora, base, opt_state, input_ids, labels):
+            def lf(lora):
+                params = merge_lora_params(lora, base)
+                return loss_fn(params, spec, input_ids, labels, cdt)
+
+            loss, grads = jax.value_and_grad(lf)(lora)
+            updates, opt_state = tx.update(grads, opt_state, lora)
+            lora = optax.apply_updates(lora, updates)
+            return loss, lora, opt_state
+
+        return step
+
+    def train_step(self, input_ids, labels) -> float:
+        if self._step is None:
+            self._step = self._build_step()
+        loss, self.lora, self.opt_state = self._step(
+            self.lora, self.base, self.opt_state,
+            jnp.asarray(input_ids, jnp.int32),
+            jnp.asarray(labels, jnp.int32),
+        )
+        return float(loss)
+
+    @property
+    def params(self):
+        """Current merged params (for eval/generation)."""
+        return merge_lora_params(self.lora, self.base)

@@ -1,0 +1,98 @@
+"""SFT/LoRA tests: identity at init, only-LoRA training, loss decreases on a
+memorization task with a quantized frozen base, adapter save/load."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ktransformers_tpu.models.init import init_params
+from ktransformers_tpu.models.model import KVCache, forward
+from ktransformers_tpu.models.spec import spec_from_hf_config
+from ktransformers_tpu.sft.lora import (
+    LoRAConfig,
+    init_lora,
+    load_lora,
+    save_lora,
+    split_lora,
+)
+from ktransformers_tpu.sft.train import IGNORE_INDEX, TrainConfig, Trainer
+
+from tests.test_generate import TINY_DS
+
+
+def _logits(params, spec, tokens):
+    cache = KVCache.create(spec, tokens.shape[0], tokens.shape[1] + 2,
+                           dtype=jnp.float32)
+    out, _ = forward(params, spec, tokens, cache, compute_dtype=jnp.float32)
+    return np.asarray(out)
+
+
+def test_lora_identity_at_init():
+    spec = spec_from_hf_config(dict(TINY_DS))
+    params = init_params(spec, seed=0, quant="int8")
+    tokens = jnp.asarray(np.arange(12)[None] % 50, jnp.int32)
+    base_out = _logits(params, spec, tokens)
+
+    pl = init_lora(params, spec, LoRAConfig(rank=4), seed=1)
+    lora_out = _logits(pl, spec, tokens)
+    np.testing.assert_allclose(lora_out, base_out, rtol=1e-5, atol=1e-5)
+
+
+def test_split_only_lora_trainable():
+    spec = spec_from_hf_config(dict(TINY_DS))
+    params = init_params(spec, seed=0, quant="int8")
+    pl = init_lora(params, spec, LoRAConfig(rank=4), seed=1)
+    lora, base = split_lora(pl)
+    lora_leaves = [x for x in jax.tree.leaves(lora) if x is not None]
+    assert lora_leaves, "no trainable lora leaves"
+    # every trainable leaf is float (never quantized codes)
+    assert all(jnp.issubdtype(x.dtype, jnp.floating) for x in lora_leaves)
+    # base retains the quantized weights
+    base_leaves = [x for x in jax.tree.leaves(base) if x is not None]
+    assert any(x.dtype == jnp.int8 for x in base_leaves)
+
+
+def test_lora_training_reduces_loss():
+    spec = spec_from_hf_config(dict(TINY_DS))
+    params = init_params(spec, seed=0, quant="int8")
+    pl = init_lora(params, spec, LoRAConfig(rank=8, alpha=16), seed=1)
+    trainer = Trainer(pl, spec, TrainConfig(learning_rate=5e-3))
+
+    rng = np.random.default_rng(0)
+    seq = rng.integers(0, 90, size=(2, 16))
+    input_ids = seq
+    labels = np.where(
+        np.arange(16)[None, :] < 4, IGNORE_INDEX, seq
+    )  # mask "prompt" part
+
+    losses = [trainer.train_step(input_ids, labels) for _ in range(30)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.7, losses[::10]
+
+    # base weights unchanged (frozen)
+    _, base = split_lora(trainer.params)
+    _, base0 = split_lora(pl)
+    for a, b in zip(jax.tree.leaves(base0), jax.tree.leaves(base)):
+        if a is not None and hasattr(a, "dtype") and a.dtype == jnp.int8:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lora_save_load(tmp_path):
+    spec = spec_from_hf_config(dict(TINY_DS))
+    params = init_params(spec, seed=0, quant="int8")
+    pl = init_lora(params, spec, LoRAConfig(rank=4), seed=1)
+    trainer = Trainer(pl, spec, TrainConfig(learning_rate=1e-2))
+    seq = np.arange(16)[None] % 80
+    trainer.train_step(seq, seq)
+
+    tokens = jnp.asarray(seq, jnp.int32)
+    trained = _logits(trainer.params, spec, tokens)
+
+    path = str(tmp_path / "adapter.safetensors")
+    save_lora(trainer.params, path)
+
+    fresh = init_lora(params, spec, LoRAConfig(rank=4), seed=99)
+    restored = load_lora(fresh, path)
+    np.testing.assert_allclose(
+        _logits(restored, spec, tokens), trained, rtol=1e-5, atol=1e-5
+    )
