@@ -1,0 +1,174 @@
+"""kt-tpu command line: chat / serve / convert / bench / doctor.
+
+Reference analog: kt-kernel/python/cli (typer `kt` app with run, chat,
+model, doctor, config, sft, bench commands).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import click
+
+
+@click.group()
+def cli():
+    """ktransformers-tpu: TPU-native quantized MoE inference."""
+
+
+_model_opts = [
+    click.option("--quant", default="int8", show_default=True,
+                 help="quant format for dense/attention weights"),
+    click.option("--moe-quant", default="int4_g", show_default=True,
+                 help="quant format for routed experts"),
+    click.option("--config", "config_path", default=None,
+                 help="HF config.json (required for raw GGUF)"),
+    click.option("--placement", "placement_yaml", default=None,
+                 help="placement rules YAML (per-module quant/shard)"),
+    click.option("--tokenizer", "tokenizer_path", default=None),
+]
+
+
+def model_options(f):
+    for opt in reversed(_model_opts):
+        f = opt(f)
+    return f
+
+
+def _load(model_path, quant, moe_quant, config_path, placement_yaml,
+          save_packed=None):
+    from ktransformers_tpu.engine.local_chat import load_model
+
+    placement = None
+    if placement_yaml:
+        from ktransformers_tpu.placement.spec import PlacementSpec
+
+        placement = PlacementSpec.from_yaml(placement_yaml)
+    return load_model(
+        model_path,
+        quant=quant,
+        moe_quant=moe_quant,
+        config_path=config_path,
+        placement=placement,
+        save_packed=save_packed,
+        progress=lambda msg: print(f"\r{msg}", end="", file=sys.stderr),
+    )
+
+
+@cli.command()
+@click.argument("model_path")
+@model_options
+@click.option("--max-new-tokens", default=512, show_default=True)
+@click.option("--temperature", default=0.6, show_default=True)
+@click.option("--top-p", default=0.95, show_default=True)
+@click.option("--max-len", default=4096, show_default=True)
+def chat(model_path, quant, moe_quant, config_path, placement_yaml,
+         tokenizer_path, max_new_tokens, temperature, top_p, max_len):
+    """Interactive chat with a local model (local_chat analog)."""
+    from ktransformers_tpu.engine.local_chat import chat_loop, load_tokenizer
+
+    spec, params = _load(
+        model_path, quant, moe_quant, config_path, placement_yaml
+    )
+    tok = load_tokenizer(model_path, tokenizer_path)
+    chat_loop(
+        spec, params, tok,
+        max_len=max_len, max_new_tokens=max_new_tokens,
+        temperature=temperature, top_p=top_p,
+    )
+
+
+@cli.command()
+@click.argument("model_path")
+@model_options
+@click.option("--host", default="0.0.0.0", show_default=True)
+@click.option("--port", default=8192, show_default=True)
+@click.option("--max-batch-size", default=8, show_default=True)
+@click.option("--prefill-chunk", default=256, show_default=True)
+@click.option("--num-pages", default=2048, show_default=True)
+@click.option("--page-size", default=64, show_default=True)
+@click.option("--max-pages-per-query", default=64, show_default=True)
+def serve(model_path, quant, moe_quant, config_path, placement_yaml,
+          tokenizer_path, host, port, max_batch_size, prefill_chunk,
+          num_pages, page_size, max_pages_per_query):
+    """OpenAI-compatible server (balance_serve analog)."""
+    from ktransformers_tpu.engine.local_chat import load_tokenizer
+    from ktransformers_tpu.serving.engine import ServeEngine
+    from ktransformers_tpu.serving.scheduler import SchedulerConfig
+    from ktransformers_tpu.serving.server import serve as run_server
+
+    spec, params = _load(
+        model_path, quant, moe_quant, config_path, placement_yaml
+    )
+    engine = ServeEngine(
+        params,
+        spec,
+        SchedulerConfig(
+            max_batch_size=max_batch_size,
+            prefill_chunk=prefill_chunk,
+            page_size=page_size,
+            max_pages_per_query=max_pages_per_query,
+        ),
+        num_pages=num_pages,
+    )
+    tok = load_tokenizer(model_path, tokenizer_path)
+    run_server(engine, tok, host=host, port=port)
+
+
+@cli.command()
+@click.argument("model_path")
+@click.argument("out_dir")
+@model_options
+def convert(model_path, out_dir, quant, moe_quant, config_path,
+            placement_yaml, tokenizer_path):
+    """Convert HF/GGUF weights to the packed on-disk format
+    (convert_cpu_weights.py analog)."""
+    _load(
+        model_path, quant, moe_quant, config_path, placement_yaml,
+        save_packed=out_dir,
+    )
+    print(f"\npacked params written to {out_dir}")
+
+
+@cli.command()
+def bench():
+    """Run the standard single-chip benchmark."""
+    import runpy
+
+    runpy.run_path("bench.py", run_name="__main__")
+
+
+@cli.command()
+def doctor():
+    """Environment diagnostics (kt doctor analog)."""
+    import jax
+
+    import ktransformers_tpu
+
+    info = {
+        "ktransformers_tpu": ktransformers_tpu.__version__,
+        "jax": jax.__version__,
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "device_count": jax.device_count(),
+    }
+    try:
+        from ktransformers_tpu.ops import pallas as p
+
+        info["pallas_enabled"] = p.maybe_enable()
+    except Exception as e:  # pragma: no cover
+        info["pallas_enabled"] = f"error: {e}"
+    try:
+        import jax.numpy as jnp
+
+        x = jnp.ones((128, 128), jnp.bfloat16)
+        (x @ x).block_until_ready()
+        info["matmul_smoke"] = "ok"
+    except Exception as e:  # pragma: no cover
+        info["matmul_smoke"] = f"error: {e}"
+    print(json.dumps(info, indent=2))
+
+
+if __name__ == "__main__":
+    cli()

@@ -136,6 +136,15 @@ def _group_reshape(w: jnp.ndarray, group_size: int) -> jnp.ndarray:
     return w.reshape(*lead, k // group_size, group_size, n)
 
 
+def effective_group_size(k: int, group_size: int) -> int:
+    """Largest even divisor of K that is <= the requested group size (small
+    layers in tests / tiny models get clamped groups)."""
+    g = min(group_size, k)
+    while g > 2 and (k % g != 0 or g % 2 != 0):
+        g -= 1
+    return max(g, 2)
+
+
 def quantize(
     w: jnp.ndarray, kind: str, group_size: int = 128, scale_dtype=jnp.float32
 ) -> QTensor:
@@ -143,6 +152,8 @@ def quantize(
     if kind in ("bf16", "fp16", "f32"):
         dt = {"bf16": jnp.bfloat16, "fp16": jnp.float16, "f32": jnp.float32}[kind]
         return QTensor(w.astype(dt), None, None, kind="bf16", group_size=0)
+    if kind in ("int4_g", "int4_gz"):
+        group_size = effective_group_size(w.shape[-2], group_size)
 
     wf = w.astype(jnp.float32)
     if kind in ("int8", "int4"):
