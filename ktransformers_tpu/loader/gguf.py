@@ -381,12 +381,27 @@ _DECODERS = {
 }
 
 
-def decode_ggml(raw: np.ndarray, ggml_type: int) -> np.ndarray:
-    """Decode packed ggml bytes to flat float32."""
+NATIVE_MIN_BYTES = 1 << 20  # use the C++ decoders above 1 MiB
+
+
+def decode_ggml(
+    raw: np.ndarray, ggml_type: int, use_native: bool | None = None
+) -> np.ndarray:
+    """Decode packed ggml bytes to flat float32.
+
+    Large tensors go through the native OpenMP decoders
+    (csrc/ggml_decode.cpp) when built; numpy is the reference fallback."""
     name = GGML_TYPES[ggml_type][0]
     if name not in _DECODERS:
         raise NotImplementedError(f"ggml type {name} not supported")
-    return _DECODERS[name](np.asarray(raw, np.uint8))
+    raw = np.asarray(raw, np.uint8)
+    if use_native or (use_native is None and raw.size >= NATIVE_MIN_BYTES):
+        from ktransformers_tpu.loader import native
+
+        out = native.decode(raw, name)
+        if out is not None:
+            return out
+    return _DECODERS[name](raw)
 
 
 class GGUFDir:
