@@ -24,7 +24,13 @@ import jax.numpy as jnp
 
 from ktransformers_tpu.models.spec import ModelSpec
 from ktransformers_tpu.ops.activations import glu_activate
-from ktransformers_tpu.ops.attention import mha, mla_absorbed
+from ktransformers_tpu.ops.attention import (
+    BLOCKWISE_KV_THRESHOLD,
+    mha,
+    mha_blockwise,
+    mla_absorbed,
+    mla_absorbed_blockwise,
+)
 from ktransformers_tpu.ops.gate import route
 from ktransformers_tpu.ops.linear import linear
 from ktransformers_tpu.ops.moe import MoEConfig, MoEWeights, moe_forward
@@ -163,10 +169,16 @@ def _mla_attention(p, spec: ModelSpec, x, layer_cache, pos_offset, rope_cs):
     scale = a.softmax_scale or (
         (nope + dr) ** -0.5 * rope_attention_scale(spec.rope)
     )
-    mask = _attn_mask(pos_offset, s, ckv_buf.shape[1])
-    attn = mla_absorbed(
-        q_nope_eff, q_pe, ckv_buf, kpe_buf, scale=scale, mask=mask
-    )  # [B,H,S,R]
+    if ckv_buf.shape[1] >= BLOCKWISE_KV_THRESHOLD:
+        qpos = pos_offset[:, None] + jnp.arange(s)[None, :]
+        attn = mla_absorbed_blockwise(
+            q_nope_eff, q_pe, ckv_buf, kpe_buf, qpos, scale=scale
+        )
+    else:
+        mask = _attn_mask(pos_offset, s, ckv_buf.shape[1])
+        attn = mla_absorbed(
+            q_nope_eff, q_pe, ckv_buf, kpe_buf, scale=scale, mask=mask
+        )  # [B,H,S,R]
 
     w_uv = p["w_uv"]  # [H, R, v]
     out = jnp.einsum(
@@ -202,14 +214,24 @@ def _gqa_attention(p, spec: ModelSpec, x, layer_cache, pos_offset, rope_cs):
     v_buf = _write_cache(layer_cache[1], v, pos_offset)
 
     scale = a.softmax_scale or d**-0.5
-    mask = _attn_mask(pos_offset, s, k_buf.shape[1])
-    out = mha(
-        q,
-        k_buf.transpose(0, 2, 1, 3),
-        v_buf.transpose(0, 2, 1, 3),
-        scale=scale,
-        mask=mask,
-    )  # [B,H,S,D]
+    if k_buf.shape[1] >= BLOCKWISE_KV_THRESHOLD:
+        qpos = pos_offset[:, None] + jnp.arange(s)[None, :]
+        out = mha_blockwise(
+            q,
+            k_buf.transpose(0, 2, 1, 3),
+            v_buf.transpose(0, 2, 1, 3),
+            qpos,
+            scale=scale,
+        )
+    else:
+        mask = _attn_mask(pos_offset, s, k_buf.shape[1])
+        out = mha(
+            q,
+            k_buf.transpose(0, 2, 1, 3),
+            v_buf.transpose(0, 2, 1, 3),
+            scale=scale,
+            mask=mask,
+        )  # [B,H,S,D]
     out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
     return plinear(p, "o_proj", out, p.get("o_bias")), (k_buf, v_buf)
 

@@ -21,7 +21,13 @@ import jax.numpy as jnp
 from ktransformers_tpu.cache.paged import PagedKVCache
 from ktransformers_tpu.models.model import NEG_INF, a_interleaved
 from ktransformers_tpu.models.spec import ModelSpec
-from ktransformers_tpu.ops.attention import mha, mla_absorbed
+from ktransformers_tpu.ops.attention import (
+    BLOCKWISE_KV_THRESHOLD,
+    mha,
+    mha_blockwise,
+    mla_absorbed,
+    mla_absorbed_blockwise,
+)
 from ktransformers_tpu.ops.linear import linear
 from ktransformers_tpu.ops.moe import MoEConfig
 from ktransformers_tpu.ops.norm import rms_norm
@@ -114,10 +120,16 @@ def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size):
     scale = a.softmax_scale or (
         (nope + dr) ** -0.5 * rope_attention_scale(spec.rope)
     )
-    mask = _attn_mask(lengths, s, ckv_all.shape[1])
-    attn = mla_absorbed(
-        q_nope_eff, q_pe, ckv_all, kpe_all, scale=scale, mask=mask
-    )
+    if ckv_all.shape[1] >= BLOCKWISE_KV_THRESHOLD:
+        qpos = lengths[:, None] + jnp.arange(s)[None, :]
+        attn = mla_absorbed_blockwise(
+            q_nope_eff, q_pe, ckv_all, kpe_all, qpos, scale=scale
+        )
+    else:
+        mask = _attn_mask(lengths, s, ckv_all.shape[1])
+        attn = mla_absorbed(
+            q_nope_eff, q_pe, ckv_all, kpe_all, scale=scale, mask=mask
+        )
     w_uv = p["w_uv"]
     out = jnp.einsum(
         "bhsr,hrv->bshv", attn.astype(jnp.float32), w_uv.astype(jnp.float32)
@@ -149,14 +161,24 @@ def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size):
     v_all = _gather_pages(buf_b, page_tables)
 
     scale = a.softmax_scale or d**-0.5
-    mask = _attn_mask(lengths, s, k_all.shape[1])
-    out = mha(
-        q,
-        k_all.transpose(0, 2, 1, 3),
-        v_all.transpose(0, 2, 1, 3),
-        scale=scale,
-        mask=mask,
-    )
+    if k_all.shape[1] >= BLOCKWISE_KV_THRESHOLD:
+        qpos = lengths[:, None] + jnp.arange(s)[None, :]
+        out = mha_blockwise(
+            q,
+            k_all.transpose(0, 2, 1, 3),
+            v_all.transpose(0, 2, 1, 3),
+            qpos,
+            scale=scale,
+        )
+    else:
+        mask = _attn_mask(lengths, s, k_all.shape[1])
+        out = mha(
+            q,
+            k_all.transpose(0, 2, 1, 3),
+            v_all.transpose(0, 2, 1, 3),
+            scale=scale,
+            mask=mask,
+        )
     out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
     return plinear(p, "o_proj", out, p.get("o_bias")), (buf_a, buf_b)
 

@@ -115,6 +115,125 @@ def mla_absorbed(
     return out.astype(q_nope_eff.dtype)
 
 
+BLOCKWISE_KV_THRESHOLD = 8192
+
+
+def mla_absorbed_blockwise(
+    q_nope_eff: jnp.ndarray,  # [B, H, Sq, R]
+    q_pe: jnp.ndarray,  # [B, H, Sq, Dr]
+    ckv: jnp.ndarray,  # [B, Skv, R]
+    k_pe: jnp.ndarray,  # [B, Skv, Dr]
+    q_positions: jnp.ndarray,  # [B, Sq] absolute positions
+    *,
+    scale: float,
+    block_size: int = 2048,
+) -> jnp.ndarray:
+    """Online-softmax (flash-style) MLA attention over KV blocks.
+
+    Replaces the materialized [B, H, Sq, Skv] score tensor with a
+    `lax.scan` over KV blocks — the long-context path (reference: chunked
+    prefill + absorbed MLA reach 139K in 24GB, doc/en/
+    DeepseekR1_V3_tutorial.md:190-200; here memory is O(block) regardless
+    of context). Exactly equals mla_absorbed for any Skv.
+    """
+    b, h, sq, r = q_nope_eff.shape
+    skv = ckv.shape[1]
+    nb = -(-skv // block_size)
+    pad = nb * block_size - skv
+    if pad:
+        ckv = jnp.pad(ckv, ((0, 0), (0, pad), (0, 0)))
+        k_pe = jnp.pad(k_pe, ((0, 0), (0, pad), (0, 0)))
+    ckv_b = ckv.reshape(b, nb, block_size, r).transpose(1, 0, 2, 3)
+    kpe_b = k_pe.reshape(b, nb, block_size, -1).transpose(1, 0, 2, 3)
+
+    qn = q_nope_eff.astype(jnp.float32)
+    qp = q_pe.astype(jnp.float32)
+    qpos = q_positions[:, None, :, None].astype(jnp.int32)  # [B,1,Sq,1]
+
+    def body(carry, blk):
+        m, l, acc = carry
+        c_blk, p_blk, idx = blk
+        cf = c_blk.astype(jnp.float32)
+        pf = p_blk.astype(jnp.float32)
+        scores = (
+            jnp.einsum("bhqr,bsr->bhqs", qn, cf)
+            + jnp.einsum("bhqd,bsd->bhqs", qp, pf)
+        ) * scale
+        kpos = idx * block_size + jnp.arange(block_size)
+        scores = jnp.where(kpos[None, None, None, :] <= qpos, scores, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1))
+        p = jnp.exp(scores - m_new[..., None])
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1)
+        acc_new = acc * corr[..., None] + jnp.einsum("bhqs,bsr->bhqr", p, cf)
+        return (m_new, l_new, acc_new), None
+
+    init = (
+        jnp.full((b, h, sq), NEG_INF, jnp.float32),
+        jnp.zeros((b, h, sq), jnp.float32),
+        jnp.zeros((b, h, sq, r), jnp.float32),
+    )
+    (m, l, acc), _ = jax.lax.scan(
+        body, init, (ckv_b, kpe_b, jnp.arange(nb))
+    )
+    out = acc / jnp.maximum(l[..., None], 1e-30)
+    return out.astype(q_nope_eff.dtype)
+
+
+def mha_blockwise(
+    q: jnp.ndarray,  # [B, H, Sq, D]
+    k: jnp.ndarray,  # [B, Hkv, Skv, D]
+    v: jnp.ndarray,  # [B, Hkv, Skv, D]
+    q_positions: jnp.ndarray,  # [B, Sq]
+    *,
+    scale: float,
+    block_size: int = 2048,
+) -> jnp.ndarray:
+    """Online-softmax GQA attention over KV blocks (causal by position)."""
+    b, h, sq, d = q.shape
+    hkv, skv = k.shape[1], k.shape[2]
+    group = h // hkv
+    nb = -(-skv // block_size)
+    pad = nb * block_size - skv
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kb = k.reshape(b, hkv, nb, block_size, d).transpose(2, 0, 1, 3, 4)
+    vb = v.reshape(b, hkv, nb, block_size, -1).transpose(2, 0, 1, 3, 4)
+    dv = v.shape[-1]
+
+    qg = q.reshape(b, hkv, group, sq, d).astype(jnp.float32)
+    qpos = q_positions[:, None, None, :, None].astype(jnp.int32)
+
+    def body(carry, blk):
+        m, l, acc = carry
+        k_blk, v_blk, idx = blk
+        kf = k_blk.astype(jnp.float32)
+        vf = v_blk.astype(jnp.float32)
+        scores = jnp.einsum("bkgqd,bksd->bkgqs", qg, kf) * scale
+        kpos = idx * block_size + jnp.arange(block_size)
+        scores = jnp.where(
+            kpos[None, None, None, None, :] <= qpos, scores, NEG_INF
+        )
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1))
+        p = jnp.exp(scores - m_new[..., None])
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1)
+        acc_new = acc * corr[..., None] + jnp.einsum(
+            "bkgqs,bksd->bkgqd", p, vf
+        )
+        return (m_new, l_new, acc_new), None
+
+    init = (
+        jnp.full((b, hkv, group, sq), NEG_INF, jnp.float32),
+        jnp.zeros((b, hkv, group, sq), jnp.float32),
+        jnp.zeros((b, hkv, group, sq, dv), jnp.float32),
+    )
+    (m, l, acc), _ = jax.lax.scan(body, init, (kb, vb, jnp.arange(nb)))
+    out = acc / jnp.maximum(l[..., None], 1e-30)
+    return out.reshape(b, h, sq, dv).astype(q.dtype)
+
+
 def absorb_kv_b_proj(
     kv_b_proj: jnp.ndarray,  # [R, H*(nope+v)] dense (dequantized)
     num_heads: int,
