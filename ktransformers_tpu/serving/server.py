@@ -52,6 +52,9 @@ class OpenAIServer:
                 web.get("/metrics", self.metrics),
                 web.post("/v1/completions", self.completions),
                 web.post("/v1/chat/completions", self.chat_completions),
+                web.get("/api/tags", self.ollama_tags),
+                web.post("/api/generate", self.ollama_generate),
+                web.post("/api/chat", self.ollama_chat),
             ]
         )
 
@@ -114,6 +117,56 @@ class OpenAIServer:
 
     async def completions(self, request):
         return await self._serve(request, chat=False)
+
+    # -- Ollama-compatible endpoints (reference: server/api/ollama) --------
+
+    async def ollama_tags(self, request):
+        return web.json_response(
+            {"models": [{"name": self.model_name, "model": self.model_name}]}
+        )
+
+    async def ollama_generate(self, request):
+        body = await request.json()
+        ids = self.tok.encode(body.get("prompt", ""))
+        q = self.engine.submit(
+            list(ids),
+            max_new_tokens=int(body.get("options", {}).get("num_predict", 128)),
+            sampling=self._sampling(body.get("options", {})),
+            eos_token_id=getattr(self.tok, "eos_token_id", None),
+        )
+        out = await self._collect(q)
+        return web.json_response(
+            {
+                "model": self.model_name,
+                "response": self.tok.decode(out),
+                "done": True,
+                "done_reason": q.finish_reason or "stop",
+                "eval_count": len(out),
+            }
+        )
+
+    async def ollama_chat(self, request):
+        body = await request.json()
+        text = self.tok.apply_chat_template(
+            body.get("messages", []), tokenize=False,
+            add_generation_prompt=True,
+        )
+        ids = self.tok.encode(text)
+        q = self.engine.submit(
+            list(ids),
+            max_new_tokens=int(body.get("options", {}).get("num_predict", 128)),
+            sampling=self._sampling(body.get("options", {})),
+            eos_token_id=getattr(self.tok, "eos_token_id", None),
+        )
+        out = await self._collect(q)
+        return web.json_response(
+            {
+                "model": self.model_name,
+                "message": {"role": "assistant", "content": self.tok.decode(out)},
+                "done": True,
+                "done_reason": q.finish_reason or "stop",
+            }
+        )
 
     async def chat_completions(self, request):
         return await self._serve(request, chat=True)

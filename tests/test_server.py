@@ -110,3 +110,24 @@ async def test_metrics(client):
     text = await r.text()
     assert "ktransformers_tpu_queries_finished" in text
     assert "ktransformers_tpu_engine_steps" in text
+
+
+async def test_ollama_endpoints(client):
+    r = await client.get("/api/tags")
+    assert (await r.json())["models"][0]["name"] == "ktransformers-tpu"
+    r = await client.post(
+        "/api/generate",
+        json={"prompt": "hi", "options": {"num_predict": 3}},
+    )
+    data = await r.json()
+    assert data["done"] and data["eval_count"] == 3
+    r = await client.post(
+        "/api/chat",
+        json={
+            "messages": [{"role": "user", "content": "yo"}],
+            "options": {"num_predict": 2},
+        },
+    )
+    data = await r.json()
+    assert data["message"]["role"] == "assistant"
+    assert len(data["message"]["content"]) == 2
