@@ -286,6 +286,11 @@ def moe_forward(
     reference's decode/prefill dispatch (moe_base.hpp:165-171).
     """
     t, d = x.shape
+    if not isinstance(weights.gate_up, QTensor):
+        # host-offloaded experts (offload/experts.py): stream routed rows
+        from ktransformers_tpu.offload.experts import moe_forward_offloaded
+
+        return moe_forward_offloaded(x, weights, topk_idx, topk_weights, cfg)
     if cfg.impl == "gather" or (
         cfg.impl == "auto" and t <= DECODE_GATHER_MAX_TOKENS
     ):
