@@ -205,9 +205,22 @@ def _gqa_attention(p, spec: ModelSpec, x, layer_cache, pos_offset, rope_cs):
         q = rms_norm(q, p["q_norm"], spec.rms_norm_eps)
         k = rms_norm(k, p["k_norm"], spec.rms_norm_eps)
 
-    cos, sin = rope_cs  # [B, S, d/2]
-    q = apply_rope(q.transpose(0, 2, 1, 3), cos[:, None], sin[:, None])
-    k = apply_rope(k.transpose(0, 2, 1, 3), cos[:, None], sin[:, None])
+    cos, sin = rope_cs  # [B, S, rot/2]
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    rot = a.rotary_dim
+    if rot and rot < d:
+        q = jnp.concatenate(
+            [apply_rope(q[..., :rot], cos[:, None], sin[:, None]), q[..., rot:]],
+            axis=-1,
+        )
+        k = jnp.concatenate(
+            [apply_rope(k[..., :rot], cos[:, None], sin[:, None]), k[..., rot:]],
+            axis=-1,
+        )
+    else:
+        q = apply_rope(q, cos[:, None], sin[:, None])
+        k = apply_rope(k, cos[:, None], sin[:, None])
     k = k.transpose(0, 2, 1, 3)  # back to [B,S,Hkv,D]
 
     k_buf = _write_cache(layer_cache[0], k, pos_offset)

@@ -150,10 +150,23 @@ def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size):
         q = rms_norm(q, p["q_norm"], spec.rms_norm_eps)
         k = rms_norm(k, p["k_norm"], spec.rms_norm_eps)
 
-    cos, sin = rope_cs
-    q = apply_rope(q.transpose(0, 2, 1, 3), cos[:, None], sin[:, None])
-    k = apply_rope(k.transpose(0, 2, 1, 3), cos[:, None], sin[:, None])
+    cos, sin = rope_cs  # [B, S, rot/2]
+    q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)
+    rot = a.rotary_dim
+    if rot and rot < d:
+        q = jnp.concatenate(
+            [apply_rope(q[..., :rot], cos[:, None], sin[:, None]), q[..., rot:]],
+            axis=-1,
+        )
+        k = jnp.concatenate(
+            [apply_rope(k[..., :rot], cos[:, None], sin[:, None]), k[..., rot:]],
+            axis=-1,
+        )
+    else:
+        q = apply_rope(q, cos[:, None], sin[:, None])
+        k = apply_rope(k, cos[:, None], sin[:, None])
+    k = k.transpose(0, 2, 1, 3)  # back to [B,S,Hkv,D]
 
     buf_a = _write_pages(bufs[0], k, page_tables, lengths, page_size)
     buf_b = _write_pages(bufs[1], v, page_tables, lengths, page_size)

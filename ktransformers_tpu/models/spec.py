@@ -31,12 +31,15 @@ class AttentionSpec:
     v_head_dim: int = 0
     # knobs
     attention_bias: bool = False
-    qk_norm: bool = False  # qwen3-style per-head RMSNorm on q/k
+    qk_norm: bool = False  # qwen3/glm4-style per-head RMSNorm on q/k
+    partial_rotary_dim: int = 0  # 0 = rotate the whole head (glm4: half)
     softmax_scale: float | None = None  # None = head_dim**-0.5 (x yarn mscale)
 
     @property
     def rotary_dim(self) -> int:
-        return self.qk_rope_head_dim if self.kind == "mla" else self.head_dim
+        if self.kind == "mla":
+            return self.qk_rope_head_dim
+        return self.partial_rotary_dim or self.head_dim
 
 
 @dataclasses.dataclass(frozen=True)
@@ -158,6 +161,7 @@ def _deepseek_spec(cfg: dict, model_type: str) -> ModelSpec:
 def _gqa_attn(cfg: dict, qk_norm: bool = False) -> AttentionSpec:
     heads = int(cfg["num_attention_heads"])
     head_dim = int(cfg.get("head_dim") or cfg["hidden_size"] // heads)
+    prf = float(cfg.get("partial_rotary_factor", 1.0) or 1.0)
     return AttentionSpec(
         kind="gqa",
         num_heads=heads,
@@ -166,6 +170,7 @@ def _gqa_attn(cfg: dict, qk_norm: bool = False) -> AttentionSpec:
         attention_bias=bool(cfg.get("attention_bias", False))
         or cfg.get("model_type") in ("qwen2", "qwen2_moe"),
         qk_norm=qk_norm,
+        partial_rotary_dim=int(head_dim * prf) if prf < 1.0 else 0,
     )
 
 
@@ -264,6 +269,46 @@ def _dense_spec(cfg: dict, model_type: str) -> ModelSpec:
     )
 
 
+def _glm4_moe_spec(cfg: dict) -> ModelSpec:
+    """GLM4-MoE: GQA attention with half-rotary + optional qk-norm, a
+    DeepSeek-V3-style sigmoid/noaux_tc router, dense first_k layers, shared
+    experts (ungated)."""
+    gate = GateConfig(
+        num_experts=int(cfg["n_routed_experts"]),
+        top_k=int(cfg["num_experts_per_tok"]),
+        scoring="sigmoid",
+        group_method="group_top2sum",
+        n_group=int(cfg.get("n_group", 1) or 1),
+        topk_group=int(cfg.get("topk_group", 1) or 1),
+        norm_topk_prob=bool(cfg.get("norm_topk_prob", True)),
+        routed_scaling_factor=float(cfg.get("routed_scaling_factor", 1.0)),
+        has_correction_bias=True,
+    )
+    moe = MoESpec(
+        num_experts=int(cfg["n_routed_experts"]),
+        top_k=int(cfg["num_experts_per_tok"]),
+        moe_intermediate_size=int(cfg["moe_intermediate_size"]),
+        gate=gate,
+        shared_expert_intermediate_size=int(cfg.get("n_shared_experts") or 0)
+        * int(cfg["moe_intermediate_size"]),
+        first_k_dense=int(cfg.get("first_k_dense_replace", 1)),
+    )
+    attn = _gqa_attn(cfg, qk_norm=bool(cfg.get("use_qk_norm", False)))
+    return ModelSpec(
+        model_type="glm4_moe",
+        vocab_size=int(cfg["vocab_size"]),
+        hidden_size=int(cfg["hidden_size"]),
+        num_layers=int(cfg["num_hidden_layers"]),
+        intermediate_size=int(cfg["intermediate_size"]),
+        rms_norm_eps=float(cfg.get("rms_norm_eps", 1e-5)),
+        attention=attn,
+        rope=_rope_from_hf(cfg, attn.rotary_dim, interleaved=False),
+        moe=moe,
+        tie_word_embeddings=bool(cfg.get("tie_word_embeddings", False)),
+        max_position=int(cfg.get("max_position_embeddings", 4096)),
+    )
+
+
 _TRANSLATORS = {
     "deepseek_v2": lambda c: _deepseek_spec(c, "deepseek_v2"),
     "deepseek_v3": lambda c: _deepseek_spec(c, "deepseek_v3"),
@@ -271,6 +316,7 @@ _TRANSLATORS = {
     "qwen2_moe": lambda c: _qwen_moe_spec(c, "qwen2_moe"),
     "qwen3_moe": lambda c: _qwen_moe_spec(c, "qwen3_moe"),
     "mixtral": _mixtral_spec,
+    "glm4_moe": _glm4_moe_spec,
     "llama": lambda c: _dense_spec(c, "llama"),
     "qwen2": lambda c: _dense_spec(c, "qwen2"),
     "qwen3": lambda c: _dense_spec(c, "qwen3"),

@@ -244,3 +244,36 @@ def test_incremental_decode_matches_prefill():
     np.testing.assert_allclose(
         inc, np.asarray(full_logits), rtol=1e-4, atol=1e-4
     )
+
+
+def test_glm4_moe_parity():
+    from transformers import Glm4MoeConfig, Glm4MoeForCausalLM
+
+    cfg = Glm4MoeConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        moe_intermediate_size=32,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        partial_rotary_factor=0.5,
+        use_qk_norm=True,
+        n_routed_experts=8,
+        num_experts_per_tok=2,
+        n_shared_experts=1,
+        n_group=2,
+        topk_group=1,
+        norm_topk_prob=True,
+        routed_scaling_factor=1.5,
+        first_k_dense_replace=1,
+        max_position_embeddings=64,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(7)
+    model = Glm4MoeForCausalLM(cfg)
+    with torch.no_grad():
+        for layer in model.model.layers[cfg.first_k_dense_replace:]:
+            layer.mlp.gate.e_score_correction_bias.uniform_(-0.1, 0.1)
+    _run_parity(model, cfg)
