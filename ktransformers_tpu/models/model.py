@@ -30,6 +30,7 @@ from ktransformers_tpu.ops.attention import (
     mha_blockwise,
     mla_absorbed,
     mla_absorbed_blockwise,
+    mla_decode,
 )
 from ktransformers_tpu.ops.gate import route
 from ktransformers_tpu.ops.linear import linear
@@ -169,7 +170,11 @@ def _mla_attention(p, spec: ModelSpec, x, layer_cache, pos_offset, rope_cs):
     scale = a.softmax_scale or (
         (nope + dr) ** -0.5 * rope_attention_scale(spec.rope)
     )
-    if ckv_buf.shape[1] >= BLOCKWISE_KV_THRESHOLD:
+    if s == 1:
+        attn = mla_decode(
+            q_nope_eff, q_pe, ckv_buf, kpe_buf, pos_offset + 1, scale=scale
+        )
+    elif ckv_buf.shape[1] >= BLOCKWISE_KV_THRESHOLD:
         qpos = pos_offset[:, None] + jnp.arange(s)[None, :]
         attn = mla_absorbed_blockwise(
             q_nope_eff, q_pe, ckv_buf, kpe_buf, qpos, scale=scale

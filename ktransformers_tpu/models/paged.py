@@ -27,6 +27,7 @@ from ktransformers_tpu.ops.attention import (
     mha_blockwise,
     mla_absorbed,
     mla_absorbed_blockwise,
+    mla_decode,
 )
 from ktransformers_tpu.ops.linear import linear
 from ktransformers_tpu.ops.moe import MoEConfig
@@ -120,7 +121,11 @@ def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size):
     scale = a.softmax_scale or (
         (nope + dr) ** -0.5 * rope_attention_scale(spec.rope)
     )
-    if ckv_all.shape[1] >= BLOCKWISE_KV_THRESHOLD:
+    if s == 1:
+        attn = mla_decode(
+            q_nope_eff, q_pe, ckv_all, kpe_all, lengths + 1, scale=scale
+        )
+    elif ckv_all.shape[1] >= BLOCKWISE_KV_THRESHOLD:
         qpos = lengths[:, None] + jnp.arange(s)[None, :]
         attn = mla_absorbed_blockwise(
             q_nope_eff, q_pe, ckv_all, kpe_all, qpos, scale=scale

@@ -23,6 +23,29 @@ import jax.numpy as jnp
 
 NEG_INF = -1e30
 
+# Pallas fused MLA decode kernel, registered by ops.pallas.enable().
+_PALLAS_MLA_DECODE = None
+
+
+def set_pallas_mla_decode(fn) -> None:
+    global _PALLAS_MLA_DECODE
+    _PALLAS_MLA_DECODE = fn
+
+
+def mla_decode(q_nope_eff, q_pe, ckv, kpe, lengths, *, scale):
+    """Single-token MLA attention [B,H,1,R]-shaped inputs squeezed to
+    [B,H,R]; uses the fused Pallas kernel when registered, else the dense
+    path with a mask."""
+    if _PALLAS_MLA_DECODE is not None:
+        return _PALLAS_MLA_DECODE(
+            q_nope_eff[:, :, 0], q_pe[:, :, 0], ckv, kpe, lengths, scale
+        )[:, :, None]
+    kpos = jnp.arange(ckv.shape[1])[None, None, :]
+    mask = jnp.where(
+        kpos < lengths[:, None, None], 0.0, NEG_INF
+    ).astype(jnp.float32)
+    return mla_absorbed(q_nope_eff, q_pe, ckv, kpe, scale=scale, mask=mask)
+
 
 def _softmax(scores: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return jax.nn.softmax(scores.astype(jnp.float32), axis=axis)

@@ -40,9 +40,16 @@ def enable() -> None:
             return None
         return grouped_quant_matmul(x_sorted, w, group_sizes)
 
+    from ktransformers_tpu.ops import attention
+    from ktransformers_tpu.ops.pallas.mla_decode import mla_decode_attention
+
+    def _mla_decode(qn, qp, ckv, kpe, lengths, scale):
+        return mla_decode_attention(qn, qp, ckv, kpe, lengths, scale)
+
     linear.set_pallas_qmatmul(_qmatmul)
     moe.set_pallas_gather(_gather)
     moe.set_pallas_gmm(_gmm)
+    attention.set_pallas_mla_decode(_mla_decode)
     _ENABLED = True
 
 

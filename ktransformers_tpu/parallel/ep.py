@@ -81,3 +81,118 @@ def moe_forward_ep(
         check_vma=False,
     )
     return fn(x, weights, topk_idx, topk_weights)
+
+
+def moe_forward_ep_a2a(
+    x: jnp.ndarray,  # [T, d], token-sharded over ep (T divisible by ep)
+    weights: MoEWeights,  # experts sharded over ep
+    topk_idx: jnp.ndarray,  # [T, k]
+    topk_weights: jnp.ndarray,  # [T, k]
+    cfg: MoEConfig,
+    mesh: Mesh,
+    capacity_factor: float = 2.0,
+) -> jnp.ndarray:
+    """All-to-all expert parallelism: tokens are *dispatched* to the shard
+    holding their expert, computed there, and combined back — the
+    bandwidth-optimal large-batch path (SURVEY.md §7 stage 4; the analog of
+    the reference's deferred-expert CPU<->GPU round trip, replaced by ICI
+    all_to_all). Per-destination capacity C = ceil(T_local * k / ep *
+    capacity_factor); overflow (token, slot) pairs are dropped (their
+    combine weight contributes zero) — set capacity_factor >= ep for an
+    exact, drop-free result.
+    """
+    ep_size = mesh.shape[AXIS_EP]
+    if ep_size == 1:
+        return moe_forward(x, weights, topk_idx, topk_weights, cfg)
+    e_total = weights.num_experts
+    e_local = e_total // ep_size
+    t, d = x.shape
+    k = topk_idx.shape[1]
+    t_local = t // ep_size
+    cap = max(8, int(-(-t_local * k // ep_size) * capacity_factor))
+
+    def local_fn(x_l, w_local, idx_l, tw_l):
+        s_count = ep_size
+        tl = x_l.shape[0]
+        flat_idx = idx_l.reshape(-1)  # [tl*k] global expert ids
+        dest = flat_idx // e_local  # destination shard per slot
+        local_expert = flat_idx % e_local
+        order = jnp.argsort(dest)  # stable
+        sorted_dest = dest[order]
+        counts = jnp.bincount(dest, length=s_count)
+        starts = jnp.cumsum(counts) - counts
+        rank = jnp.arange(tl * k) - starts[sorted_dest]
+
+        tok_of_flat = jnp.arange(tl * k) // k
+        sorted_flat = order  # flat (token*k+slot) index per sorted row
+
+        # scatter into [S, C] send buffers; rank >= C rows drop (jax scatter
+        # drops out-of-bounds updates by default)
+        send_x = jnp.zeros((s_count, cap, d), x_l.dtype).at[
+            sorted_dest, rank
+        ].set(x_l[tok_of_flat[order]])
+        send_eid = jnp.full((s_count, cap), -1, jnp.int32).at[
+            sorted_dest, rank
+        ].set(local_expert[order].astype(jnp.int32))
+
+        # dispatch
+        recv_x = jax.lax.all_to_all(
+            send_x, AXIS_EP, split_axis=0, concat_axis=0, tiled=True
+        )
+        recv_eid = jax.lax.all_to_all(
+            send_eid, AXIS_EP, split_axis=0, concat_axis=0, tiled=True
+        )
+
+        # compute local experts on received rows
+        rows = recv_x.reshape(s_count * cap, d)
+        eids = recv_eid.reshape(s_count * cap)
+        valid = eids >= 0
+        ids_safe = jnp.clip(eids, 0, e_local - 1)
+        ones = jnp.where(valid, 1.0, 0.0)[:, None].astype(jnp.float32)
+        y_rows = moe_forward(
+            rows,
+            w_local,
+            ids_safe[:, None],
+            ones,
+            cfg,
+        )  # [S*C, d]
+
+        # combine: send results back to source shards
+        back = jax.lax.all_to_all(
+            y_rows.reshape(s_count, cap, d),
+            AXIS_EP,
+            split_axis=0,
+            concat_axis=0,
+            tiled=True,
+        )  # [S, C, d] indexed by (dest shard, rank)
+
+        # per original flat slot: where did it land?
+        dest_of_flat = dest
+        rank_of_flat = jnp.zeros((tl * k,), jnp.int32).at[order].set(
+            rank.astype(jnp.int32)
+        )
+        y_flat = back.at[dest_of_flat, rank_of_flat].get(
+            mode="fill", fill_value=0
+        )  # dropped slots (rank >= cap) read as 0
+        dropped = rank_of_flat >= cap
+        w_flat = jnp.where(dropped, 0.0, tw_l.reshape(-1))
+        y_tok = jnp.sum(
+            y_flat.reshape(tl, k, d)
+            * w_flat.reshape(tl, k, 1).astype(y_flat.dtype),
+            axis=1,
+        )
+        return y_tok.astype(x_l.dtype)
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(AXIS_EP, None),
+            _expert_sharded_specs(weights),
+            P(AXIS_EP, None),
+            P(AXIS_EP, None),
+        ),
+        out_specs=P(AXIS_EP, None),
+        check_vma=False,
+    )
+    return fn(x, weights, topk_idx, topk_weights)

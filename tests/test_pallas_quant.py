@@ -89,3 +89,31 @@ def test_grouped_quant_matmul_kernel(rng, kind):
     np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
     # masked tail rows must be exactly zero
     assert np.all(out[38:] == 0)
+
+
+def test_mla_decode_kernel(rng):
+    from ktransformers_tpu.ops.attention import mla_absorbed
+    from ktransformers_tpu.ops.pallas.mla_decode import mla_decode_attention
+
+    b, h, r, dr, smax = 3, 4, 128, 32, 640
+    qn = jnp.asarray(rng.standard_normal((b, h, r)).astype(np.float32))
+    qp = jnp.asarray(rng.standard_normal((b, h, dr)).astype(np.float32))
+    ckv = jnp.asarray(rng.standard_normal((b, smax, r)).astype(np.float32))
+    kpe = jnp.asarray(rng.standard_normal((b, smax, dr)).astype(np.float32))
+    lengths = jnp.asarray([17, 500, 640], jnp.int32)
+
+    # dense reference with length mask
+    kpos = np.arange(smax)[None, None, :]
+    mask = jnp.asarray(
+        np.where(kpos < np.asarray(lengths)[:, None, None], 0.0, -1e30),
+        jnp.float32,
+    )
+    ref = mla_absorbed(
+        qn[:, :, None], qp[:, :, None], ckv, kpe, scale=0.09, mask=mask
+    )[:, :, 0]
+    out = mla_decode_attention(
+        qn, qp, ckv, kpe, lengths, 0.09, block_s=256, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )

@@ -116,3 +116,47 @@ def test_ep_with_prefix_of_experts_on_each_shard(rng):
     np.testing.assert_allclose(
         np.asarray(y_ep), np.asarray(y_ref), rtol=1e-5, atol=1e-5
     )
+
+
+def test_moe_forward_ep_a2a_exact(rng):
+    """all_to_all dispatch with drop-free capacity must equal the
+    single-device result."""
+    from ktransformers_tpu.parallel.ep import moe_forward_ep_a2a
+
+    e, d, f, k, t = 16, 64, 96, 4, 32
+    gu = jnp.asarray(rng.standard_normal((e, d, 2 * f)).astype(np.float32) * 0.05)
+    dn = jnp.asarray(rng.standard_normal((e, f, d)).astype(np.float32) * 0.05)
+    w = MoEWeights(gate_up=quantize(gu, "bf16"), down=quantize(dn, "bf16"))
+    x = jnp.asarray(rng.standard_normal((t, d)).astype(np.float32))
+    logits = jnp.asarray(rng.standard_normal((t, e)).astype(np.float32))
+    idx, wts = route(logits, GateConfig(num_experts=e, top_k=k, norm_topk_prob=True))
+    cfg = MoEConfig()
+    ref = moe_forward(x, w, idx, wts, cfg)
+
+    mesh = make_mesh(dp=1, ep=4, tp=2)
+    y = moe_forward_ep_a2a(x, w, idx, wts, cfg, mesh, capacity_factor=8.0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_moe_forward_ep_a2a_drops_overflow(rng):
+    """With tiny capacity, overflow slots contribute zero (never garbage)."""
+    from ktransformers_tpu.parallel.ep import moe_forward_ep_a2a
+
+    e, d, f, k, t = 8, 32, 48, 2, 16
+    gu = jnp.asarray(rng.standard_normal((e, d, 2 * f)).astype(np.float32) * 0.05)
+    dn = jnp.asarray(rng.standard_normal((e, f, d)).astype(np.float32) * 0.05)
+    w = MoEWeights(gate_up=quantize(gu, "bf16"), down=quantize(dn, "bf16"))
+    x = jnp.asarray(rng.standard_normal((t, d)).astype(np.float32))
+    # all tokens to experts 0 and 1 (shard 0 under ep=2) -> heavy overflow
+    idx = jnp.zeros((t, k), jnp.int32).at[:, 1].set(1)
+    wts = jnp.full((t, k), 0.5, jnp.float32)
+    mesh = make_mesh(dp=1, ep=2, tp=1)
+    y = moe_forward_ep_a2a(x, w, idx, wts, MoEConfig(), mesh,
+                           capacity_factor=0.5)
+    assert np.isfinite(np.asarray(y)).all()
+    # exact with generous capacity
+    y_full = moe_forward_ep_a2a(x, w, idx, wts, MoEConfig(), mesh,
+                                capacity_factor=16.0)
+    ref = moe_forward(x, w, idx, wts, MoEConfig())
+    np.testing.assert_allclose(np.asarray(y_full), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
