@@ -41,10 +41,15 @@ def load_spec(path: str, config_path: str | None = None) -> ModelSpec:
         if src in ("hf", "packed"):
             config_path = os.path.join(path, "config.json")
         else:
-            raise ValueError(
-                "GGUF models need --config pointing at the HF config.json "
-                "(metadata-derived specs land in a later revision)"
-            )
+            # derive the spec from GGUF metadata (llama.cpp keys)
+            from ktransformers_tpu.loader.gguf import GGUFDir
+            from ktransformers_tpu.models.spec import spec_from_gguf_fields
+
+            gd = GGUFDir(path)
+            try:
+                return spec_from_gguf_fields(gd.fields)
+            finally:
+                gd.close()
     with open(config_path) as f:
         return spec_from_hf_config(json.load(f))
 

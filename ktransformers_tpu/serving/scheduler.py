@@ -57,6 +57,20 @@ class Query:
             return None
         return self.first_token_at - self.created
 
+    @property
+    def tbt(self) -> float | None:
+        """Mean time-between-tokens over the decode phase (SLO field of the
+        reference scheduler, scheduler.h:154-155)."""
+        if (
+            self.finished_at is None
+            or self.first_token_at is None
+            or len(self.output_ids) < 2
+        ):
+            return None
+        return (self.finished_at - self.first_token_at) / (
+            len(self.output_ids) - 1
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class SchedulerConfig:
@@ -226,11 +240,25 @@ class Scheduler:
 
     def metrics(self) -> dict:
         done = [q for q in self.finished if q.ttft is not None]
+        with_tbt = [q for q in self.finished if q.tbt is not None]
+        total_out = sum(len(q.output_ids) for q in self.finished)
+        span = (
+            max(q.finished_at for q in self.finished) - self.finished[0].created
+            if self.finished
+            else 0.0
+        )
         return {
             "queries_waiting": len(self.waiting),
             "queries_running": len(self.running),
             "queries_finished": len(self.finished),
             "free_pages": self.alloc.free_count,
+            "tokens_generated": total_out,
+            "output_tok_s": total_out / span if span > 0 else 0.0,
+            "mean_tbt_s": (
+                sum(q.tbt for q in with_tbt) / len(with_tbt)
+                if with_tbt
+                else 0.0
+            ),
             "mean_ttft_s": (
                 sum(q.ttft for q in done) / len(done) if done else 0.0
             ),

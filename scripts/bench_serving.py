@@ -1,0 +1,106 @@
+"""Serving throughput benchmark: N-way concurrency over the engine
+(reference analog: archive/ktransformers/tests/test_speed.py).
+
+Usage: python scripts/bench_serving.py [--concurrency 8] [--tiny]
+Prints one JSON line with total/output tok/s, mean TTFT and TBT.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--concurrency", type=int, default=8)
+    ap.add_argument("--prompt-len", type=int, default=256)
+    ap.add_argument("--max-new", type=int, default=64)
+    ap.add_argument("--tiny", action="store_true", help="tiny model smoke run")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from ktransformers_tpu.models.init import init_params_synthetic
+    from ktransformers_tpu.models.spec import spec_from_hf_config
+    from ktransformers_tpu.serving.engine import ServeEngine
+    from ktransformers_tpu.serving.scheduler import SchedulerConfig
+
+    if args.tiny:
+        cfg = dict(
+            model_type="deepseek_v2", vocab_size=1024, hidden_size=256,
+            intermediate_size=512, moe_intermediate_size=128,
+            num_hidden_layers=4, num_attention_heads=8,
+            num_key_value_heads=8, n_shared_experts=1, n_routed_experts=16,
+            num_experts_per_tok=4, first_k_dense_replace=1, moe_layer_freq=1,
+            topk_method="greedy", norm_topk_prob=False,
+            routed_scaling_factor=1.0, kv_lora_rank=64, q_lora_rank=None,
+            qk_rope_head_dim=16, qk_nope_head_dim=32, v_head_dim=32,
+            max_position_embeddings=2048, rms_norm_eps=1e-6,
+            rope_theta=10000.0,
+        )
+    else:
+        cfg = dict(
+            model_type="deepseek_v2", vocab_size=102400, hidden_size=2048,
+            intermediate_size=10944, moe_intermediate_size=1408,
+            num_hidden_layers=27, num_attention_heads=16,
+            num_key_value_heads=16, n_shared_experts=2, n_routed_experts=64,
+            num_experts_per_tok=6, first_k_dense_replace=1, moe_layer_freq=1,
+            topk_method="greedy", norm_topk_prob=False,
+            routed_scaling_factor=1.0, kv_lora_rank=512, q_lora_rank=None,
+            qk_rope_head_dim=64, qk_nope_head_dim=128, v_head_dim=128,
+            max_position_embeddings=4096, rms_norm_eps=1e-6,
+            rope_theta=10000.0,
+        )
+    spec = spec_from_hf_config(cfg)
+    print("initializing params...", file=sys.stderr, flush=True)
+    params = init_params_synthetic(
+        spec, quant="int8", moe_quant="int4_g"
+    )
+    jax.block_until_ready(params)
+
+    pages_per_q = (args.prompt_len + args.max_new + 63) // 64 + 1
+    eng = ServeEngine(
+        params,
+        spec,
+        SchedulerConfig(
+            max_batch_size=args.concurrency,
+            prefill_chunk=256,
+            page_size=64,
+            max_pages_per_query=pages_per_q,
+        ),
+        num_pages=pages_per_q * args.concurrency + 16,
+    )
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    queries = [
+        eng.submit(
+            list(rng.integers(0, cfg["vocab_size"], args.prompt_len)),
+            max_new_tokens=args.max_new,
+        )
+        for _ in range(args.concurrency)
+    ]
+    while not all(q.state == "done" for q in queries):
+        if not eng.step():
+            time.sleep(0.001)
+    wall = time.perf_counter() - t0
+    m = eng.metrics()
+    out_toks = sum(len(q.output_ids) for q in queries)
+    total_toks = out_toks + args.concurrency * args.prompt_len
+    print(
+        json.dumps(
+            {
+                "concurrency": args.concurrency,
+                "output_tok_s": round(out_toks / wall, 2),
+                "total_tok_s": round(total_toks / wall, 2),
+                "mean_ttft_s": round(m["mean_ttft_s"], 3),
+                "mean_tbt_s": round(m["mean_tbt_s"], 4),
+                "wall_s": round(wall, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -162,3 +162,39 @@ def test_safetensors_fp8_blockwise(tmp_path):
     out = p.get("x.weight")
     ref = np.asarray(jnp.asarray(codes).astype(jnp.float32)) * s_full
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_spec_from_gguf_fields():
+    from ktransformers_tpu.models.spec import spec_from_gguf_fields
+
+    fields = {
+        "general.architecture": "deepseek2",
+        "deepseek2.block_count": 27,
+        "deepseek2.embedding_length": 2048,
+        "deepseek2.feed_forward_length": 10944,
+        "deepseek2.attention.head_count": 16,
+        "deepseek2.attention.head_count_kv": 16,
+        "deepseek2.attention.layer_norm_rms_epsilon": 1e-6,
+        "deepseek2.rope.freq_base": 10000.0,
+        "deepseek2.context_length": 163840,
+        "deepseek2.vocab_size": 102400,
+        "deepseek2.expert_count": 64,
+        "deepseek2.expert_used_count": 6,
+        "deepseek2.expert_feed_forward_length": 1408,
+        "deepseek2.expert_shared_count": 2,
+        "deepseek2.expert_weights_scale": 1.0,
+        "deepseek2.leading_dense_block_count": 1,
+        "deepseek2.attention.kv_lora_rank": 512,
+        "deepseek2.attention.q_lora_rank": 0,
+        "deepseek2.rope.dimension_count": 64,
+        "deepseek2.attention.key_length": 192,
+        "deepseek2.attention.value_length": 128,
+    }
+    spec = spec_from_gguf_fields(fields)
+    assert spec.model_type == "deepseek_v2"
+    assert spec.attention.kind == "mla"
+    assert spec.attention.kv_lora_rank == 512
+    assert spec.attention.qk_nope_head_dim == 128
+    assert spec.moe.num_experts == 64
+    assert spec.moe.shared_expert_intermediate_size == 2816
+    assert spec.moe.first_k_dense == 1
