@@ -60,11 +60,18 @@ class PagedKVCache:
 class PageAllocator:
     """Host-side free-list allocator with refcounts (prefix-cache pages are
     shared across queries). Analog of kvc2's page pool + eviction hooks
-    (page_aligned_memory_pool.cpp)."""
+    (page_aligned_memory_pool.cpp).
 
-    def __init__(self, num_pages: int):
+    `reserved` pages at the front are never handed out. The serving engine
+    reserves page 0 as a *trash page*: inactive padding rows of the
+    fixed-shape decode batch write their KV through a zero page table, and
+    those writes must land somewhere no live query reads (their reads are
+    position-masked, but the writes are real)."""
+
+    def __init__(self, num_pages: int, reserved: int = 0):
         self.num_pages = num_pages
-        self._free = list(range(num_pages - 1, -1, -1))
+        self.reserved = reserved
+        self._free = list(range(num_pages - 1, reserved - 1, -1))
         self._refs = [0] * num_pages
 
     @property

@@ -29,14 +29,29 @@ class _Node:
     last_used: float = 0.0
     parent: Optional["_Node"] = None
     key: tuple = ()
+    prefix_hash: str = ""  # key into the host/disk spill tiers
 
 
 class PrefixCache:
-    """Page-granular prefix tree with refcounted device pages + LRU trim."""
+    """Page-granular prefix tree with refcounted device pages + LRU trim.
 
-    def __init__(self, allocator: PageAllocator, page_size: int):
+    With a `spill` tier (cache/tiers.py HostDiskTier) and page read/write
+    callbacks, evicted pages drop to host DRAM / disk and are re-uploaded on
+    a later prefix match — kvc2's full GPU<->CPU<->Disk hierarchy."""
+
+    def __init__(
+        self,
+        allocator: PageAllocator,
+        page_size: int,
+        spill=None,
+        read_page=None,
+        write_page=None,
+    ):
         self.alloc = allocator
         self.page_size = page_size
+        self.spill = spill
+        self._read_page = read_page
+        self._write_page = write_page
         self.root = _Node(page=-1)
         self._nodes = 0
         self.hits = 0
@@ -51,12 +66,20 @@ class PrefixCache:
         """Longest cached page-aligned prefix.
 
         Returns (matched_tokens, page_ids); the returned pages are retained
-        for the caller (caller must release them when the query ends)."""
+        for the caller (caller must release them when the query ends). On a
+        trie miss, the spill tiers are consulted and hit pages re-uploaded
+        (kvc2 lookup_to_gpu semantics)."""
+        from ktransformers_tpu.cache.tiers import prefix_key
+
         node = self.root
         pages = []
         now = time.monotonic()
+        prefix: list[int] = []
         for block in self._blocks(tokens):
+            prefix.extend(block)
             child = node.children.get(block)
+            if child is None and self.spill is not None:
+                child = self._restore(node, block, prefix_key(tuple(prefix)))
             if child is None:
                 break
             child.last_used = now
@@ -69,17 +92,42 @@ class PrefixCache:
             self.misses += 1
         return len(pages) * self.page_size, pages
 
+    def _restore(self, parent: _Node, block: tuple, key: str):
+        """Bring a spilled page back to a device page + trie node."""
+        payload = self.spill.load(key)
+        if payload is None or self._write_page is None:
+            return None
+        if self.alloc.free_count < 1:
+            return None
+        pid = self.alloc.alloc(1)[0]  # cache's own reference
+        self._write_page(pid, payload)
+        child = _Node(
+            page=pid, parent=parent, key=block, prefix_hash=key
+        )
+        parent.children[block] = child
+        self._nodes += 1
+        return child
+
     def insert(self, tokens: list[int], pages: list[int]) -> None:
         """Record fully-written pages for this token prefix. The cache takes
         its own reference on newly-inserted pages."""
+        from ktransformers_tpu.cache.tiers import prefix_key
+
         node = self.root
         now = time.monotonic()
+        prefix: list[int] = []
         for i, block in enumerate(self._blocks(tokens)):
             if i >= len(pages):
                 break
+            prefix.extend(block)
             child = node.children.get(block)
             if child is None:
-                child = _Node(page=pages[i], parent=node, key=block)
+                child = _Node(
+                    page=pages[i],
+                    parent=node,
+                    key=block,
+                    prefix_hash=prefix_key(tuple(prefix)),
+                )
                 node.children[block] = child
                 self.alloc.retain([pages[i]])
                 self._nodes += 1
@@ -94,6 +142,12 @@ class PrefixCache:
             leaf = self._lru_leaf()
             if leaf is None:
                 break
+            if (
+                self.spill is not None
+                and self._read_page is not None
+                and leaf.prefix_hash
+            ):
+                self.spill.save(leaf.prefix_hash, self._read_page(leaf.page))
             del leaf.parent.children[leaf.key]
             self.alloc.release([leaf.page])
             self._nodes -= 1

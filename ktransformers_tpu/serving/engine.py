@@ -63,6 +63,7 @@ class ServeEngine:
         cache_dtype=jnp.bfloat16,
         compute_dtype=jnp.bfloat16,
         enable_prefix_cache: bool = True,
+        spill_tier=None,  # cache/tiers.py HostDiskTier for host/disk KV
     ):
         from ktransformers_tpu.ops import pallas as pallas_ops
 
@@ -73,9 +74,18 @@ class ServeEngine:
         self.kv = PagedKVCache.create(
             spec, num_pages, cfg.page_size, dtype=cache_dtype
         )
-        self.alloc = PageAllocator(num_pages)
+        # page 0 = trash page for padding-row writes (see PageAllocator)
+        self.alloc = PageAllocator(num_pages, reserved=1)
         self.prefix = (
-            PrefixCache(self.alloc, cfg.page_size) if enable_prefix_cache else None
+            PrefixCache(
+                self.alloc,
+                cfg.page_size,
+                spill=spill_tier,
+                read_page=self._read_page if spill_tier else None,
+                write_page=self._write_page if spill_tier else None,
+            )
+            if enable_prefix_cache
+            else None
         )
         self.scheduler = Scheduler(cfg, self.alloc, self.prefix)
         self.compute_dtype = compute_dtype
@@ -86,6 +96,27 @@ class ServeEngine:
         self._running = False
         self._thread = None
         self.steps_executed = 0
+
+    # -- page spill callbacks (kvc2 CudaStreamManager role) -----------------
+
+    def _read_page(self, pid: int) -> dict:
+        """Copy one page's KV (all layers) to host numpy."""
+        out = {}
+        for li in range(len(self.kv.bufs_a)):
+            out[f"a{li}"] = np.asarray(self.kv.bufs_a[li][pid])
+            out[f"b{li}"] = np.asarray(self.kv.bufs_b[li][pid])
+        return out
+
+    def _write_page(self, pid: int, payload: dict) -> None:
+        """Upload a spilled page back into the device pool."""
+        new_a = list(self.kv.bufs_a)
+        new_b = list(self.kv.bufs_b)
+        for li in range(len(new_a)):
+            new_a[li] = new_a[li].at[pid].set(jnp.asarray(payload[f"a{li}"]))
+            new_b[li] = new_b[li].at[pid].set(jnp.asarray(payload[f"b{li}"]))
+        self.kv = PagedKVCache(
+            bufs_a=new_a, bufs_b=new_b, page_size=self.kv.page_size
+        )
 
     # -- jitted steps -------------------------------------------------------
 

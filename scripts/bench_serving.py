@@ -7,8 +7,11 @@ Prints one JSON line with total/output tok/s, mean TTFT and TBT.
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

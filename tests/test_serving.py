@@ -182,3 +182,38 @@ def test_serving_mixed_sampling_and_eos():
     while q.state != "done":
         eng.step()
     assert len(q.output_ids) == 5
+
+
+def test_three_tier_prefix_cache(tmp_path):
+    """Evicted prefix pages spill to host/disk and are restored on the next
+    matching query, reproducing identical output (kvc2 3-layer semantics)."""
+    from ktransformers_tpu.cache.tiers import HostDiskTier
+
+    spec, params = _spec_params(TINY_DS)
+
+    def mk(spill):
+        return ServeEngine(
+            params, spec,
+            SchedulerConfig(max_batch_size=2, prefill_chunk=8, page_size=8,
+                            max_pages_per_query=8),
+            num_pages=16,  # tiny pool to force eviction
+            cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+            spill_tier=spill,
+        )
+
+    spill = HostDiskTier(max_host_bytes=1 << 20, disk_dir=str(tmp_path / "kv"))
+    eng = mk(spill)
+    p1 = list(range(24))  # 3 pages
+    p2 = list(range(50, 74))
+    out1 = eng.generate_sync(p1, max_new_tokens=4)
+
+    # churn the pool so p1's pages must be evicted (spilled)
+    for start in (100, 200, 300):
+        eng.generate_sync(list(range(start, start + 24)), max_new_tokens=4)
+        eng.prefix.trim(14)
+    assert spill.stats["spilled"] >= 1
+
+    # p1 again: restored from spill, identical output, and a spill hit
+    out1b = eng.generate_sync(p1, max_new_tokens=4)
+    assert out1b == out1
+    assert spill.stats["host_hits"] + spill.stats["disk_hits"] >= 1
