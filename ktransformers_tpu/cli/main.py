@@ -170,5 +170,45 @@ def doctor():
     print(json.dumps(info, indent=2))
 
 
+@cli.command()
+@click.argument("model_path")
+@click.argument("dataset_path")
+@model_options
+@click.option("--output", "output_path", default="adapter.safetensors",
+              show_default=True)
+@click.option("--rank", default=8, show_default=True)
+@click.option("--alpha", default=16.0, show_default=True)
+@click.option("--lr", default=1e-4, show_default=True)
+@click.option("--epochs", default=1, show_default=True)
+@click.option("--batch-size", default=4, show_default=True)
+@click.option("--seq-len", default=512, show_default=True)
+def sft(model_path, dataset_path, quant, moe_quant, config_path,
+        placement_yaml, tokenizer_path, output_path, rank, alpha, lr,
+        epochs, batch_size, seq_len):
+    """LoRA fine-tune on a JSON dataset (kt sft analog); saves a
+    safetensors adapter."""
+    from ktransformers_tpu.engine.local_chat import load_tokenizer
+    from ktransformers_tpu.sft.data import load_sft_dataset
+    from ktransformers_tpu.sft.lora import LoRAConfig, init_lora, save_lora
+    from ktransformers_tpu.sft.train import TrainConfig, Trainer
+
+    spec, params = _load(
+        model_path, quant, moe_quant, config_path, placement_yaml
+    )
+    tok = load_tokenizer(model_path, tokenizer_path)
+    pl = init_lora(params, spec, LoRAConfig(rank=rank, alpha=alpha))
+    trainer = Trainer(pl, spec, TrainConfig(learning_rate=lr, seq_len=seq_len))
+    step = 0
+    for epoch in range(epochs):
+        for input_ids, labels in load_sft_dataset(
+            dataset_path, tok, seq_len=seq_len, batch_size=batch_size
+        ):
+            loss = trainer.train_step(input_ids, labels)
+            step += 1
+            print(f"epoch {epoch} step {step} loss {loss:.4f}", file=sys.stderr)
+    save_lora(trainer.params, output_path)
+    print(f"adapter saved to {output_path}")
+
+
 if __name__ == "__main__":
     cli()

@@ -96,3 +96,46 @@ def test_lora_save_load(tmp_path):
     np.testing.assert_allclose(
         _logits(restored, spec, tokens), trained, rtol=1e-5, atol=1e-5
     )
+
+
+def test_sft_cli_end_to_end(tmp_path):
+    """kt-tpu sft over a packed model dir + JSON dataset -> adapter file."""
+    import json
+
+    from click.testing import CliRunner
+
+    from ktransformers_tpu.cli.main import cli
+    from ktransformers_tpu.models.checkpoint import save_params
+
+    spec = spec_from_hf_config(dict(TINY_DS))
+    params = init_params(spec, seed=0, quant="int8")
+    model_dir = tmp_path / "model"
+    save_params(params, str(model_dir))
+    (model_dir / "config.json").write_text(json.dumps(dict(TINY_DS)))
+
+    data = [
+        {"instruction": "say hi", "output": "hello there"},
+        {"prompt": "2+2?", "response": "4"},
+        {"messages": [{"role": "user", "content": "a"},
+                      {"role": "assistant", "content": "b"}]},
+        {"instruction": "x", "output": "y"},
+    ]
+    ds = tmp_path / "data.json"
+    ds.write_text(json.dumps(data))
+    adapter = tmp_path / "adapter.safetensors"
+
+    r = CliRunner().invoke(
+        cli,
+        ["sft", str(model_dir), str(ds), "--rank", "4", "--seq-len", "24",
+         "--batch-size", "2", "--output", str(adapter)],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    assert adapter.exists()
+
+    # adapter loads back onto a fresh lora init
+    from ktransformers_tpu.sft.lora import LoRAConfig, init_lora, load_lora
+
+    fresh = init_lora(params, spec, LoRAConfig(rank=4))
+    restored = load_lora(fresh, str(adapter))
+    assert restored is not None
