@@ -210,5 +210,40 @@ def sft(model_path, dataset_path, quant, moe_quant, config_path,
     print(f"adapter saved to {output_path}")
 
 
+@cli.command("eval-ppl")
+@click.argument("model_path")
+@click.argument("text_file")
+@model_options
+@click.option("--chunk", default=512, show_default=True)
+@click.option("--max-tokens", default=8192, show_default=True)
+def eval_ppl(model_path, text_file, quant, moe_quant, config_path,
+             placement_yaml, tokenizer_path, chunk, max_tokens):
+    """Teacher-forced perplexity over a text file (quant-parity harness,
+    doc/en/benchmark.md analog)."""
+    from ktransformers_tpu.engine.local_chat import load_tokenizer
+    from ktransformers_tpu.utils.eval import perplexity
+
+    spec, params = _load(
+        model_path, quant, moe_quant, config_path, placement_yaml
+    )
+    tok = load_tokenizer(model_path, tokenizer_path)
+    with open(text_file) as f:
+        ids = list(tok.encode(f.read()))[:max_tokens]
+    ppl = perplexity(params, spec, ids, chunk=chunk)
+    print(json.dumps({"perplexity": round(ppl, 4), "tokens": len(ids)}))
+
+
+@cli.command("eval-mc")
+@click.argument("endpoint")
+@click.argument("dataset_json")
+@click.option("--limit", default=None, type=int)
+def eval_mc(endpoint, dataset_json, limit):
+    """Multiple-choice accuracy against an OpenAI-compatible endpoint
+    (mmlu_test.py analog)."""
+    from ktransformers_tpu.utils.eval import mmlu_eval_http
+
+    print(json.dumps(mmlu_eval_http(endpoint, dataset_json, limit=limit)))
+
+
 if __name__ == "__main__":
     cli()

@@ -20,6 +20,8 @@ class SamplingConfig:
     top_k: int = 0  # 0 => disabled
     top_p: float = 1.0  # 1 => disabled
     repetition_penalty: float = 1.0
+    presence_penalty: float = 0.0  # OpenAI-style additive penalties
+    frequency_penalty: float = 0.0
 
 
 def apply_repetition_penalty(
@@ -31,6 +33,25 @@ def apply_repetition_penalty(
         return logits
     pen = jnp.where(logits > 0, logits / penalty, logits * penalty)
     return jnp.where(generated_mask > 0, pen, logits)
+
+
+def apply_presence_frequency_penalties(
+    logits: jnp.ndarray,
+    token_counts: jnp.ndarray,  # [B, V] occurrences in the output so far
+    presence_penalty,
+    frequency_penalty,
+) -> jnp.ndarray:
+    """OpenAI-style additive penalties (reference analog: the penaltylib
+    orchestrator, inference/sampling/penaltylib). Accepts scalars or [B]
+    vectors."""
+    p = jnp.asarray(presence_penalty, jnp.float32).reshape(-1, 1)
+    f = jnp.asarray(frequency_penalty, jnp.float32).reshape(-1, 1)
+    counts = token_counts.astype(jnp.float32)
+    return (
+        logits
+        - p * (counts > 0).astype(jnp.float32)
+        - f * counts
+    )
 
 
 def _top_k_filter(logits: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -63,6 +84,11 @@ def sample(
         logits = apply_repetition_penalty(
             logits, generated_mask, cfg.repetition_penalty
         )
+        if cfg.presence_penalty or cfg.frequency_penalty:
+            logits = apply_presence_frequency_penalties(
+                logits, generated_mask, cfg.presence_penalty,
+                cfg.frequency_penalty,
+            )
     if cfg.temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / cfg.temperature

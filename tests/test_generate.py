@@ -112,3 +112,16 @@ def test_repetition_penalty():
     mask = jnp.asarray([[1.0, 1.0, 0.0]])
     out = np.asarray(apply_repetition_penalty(logits, mask, 2.0))
     np.testing.assert_allclose(out, [[1.0, -2.0, 3.0]])
+
+
+def test_presence_frequency_penalties():
+    from ktransformers_tpu.engine.sampler import (
+        apply_presence_frequency_penalties,
+    )
+
+    logits = jnp.asarray([[1.0, 2.0, 3.0]])
+    counts = jnp.asarray([[0.0, 1.0, 3.0]])
+    out = np.asarray(
+        apply_presence_frequency_penalties(logits, counts, 0.5, 0.25)
+    )
+    np.testing.assert_allclose(out, [[1.0, 2.0 - 0.5 - 0.25, 3.0 - 0.5 - 0.75]])
