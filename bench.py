@@ -22,7 +22,18 @@ def log(*a):
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compilation cache: the remote compile service's latency
+    # varies from ~60s to ~500s per program; cached runs skip it entirely.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     import jax.numpy as jnp
 
     from ktransformers_tpu.engine.generate import Generator
@@ -68,8 +79,8 @@ def main():
     )
     log(f"params ready in {time.perf_counter()-t0:.1f}s, {nbytes/1e9:.2f} GB")
 
+    t_start = time.perf_counter()
     gen = Generator(params, spec, max_len=1024, batch=1)
-    cache = gen.new_cache()
 
     prompt_len = 512
     tokens = jnp.asarray(
@@ -77,29 +88,24 @@ def main():
         jnp.int32,
     )
 
-    # --- prefill ---
-    t0 = time.perf_counter()
-    last_logits, cache = gen.prefill(cache, tokens)
-    jax.block_until_ready(last_logits)
-    prefill_compile_s = time.perf_counter() - t0
+    # --- decode FIRST (the headline metric) over a synthetically-lengthed
+    # cache, so remote-compile slowness on the prefill path can never
+    # starve it ---
+    import dataclasses as _dc
 
-    cache2 = gen.new_cache()
-    t0 = time.perf_counter()
-    last_logits, cache2 = gen.prefill(cache2, tokens)
-    jax.block_until_ready(last_logits)
-    prefill_s = time.perf_counter() - t0
-    prefill_tps = prompt_len / prefill_s
-    log(f"prefill: {prefill_tps:.1f} tok/s (compile {prefill_compile_s:.1f}s)")
-
-    # --- decode (sampling fused into the jitted step) ---
     from ktransformers_tpu.engine.sampler import SamplingConfig
 
+    cache2 = gen.new_cache()
+    cache2 = _dc.replace(
+        cache2, lengths=jnp.full_like(cache2.lengths, prompt_len)
+    )
     decode = gen._decode_step(SamplingConfig())
     key = jax.random.PRNGKey(0)
-    tok = jnp.argmax(last_logits, -1).astype(jnp.int32)
-    # warmup/compile
+    tok = jnp.zeros((1,), jnp.int32)
+    t0 = time.perf_counter()
     tok, cache2, key = decode(tok[:, None], cache2, key)
     jax.block_until_ready(tok)
+    log(f"decode compile: {time.perf_counter()-t0:.1f}s")
 
     n_steps = 128
     t0 = time.perf_counter()
@@ -109,6 +115,30 @@ def main():
     decode_s = time.perf_counter() - t0
     decode_tps = n_steps / decode_s
     log(f"decode: {decode_tps:.2f} tok/s")
+
+    # --- prefill (best effort within the time budget; the remote compile
+    # service occasionally takes minutes) ---
+    prefill_tps = None
+    if time.perf_counter() - t_start < 240:
+        try:
+            cache = gen.new_cache()
+            t0 = time.perf_counter()
+            last_logits, cache = gen.prefill(cache, tokens)
+            jax.block_until_ready(last_logits)
+            prefill_compile_s = time.perf_counter() - t0
+
+            cache = gen.new_cache()
+            t0 = time.perf_counter()
+            last_logits, cache = gen.prefill(cache, tokens)
+            jax.block_until_ready(last_logits)
+            prefill_s = time.perf_counter() - t0
+            prefill_tps = prompt_len / prefill_s
+            log(
+                f"prefill: {prefill_tps:.1f} tok/s "
+                f"(compile {prefill_compile_s:.1f}s)"
+            )
+        except Exception as e:  # pragma: no cover
+            log(f"prefill bench failed: {e}")
 
     baseline = 13.69  # reference single-user decode tok/s (BASELINE.md)
     print(
@@ -123,7 +153,9 @@ def main():
                 "unit": "tok/s",
                 "vs_baseline": round(decode_tps / baseline, 3),
                 "extra": {
-                    "prefill_tok_s": round(prefill_tps, 1),
+                    "prefill_tok_s": (
+                        round(prefill_tps, 1) if prefill_tps else None
+                    ),
                     "params_gb": round(nbytes / 1e9, 2),
                 },
             }

@@ -13,10 +13,11 @@ kt-kernel/python/experts.py:34-67):
 | ``fp8``       | FP8 per-channel        | float8_e4m3fn           | per-out-channel f32 |
 | ``mxfp4``     | MXFP4 (e2m1+ue8m0)     | uint8 e2m1 nibble codes | per-group-32 ue8m0  |
 
-int4 values are nibble-packed along K (two consecutive k rows per byte:
-low nibble = even k, high = odd k) because the axon TPU runtime cannot take
-native ``jnp.int4`` arrays as jit arguments; packed uint8 is also exactly the
-layout the Pallas fused dequant-matmul kernels consume.
+int4 values are nibble-packed along K with the *group-split* convention
+(see pack_int4: within each scale group, low nibbles = first half rows,
+high nibbles = second half) because the axon TPU runtime cannot take native
+``jnp.int4`` arrays as jit arguments, and this layout lets the Pallas fused
+dequant-matmul kernels unpack a block into two contiguous MXU dots.
 
 Weight convention everywhere: weights are stored **[..., in_features,
 out_features]** ("K, N") so they feed `x @ w` / `ragged_dot` directly; the
