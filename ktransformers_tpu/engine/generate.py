@@ -110,6 +110,38 @@ class Generator:
             self._steps[key_] = partial(step, self.params)
         return self._steps[key_]
 
+    def _decode_step_penalized(self, sampling: SamplingConfig):
+        """Decode step variant carrying [B, V] generated-token counts and a
+        prompt-occurrence mask on device (penaltylib analog: repetition
+        penalty sees prompt+output, presence/frequency see output only)."""
+        key_ = ("decode_pen", sampling)
+        if key_ not in self._steps:
+            spec = self.spec
+            rope_tables = self.rope_tables
+            compute_dtype = self.compute_dtype
+
+            @partial(jax.jit, donate_argnums=(2, 4))
+            def step(params, tok, cache, key, counts, prompt_mask):
+                logits, cache = forward(
+                    params,
+                    spec,
+                    tok,
+                    cache,
+                    rope_tables=rope_tables,
+                    compute_dtype=compute_dtype,
+                )
+                key, sub = jax.random.split(key)
+                nxt = sample(
+                    logits[:, -1], sub, sampling,
+                    token_counts=counts, prompt_mask=prompt_mask,
+                )
+                b = nxt.shape[0]
+                counts = counts.at[jnp.arange(b), nxt].add(1)
+                return nxt, cache, key, counts
+
+            self._steps[key_] = partial(step, self.params)
+        return self._steps[key_]
+
     _prefill_chunk = 256
 
     def prefill(self, cache: KVCache, tokens: jnp.ndarray):
@@ -152,17 +184,38 @@ class Generator:
         key = jax.random.PRNGKey(cfg.seed)
         out = [[] for _ in range(b)]
         finished = np.zeros(b, bool)
-        decode = self._decode_step(cfg.sampling)
+        use_counts = cfg.sampling.needs_counts
+        v = last_logits.shape[-1]
+        if use_counts:
+            decode = self._decode_step_penalized(cfg.sampling)
+            counts = jnp.zeros((b, v), jnp.int32)
+            pmask_np = np.zeros((b, v), bool)
+            for bi, row in enumerate(np.asarray(prompt)):
+                pmask_np[bi, row] = True
+            prompt_mask = jnp.asarray(pmask_np)
+        else:
+            decode = self._decode_step(cfg.sampling)
+            counts = prompt_mask = None
 
         key, sub = jax.random.split(key)
-        tok = sample(last_logits, sub, cfg.sampling)
+        tok = sample(
+            last_logits, sub, cfg.sampling,
+            token_counts=counts, prompt_mask=prompt_mask,
+        )
+        if use_counts:
+            counts = counts.at[jnp.arange(b), tok].add(1)
 
         # One-step software pipeline: dispatch step i+1 before reading token
         # i from the device, so the host round-trip overlaps device compute.
         pending = [tok]
         for step_i in range(cfg.max_new_tokens):
             if step_i < cfg.max_new_tokens - 1 and not finished.all():
-                nxt, cache, key = decode(tok[:, None], cache, key)
+                if use_counts:
+                    nxt, cache, key, counts = decode(
+                        tok[:, None], cache, key, counts, prompt_mask
+                    )
+                else:
+                    nxt, cache, key = decode(tok[:, None], cache, key)
                 tok = nxt
                 pending.append(nxt)
             tok_np = np.asarray(pending.pop(0))

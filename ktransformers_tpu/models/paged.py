@@ -39,6 +39,18 @@ from ktransformers_tpu.ops.rope import (
 )
 from ktransformers_tpu.models.model import _dense_mlp, _moe_mlp
 
+# Paged decode kernels (ops/pallas/paged_attention.py), registered by
+# ops/pallas.enable(). When set, the s==1 decode path consumes the page
+# pool directly through the page table — no contiguous KV gather.
+_PAGED_MLA_DECODE = None
+_PAGED_GQA_DECODE = None
+
+
+def set_pallas_paged_decode(mla_fn, gqa_fn) -> None:
+    global _PAGED_MLA_DECODE, _PAGED_GQA_DECODE
+    _PAGED_MLA_DECODE = mla_fn
+    _PAGED_GQA_DECODE = gqa_fn
+
 
 def plinear(p: dict, key: str, x, bias=None):
     """linear() through params dict with optional LoRA sibling
@@ -115,12 +127,26 @@ def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size):
 
     buf_a = _write_pages(bufs[0], ckv, page_tables, lengths, page_size)
     buf_b = _write_pages(bufs[1], k_pe, page_tables, lengths, page_size)
-    ckv_all = _gather_pages(buf_a, page_tables)  # [B, Smax, R]
-    kpe_all = _gather_pages(buf_b, page_tables)
 
     scale = a.softmax_scale or (
         (nope + dr) ** -0.5 * rope_attention_scale(spec.rope)
     )
+    if s == 1 and _PAGED_MLA_DECODE is not None:
+        # true paged decode: the kernel walks the page table itself
+        attn = _PAGED_MLA_DECODE(
+            q_nope_eff[:, :, 0], q_pe[:, :, 0], buf_a, buf_b,
+            page_tables, lengths + 1, scale,
+        )[:, :, None]  # [B, H, 1, R]
+        w_uv = p["w_uv"]
+        out = jnp.einsum(
+            "bhsr,hrv->bshv", attn.astype(jnp.float32),
+            w_uv.astype(jnp.float32),
+        ).astype(x.dtype)
+        out = out.reshape(b, s, h * a.v_head_dim)
+        return plinear(p, "o_proj", out, p.get("o_bias")), (buf_a, buf_b)
+
+    ckv_all = _gather_pages(buf_a, page_tables)  # [B, Smax, R]
+    kpe_all = _gather_pages(buf_b, page_tables)
     if s == 1:
         attn = mla_decode(
             q_nope_eff, q_pe, ckv_all, kpe_all, lengths + 1, scale=scale
@@ -175,10 +201,17 @@ def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size):
 
     buf_a = _write_pages(bufs[0], k, page_tables, lengths, page_size)
     buf_b = _write_pages(bufs[1], v, page_tables, lengths, page_size)
-    k_all = _gather_pages(buf_a, page_tables)  # [B, Smax, Hkv, D]
-    v_all = _gather_pages(buf_b, page_tables)
 
     scale = a.softmax_scale or d**-0.5
+    if s == 1 and _PAGED_GQA_DECODE is not None:
+        out = _PAGED_GQA_DECODE(
+            q[:, :, 0], buf_a, buf_b, page_tables, lengths + 1, scale
+        )[:, None]  # [B, 1, H, D]
+        out = out.reshape(b, s, h * d)
+        return plinear(p, "o_proj", out, p.get("o_bias")), (buf_a, buf_b)
+
+    k_all = _gather_pages(buf_a, page_tables)  # [B, Smax, Hkv, D]
+    v_all = _gather_pages(buf_b, page_tables)
     if k_all.shape[1] >= BLOCKWISE_KV_THRESHOLD:
         qpos = lengths[:, None] + jnp.arange(s)[None, :]
         out = mha_blockwise(

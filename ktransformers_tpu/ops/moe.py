@@ -29,7 +29,13 @@ import jax
 import jax.numpy as jnp
 
 from ktransformers_tpu.ops.activations import ActivationConfig, glu_activate
-from ktransformers_tpu.quant.formats import QTensor, dequantize, unpack_int4
+from ktransformers_tpu.quant.formats import (
+    QTensor,
+    dequantize,
+    e2m1_decode,
+    unpack_int4,
+    unpack_uint4,
+)
 
 # Pallas grouped quantized matmul, registered at import time on TPU.
 _PALLAS_GMM = None
@@ -136,10 +142,12 @@ def grouped_matmul(
 
 def _gathered_codes(w: QTensor, ids: jnp.ndarray) -> jnp.ndarray:
     """Gather expert weight codes: w.data [E, Kp, N], ids [T, k] ->
-    float32 codes [T, k, K, N] (int4 unpacked)."""
+    float32 codes [T, k, K, N] (int4/e2m1 unpacked)."""
     q = w.data[ids]
     if w.kind in ("int4", "int4_g", "int4_gz"):
         q = unpack_int4(q, w.group_size)
+    elif w.kind == "mxfp4":
+        q = e2m1_decode(unpack_uint4(q, w.group_size))
     return q
 
 
@@ -191,6 +199,8 @@ def gathered_matmul(x: jnp.ndarray, w: QTensor, ids: jnp.ndarray) -> jnp.ndarray
         part = jnp.einsum("tGg,teGgn->teGn", xg, qg)
         xsum = jnp.sum(xg, axis=-1)[:, None]  # [t,1,G]
     scales = w.scales[ids]  # [t,k,G,n]
+    if w.kind in ("mxfp4", "mxfp8"):
+        scales = jnp.exp2(scales.astype(jnp.float32) - 127.0)
     if w.kind == "int4_gz":
         part = part - xsum[..., None] * w.zeros[ids]
     y = jnp.sum(part * scales, axis=2)

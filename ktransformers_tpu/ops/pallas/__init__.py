@@ -50,6 +50,21 @@ def enable() -> None:
     moe.set_pallas_gather(_gather)
     moe.set_pallas_gmm(_gmm)
     attention.set_pallas_mla_decode(_mla_decode)
+
+    from ktransformers_tpu.models import paged as paged_model
+    from ktransformers_tpu.ops.pallas.paged_attention import (
+        gqa_paged_decode,
+        mla_paged_decode,
+    )
+
+    paged_model.set_pallas_paged_decode(
+        lambda qn, qp, ckv, kpe, pt, lens, scale: mla_paged_decode(
+            qn, qp, ckv, kpe, pt, lens, scale
+        ),
+        lambda q, k, v, pt, lens, scale: gqa_paged_decode(
+            q, k, v, pt, lens, scale
+        ),
+    )
     _ENABLED = True
 
 

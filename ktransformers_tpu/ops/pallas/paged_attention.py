@@ -1,0 +1,324 @@
+"""Paged decode attention (Pallas): page-table-indexed block fetches.
+
+The TPU analog of the reference's paged decode attention
+(custom_flashinfer BatchMLAPagedAttentionWrapper,
+archive/ktransformers/operators/flashinfer_wrapper.py:78-221, and the
+Triton 2-stage grouped decode kernel, triton_attention.py:16-358): one
+query token per sequence attends over a *paged* KV pool. Unlike the
+r1 gather path (models/paged.py _gather_pages), no contiguous copy of the
+KV is ever materialized — each grid step DMA-fetches the next page(s) of
+the sequence straight from the page pool via a scalar-prefetched page
+table, so HBM traffic is exactly the bytes of the sequence's live KV.
+
+Two kernels:
+- `mla_paged_decode`: absorbed-MLA decode (compressed ckv + k_pe pages).
+- `gqa_paged_decode`: grouped-query attention decode (k/v pages).
+
+Both fetch `pages_per_block = max(1, 128 // page_size)` pages per grid
+step (multiple in_specs aliasing the same pool at consecutive page-table
+slots) so the score matmul's lane dimension stays MXU-friendly even with
+small pages.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _last_valid_slot(length, page: int):
+    """Index of the last page-table slot holding valid tokens (>= 0)."""
+    return jnp.maximum((length + page - 1) // page - 1, 0)
+
+
+# ---------------------------------------------------------------------------
+# MLA (compressed ckv + k_pe pages)
+# ---------------------------------------------------------------------------
+
+
+def _mla_kernel(
+    pt_ref,  # scalar prefetch: page tables flat [B * Pmax]
+    lens_ref,  # scalar prefetch: [B]
+    qn_ref,  # (1, H, R)
+    qp_ref,  # (1, H, Dr)
+    *page_refs,  # ppb x ckv (1, page, R), ppb x kpe (1, page, Dr), then
+    # o_ref (1, H, R), scratches m/l/acc
+    scale: float,
+    page: int,
+    ppb: int,
+    n_s: int,
+):
+    o_ref = page_refs[2 * ppb]
+    m_sc, l_sc, acc_sc = page_refs[2 * ppb + 1 :]
+    ckv_refs = page_refs[:ppb]
+    kpe_refs = page_refs[ppb : 2 * ppb]
+
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    length = lens_ref[b]
+
+    @pl.when(s == 0)
+    def _():
+        m_sc[:] = jnp.full_like(m_sc, NEG_INF)
+        l_sc[:] = jnp.zeros_like(l_sc)
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+
+    @pl.when(s * ppb * page < length)
+    def _():
+        qn = qn_ref[0].astype(jnp.float32)  # [H, R]
+        qp = qp_ref[0].astype(jnp.float32)  # [H, Dr]
+        ckv = jnp.concatenate(
+            [r[0] for r in ckv_refs], axis=0
+        ).astype(jnp.float32)  # [ppb*page, R]
+        kpe = jnp.concatenate(
+            [r[0] for r in kpe_refs], axis=0
+        ).astype(jnp.float32)  # [ppb*page, Dr]
+        base = s * ppb * page
+        row_pos = base + jax.lax.broadcasted_iota(
+            jnp.int32, (ckv.shape[0], 1), 0
+        )
+        # zero rows past the valid length: boundary pages may hold garbage,
+        # and 0 * NaN would poison the accumulator
+        row_valid = row_pos < length
+        ckv = jnp.where(row_valid, ckv, 0.0)
+        kpe = jnp.where(row_valid, kpe, 0.0)
+        scores = (
+            jax.lax.dot_general(
+                qn, ckv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                qp, kpe, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        ) * scale  # [H, ppb*page]
+        kpos = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(kpos < length, scores, NEG_INF)
+
+        m_prev = m_sc[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        p = jnp.exp(scores - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_sc[:, :1] = l_sc[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_sc[:] = acc_sc[:] * corr + jnp.dot(
+            p, ckv, preferred_element_type=jnp.float32
+        )
+        m_sc[:, :1] = m_new
+
+    @pl.when(s == n_s - 1)
+    def _():
+        o_ref[0] = (
+            acc_sc[:] / jnp.maximum(l_sc[:, :1], 1e-30)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret")
+)
+def mla_paged_decode(
+    q_nope_eff: jnp.ndarray,  # [B, H, R]
+    q_pe: jnp.ndarray,  # [B, H, Dr]
+    ckv_pages: jnp.ndarray,  # [P, page, R]
+    kpe_pages: jnp.ndarray,  # [P, page, Dr]
+    page_tables: jnp.ndarray,  # [B, Pmax] int32
+    lengths: jnp.ndarray,  # [B] valid kv length (incl. current token)
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns [B, H, R] attention output in the compressed space."""
+    b, h, r = q_nope_eff.shape
+    dr = q_pe.shape[-1]
+    page = ckv_pages.shape[1]
+    pmax = page_tables.shape[1]
+    ppb = max(1, min(128 // page, pmax))
+    while pmax % ppb:
+        ppb -= 1
+    n_s = pmax // ppb
+
+    def page_spec(pool_last_dim, slot):
+        # fetch the page at table slot s*ppb + slot, clamped to the last
+        # valid slot so out-of-range steps re-fetch an already-resident page
+        def index_map(i, s, pt, lens):
+            j = jnp.minimum(s * ppb + slot, _last_valid_slot(lens[i], page))
+            return (pt[i * pmax + j], 0, 0)
+
+        return pl.BlockSpec((1, page, pool_last_dim), index_map)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, n_s),
+        in_specs=[
+            pl.BlockSpec((1, h, r), lambda i, s, pt, lens: (i, 0, 0)),
+            pl.BlockSpec((1, h, dr), lambda i, s, pt, lens: (i, 0, 0)),
+            *[page_spec(r, j) for j in range(ppb)],
+            *[page_spec(dr, j) for j in range(ppb)],
+        ],
+        out_specs=pl.BlockSpec((1, h, r), lambda i, s, pt, lens: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((h, 128), jnp.float32),
+            pltpu.VMEM((h, 128), jnp.float32),
+            pltpu.VMEM((h, r), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _mla_kernel, scale=scale, page=page, ppb=ppb, n_s=n_s
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, r), q_nope_eff.dtype),
+        interpret=interpret,
+    )(
+        page_tables.reshape(-1).astype(jnp.int32),
+        lengths.astype(jnp.int32),
+        q_nope_eff,
+        q_pe,
+        *([ckv_pages] * ppb),
+        *([kpe_pages] * ppb),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GQA (k/v pages, grouped query heads)
+# ---------------------------------------------------------------------------
+
+
+def _gqa_kernel(
+    pt_ref,
+    lens_ref,
+    q_ref,  # (1, 1, G, D)
+    *page_refs,  # ppb x k (1, page, 1, D), ppb x v, o_ref, scratches
+    scale: float,
+    page: int,
+    ppb: int,
+    n_s: int,
+):
+    o_ref = page_refs[2 * ppb]
+    m_sc, l_sc, acc_sc = page_refs[2 * ppb + 1 :]
+    k_refs = page_refs[:ppb]
+    v_refs = page_refs[ppb : 2 * ppb]
+
+    b = pl.program_id(0)
+    s = pl.program_id(2)
+    length = lens_ref[b]
+
+    @pl.when(s == 0)
+    def _():
+        m_sc[:] = jnp.full_like(m_sc, NEG_INF)
+        l_sc[:] = jnp.zeros_like(l_sc)
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+
+    @pl.when(s * ppb * page < length)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32)  # [G, D]
+        k = jnp.concatenate(
+            [r[0, :, 0] for r in k_refs], axis=0
+        ).astype(jnp.float32)  # [ppb*page, D]
+        v = jnp.concatenate(
+            [r[0, :, 0] for r in v_refs], axis=0
+        ).astype(jnp.float32)
+        base = s * ppb * page
+        row_pos = base + jax.lax.broadcasted_iota(
+            jnp.int32, (k.shape[0], 1), 0
+        )
+        row_valid = row_pos < length
+        k = jnp.where(row_valid, k, 0.0)
+        v = jnp.where(row_valid, v, 0.0)
+        scores = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )  # [G, ppb*page]
+        kpos = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(kpos < length, scores, NEG_INF)
+
+        m_prev = m_sc[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        p = jnp.exp(scores - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_sc[:, :1] = l_sc[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_sc[:] = acc_sc[:] * corr + jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+        m_sc[:, :1] = m_new
+
+    @pl.when(s == n_s - 1)
+    def _():
+        o_ref[0, 0] = (
+            acc_sc[:] / jnp.maximum(l_sc[:, :1], 1e-30)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret")
+)
+def gqa_paged_decode(
+    q: jnp.ndarray,  # [B, H, D]
+    k_pages: jnp.ndarray,  # [P, page, Hkv, D]
+    v_pages: jnp.ndarray,  # [P, page, Hkv, D]
+    page_tables: jnp.ndarray,  # [B, Pmax] int32
+    lengths: jnp.ndarray,  # [B]
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns [B, H, D]."""
+    b, h, d = q.shape
+    page, hkv = k_pages.shape[1], k_pages.shape[2]
+    g = h // hkv
+    pmax = page_tables.shape[1]
+    ppb = max(1, min(128 // page, pmax))
+    while pmax % ppb:
+        ppb -= 1
+    n_s = pmax // ppb
+    qg = q.reshape(b, hkv, g, d)
+
+    def page_spec(slot):
+        def index_map(i, kh, s, pt, lens):
+            j = jnp.minimum(s * ppb + slot, _last_valid_slot(lens[i], page))
+            return (pt[i * pmax + j], 0, kh, 0)
+
+        return pl.BlockSpec((1, page, 1, d), index_map)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, hkv, n_s),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, g, d), lambda i, kh, s, pt, lens: (i, kh, 0, 0)
+            ),
+            *[page_spec(j) for j in range(ppb)],
+            *[page_spec(j) for j in range(ppb)],
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, g, d), lambda i, kh, s, pt, lens: (i, kh, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((g, 128), jnp.float32),
+            pltpu.VMEM((g, 128), jnp.float32),
+            pltpu.VMEM((g, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _gqa_kernel, scale=scale, page=page, ppb=ppb, n_s=n_s
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
+        interpret=interpret,
+    )(
+        page_tables.reshape(-1).astype(jnp.int32),
+        lengths.astype(jnp.int32),
+        qg,
+        *([k_pages] * ppb),
+        *([v_pages] * ppb),
+    )
+    return out.reshape(b, h, d)

@@ -65,12 +65,24 @@ def moe_forward_ep(
     tok_spec = P(dp, None)
 
     def local_fn(x, w_local, idx, tw):
+        # Remap logical -> physical expert ids BEFORE computing shard-local
+        # ids (w_local's l2p/mask are full-length [E] and replicated; they
+        # must not be re-applied to local ids inside moe_forward).
+        if w_local.logical_to_physical is not None:
+            idx = w_local.logical_to_physical[idx]
+        if w_local.expert_mask is not None:
+            tw = jnp.where(w_local.expert_mask[idx], tw, 0.0)
         ep = jax.lax.axis_index(AXIS_EP)
         ids_local = idx - ep * e_local
         keep = (ids_local >= 0) & (ids_local < e_local)
         ids_safe = jnp.clip(ids_local, 0, e_local - 1)
         tw_masked = jnp.where(keep, tw, 0.0)
-        y = moe_forward(x, w_local, ids_safe, tw_masked, cfg)
+        w_stripped = MoEWeights(
+            gate_up=w_local.gate_up,
+            down=w_local.down,
+            lora=w_local.lora,
+        )
+        y = moe_forward(x, w_stripped, ids_safe, tw_masked, cfg)
         return jax.lax.psum(y, AXIS_EP)
 
     fn = jax.shard_map(
@@ -112,6 +124,17 @@ def moe_forward_ep_a2a(
     cap = max(8, int(-(-t_local * k // ep_size) * capacity_factor))
 
     def local_fn(x_l, w_local, idx_l, tw_l):
+        # logical -> physical remap + mask BEFORE routing to shards (same
+        # ordering contract as moe_forward_ep above).
+        if w_local.logical_to_physical is not None:
+            idx_l = w_local.logical_to_physical[idx_l]
+        if w_local.expert_mask is not None:
+            tw_l = jnp.where(w_local.expert_mask[idx_l], tw_l, 0.0)
+        w_local = MoEWeights(
+            gate_up=w_local.gate_up,
+            down=w_local.down,
+            lora=w_local.lora,
+        )
         s_count = ep_size
         tl = x_l.shape[0]
         flat_idx = idx_l.reshape(-1)  # [tl*k] global expert ids

@@ -38,6 +38,15 @@ INT_QMAX = {"int8": 127.0, "int4": 7.0, "int4_g": 7.0}
 
 INT4_KINDS = ("int4", "int4_g", "int4_gz", "mxfp4")
 
+# OCP MX block size (both mxfp4 and mxfp8 use 32-scalar blocks with a
+# shared ue8m0 power-of-two scale; reference: fp4-moe.hpp / mxfp8-moe.hpp)
+MX_GROUP = 32
+
+# E2M1 representable magnitudes, indexed by the 3 magnitude bits
+E2M1_VALUES = (0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0)
+# decision midpoints between consecutive magnitudes (nearest-value encode)
+_E2M1_MIDPOINTS = (0.25, 0.75, 1.25, 1.75, 2.5, 3.5, 5.0)
+
 
 def pack_int4(q: jnp.ndarray, group_size: int = 0) -> jnp.ndarray:
     """Pack int values in [-8, 7] along axis -2 (K): [..., K, N] -> uint8
@@ -72,6 +81,45 @@ def unpack_int4(packed: jnp.ndarray, group_size: int = 0) -> jnp.ndarray:
     hi = (((b >> 4) & 0xF) ^ 8) - 8
     out = jnp.concatenate([lo, hi], axis=-2)  # [..., K/gs, gs, N]
     return out.reshape(*lead, k, n).astype(jnp.int8)
+
+
+def unpack_uint4(packed: jnp.ndarray, group_size: int = 0) -> jnp.ndarray:
+    """Like unpack_int4 but WITHOUT sign extension: uint8 [..., K/2, N] ->
+    uint8 codes in [0, 15] [..., K, N] (mxfp4 e2m1 codes are a sign bit +
+    magnitude, not two's complement)."""
+    *lead, k2, n = packed.shape
+    k = k2 * 2
+    gs = group_size or k
+    b = packed.astype(jnp.int32).reshape(*lead, k // gs, gs // 2, n)
+    lo = b & 0xF
+    hi = (b >> 4) & 0xF
+    out = jnp.concatenate([lo, hi], axis=-2)
+    return out.reshape(*lead, k, n).astype(jnp.uint8)
+
+
+def e2m1_decode(codes: jnp.ndarray) -> jnp.ndarray:
+    """uint8 e2m1 codes [0, 15] -> float32 values (code 8+m = -value(m))."""
+    table = jnp.asarray(E2M1_VALUES + tuple(-v for v in E2M1_VALUES),
+                        jnp.float32)
+    return table[codes.astype(jnp.int32)]
+
+
+def e2m1_encode(v: jnp.ndarray) -> jnp.ndarray:
+    """float -> nearest e2m1 code (uint8 in [0, 15]); |v| > 6 saturates."""
+    mag = jnp.abs(v)
+    code = jnp.zeros(v.shape, jnp.int32)
+    for m in _E2M1_MIDPOINTS:
+        code = code + (mag >= m).astype(jnp.int32)
+    return (code + jnp.where(v < 0, 8, 0)).astype(jnp.uint8)
+
+
+def ue8m0_scale_exponent(absmax: jnp.ndarray, elem_max: float) -> jnp.ndarray:
+    """Shared power-of-two block scale for MX formats: the largest 2^E with
+    absmax / 2^E <= ~elem_max uses E = floor(log2(absmax)) -
+    floor(log2(elem_max)), saturating encode (OCP MX convention)."""
+    safe = jnp.maximum(absmax, 1e-30)
+    e = jnp.floor(jnp.log2(safe)) - jnp.floor(jnp.log2(elem_max))
+    return jnp.clip(e + 127.0, 0.0, 254.0).astype(jnp.uint8)
 
 
 def split_x_for_int4(x: jnp.ndarray, k: int, group_size: int = 0):
@@ -206,6 +254,41 @@ def quantize(
         data = (wf / scales).astype(jnp.float8_e4m3fn)
         return QTensor(data, scales.astype(scale_dtype), None, kind=kind, group_size=0)
 
+    if kind == "mxfp4":
+        # OCP MXFP4: e2m1 nibble codes + shared ue8m0 (power-of-two) scale
+        # per 32-scalar block along K (reference fp4-moe.hpp, used by
+        # DeepSeek-V4-Flash routed experts).
+        group_size = effective_group_size(wf.shape[-2], MX_GROUP)
+        g = _group_reshape(wf, group_size)
+        absmax = jnp.max(jnp.abs(g), axis=-2, keepdims=True)
+        exp_u8 = ue8m0_scale_exponent(absmax, 6.0)
+        scale = jnp.exp2(exp_u8.astype(jnp.float32) - 127.0)
+        codes = e2m1_encode(g / scale)
+        *lead, kg, _, n = codes.shape
+        data = pack_int4(codes.reshape(*lead, kg * group_size, n), group_size)
+        return QTensor(
+            data, exp_u8.squeeze(-2), None, kind=kind, group_size=group_size
+        )
+
+    if kind == "mxfp8":
+        # OCP MXFP8: e4m3fn elements + ue8m0 scale per 32-scalar block
+        # (reference mxfp8-moe.hpp, MiniMax-M2-class models).
+        group_size = effective_group_size(wf.shape[-2], MX_GROUP)
+        g = _group_reshape(wf, group_size)
+        absmax = jnp.max(jnp.abs(g), axis=-2, keepdims=True)
+        exp_u8 = ue8m0_scale_exponent(absmax, 448.0)
+        scale = jnp.exp2(exp_u8.astype(jnp.float32) - 127.0)
+        # saturating encode: e4m3fn has no inf, values past 448 become NaN
+        q = jnp.clip(g / scale, -448.0, 448.0).astype(jnp.float8_e4m3fn)
+        *lead, kg, _, n = q.shape
+        return QTensor(
+            q.reshape(*lead, kg * group_size, n),
+            exp_u8.squeeze(-2),
+            None,
+            kind=kind,
+            group_size=group_size,
+        )
+
     raise ValueError(f"unknown quant kind: {kind}")
 
 
@@ -225,6 +308,18 @@ def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
         if qt.kind == "int4_gz":
             g = g - qt.zeros[..., :, None, :]
         out = g * scales
+        *lead, kg, gs, n = out.shape
+        return out.reshape(*lead, kg * gs, n).astype(dtype)
+    if qt.kind in ("mxfp4", "mxfp8"):
+        if qt.kind == "mxfp4":
+            q = e2m1_decode(unpack_uint4(qt.data, qt.group_size))
+        else:
+            q = qt.data.astype(jnp.float32)
+        g = _group_reshape(q, qt.group_size)
+        scale = jnp.exp2(
+            qt.scales[..., :, None, :].astype(jnp.float32) - 127.0
+        )
+        out = g * scale
         *lead, kg, gs, n = out.shape
         return out.reshape(*lead, kg * gs, n).astype(dtype)
     raise ValueError(qt.kind)

@@ -32,25 +32,7 @@ from ktransformers_tpu.serving.scheduler import (
 )
 
 
-def _batched_sample(logits, key, temps, top_ps):
-    """Per-sequence temperature/top-p sampling (vectorized); temp<=0 rows
-    are greedy. Analog of the reference's per-query sampler
-    (inference/sampling/sampler.py)."""
-    logits = logits.astype(jnp.float32)
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    t = jnp.maximum(temps, 1e-6)[:, None]
-    scaled = logits / t
-    # top-p filter per row
-    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    cutoff_mask = cum - probs > top_ps[:, None]
-    cutoff = jnp.min(
-        jnp.where(cutoff_mask, jnp.inf, sorted_logits), axis=-1, keepdims=True
-    )
-    filtered = jnp.where(scaled < cutoff, -jnp.inf, scaled)
-    sampled = jax.random.categorical(key, filtered, axis=-1).astype(jnp.int32)
-    return jnp.where(temps > 0, sampled, greedy)
+from ktransformers_tpu.engine.sampler import sample_batched
 
 
 class ServeEngine:
@@ -91,6 +73,10 @@ class ServeEngine:
         self.compute_dtype = compute_dtype
         self.rope_tables = precompute_rope_tables(spec.rope)
         self._steps = {}
+        # per-slot device-side sampling state (lazy; only allocated once a
+        # query with repetition/presence/frequency penalties joins)
+        self._counts = None  # [max_batch, V] int32 generated-token counts
+        self._pmask = None  # [max_batch, V] bool prompt occurrence
         self._key = jax.random.PRNGKey(0)
         self._lock = threading.Lock()
         self._running = False
@@ -142,27 +128,56 @@ class ServeEngine:
             self._steps[name] = partial(step, self.params)
         return self._steps[name]
 
-    def _decode_step(self, b: int):
-        name = ("decode", b)
+    def _decode_step(self, b: int, penalized: bool):
+        """Two step variants: 'basic' samples with per-row temperature /
+        top-k / top-p; 'penalized' additionally carries the [B, V]
+        generated-token counts + prompt mask on device (penaltylib analog).
+        The engine picks per step based on the active queries, so default
+        requests never pay the penalty arrays."""
+        name = ("decode", b, penalized)
         if name not in self._steps:
             spec, rope, cdt = self.spec, self.rope_tables, self.compute_dtype
 
-            @partial(jax.jit, donate_argnums=(2,))
-            def step(params, tokens, kv, page_tables, lengths, key, temps, top_ps):
-                logits, kv = forward_paged(
-                    params,
-                    spec,
-                    tokens,
-                    kv,
-                    page_tables,
-                    lengths,
-                    rope_tables=rope,
-                    compute_dtype=cdt,
-                    logits_last_only=True,
-                )
-                key, sub = jax.random.split(key)
-                toks = _batched_sample(logits[:, -1], sub, temps, top_ps)
-                return toks, kv, key
+            if penalized:
+
+                @partial(jax.jit, donate_argnums=(2, 12))
+                def step(params, tokens, kv, page_tables, lengths, key,
+                         temps, top_ks, top_ps, reps, press, freqs,
+                         counts, pmask, active):
+                    logits, kv = forward_paged(
+                        params, spec, tokens, kv, page_tables, lengths,
+                        rope_tables=rope, compute_dtype=cdt,
+                        logits_last_only=True,
+                    )
+                    key, sub = jax.random.split(key)
+                    toks = sample_batched(
+                        logits[:, -1], sub, temps,
+                        top_ks=top_ks, top_ps=top_ps, rep_pens=reps,
+                        pres_pens=press, freq_pens=freqs,
+                        token_counts=counts, prompt_mask=pmask,
+                    )
+                    bsz = toks.shape[0]
+                    counts = counts.at[jnp.arange(bsz), toks].add(
+                        active.astype(jnp.int32)
+                    )
+                    return toks, kv, key, counts
+
+            else:
+
+                @partial(jax.jit, donate_argnums=(2,))
+                def step(params, tokens, kv, page_tables, lengths, key,
+                         temps, top_ks, top_ps):
+                    logits, kv = forward_paged(
+                        params, spec, tokens, kv, page_tables, lengths,
+                        rope_tables=rope, compute_dtype=cdt,
+                        logits_last_only=True,
+                    )
+                    key, sub = jax.random.split(key)
+                    toks = sample_batched(
+                        logits[:, -1], sub, temps,
+                        top_ks=top_ks, top_ps=top_ps,
+                    )
+                    return toks, kv, key
 
             self._steps[name] = partial(step, self.params)
         return self._steps[name]
@@ -173,6 +188,35 @@ class ServeEngine:
         pt = np.zeros(self.cfg.max_pages_per_query, np.int32)
         pt[: len(pages)] = pages
         return pt
+
+    def _first_token(self, q: Query, logits) -> int:
+        """Sample the first generated token from the last prefill logits,
+        honoring the query's full sampling config, and initialize the
+        query's per-slot device sampling state if it uses penalties."""
+        from ktransformers_tpu.engine.sampler import sample
+
+        self._key, sub = jax.random.split(self._key)
+        sc = q.sampling
+        v = logits.shape[-1]
+        counts = pmask = None
+        if sc.needs_counts:
+            pm = np.zeros((1, v), bool)
+            pm[0, np.asarray(q.prompt, np.int64)] = True
+            pmask = jnp.asarray(pm)
+            counts = jnp.zeros((1, v), jnp.int32)
+        tok = int(
+            sample(logits, sub, sc, token_counts=counts, prompt_mask=pmask)[0]
+        )
+        if sc.needs_counts:
+            b = self.cfg.max_batch_size
+            if self._counts is None:
+                self._counts = jnp.zeros((b, v), jnp.int32)
+                self._pmask = jnp.zeros((b, v), bool)
+            row = np.zeros((v,), np.int32)
+            row[tok] += 1
+            self._counts = self._counts.at[q.slot].set(jnp.asarray(row))
+            self._pmask = self._pmask.at[q.slot].set(pmask[0])
+        return tok
 
     def _run_prefill(self, plan: BatchPlan) -> None:
         q = plan.queries[0]
@@ -191,11 +235,7 @@ class ServeEngine:
         self.scheduler.prefill_done_chunk(q, len(chunk))
         if q.state == DECODE:
             # first generated token comes from the last prefill logits
-            self._key, sub = jax.random.split(self._key)
-            temps = jnp.asarray([q.sampling.temperature], jnp.float32)
-            tps = jnp.asarray([q.sampling.top_p], jnp.float32)
-            tok = _batched_sample(logits[:, -1], sub, temps, tps)
-            self.scheduler.push_token(q, int(tok[0]))
+            self.scheduler.push_token(q, self._first_token(q, logits[:, -1]))
 
     def _run_decode(self, plan: BatchPlan) -> None:
         qs = plan.queries
@@ -204,37 +244,62 @@ class ServeEngine:
         tables = np.zeros((b, self.cfg.max_pages_per_query), np.int32)
         lengths = np.zeros((b,), np.int32)
         temps = np.zeros((b,), np.float32)
+        top_ks = np.zeros((b,), np.int32)
         top_ps = np.ones((b,), np.float32)
-        for i, q in enumerate(qs):
-            # the token being decoded is the last generated one; its KV gets
-            # written at position total_len - 1
-            tokens[i, 0] = q.last_token
-            tables[i] = self._pad_table(q.pages)
-            lengths[i] = q.total_len - 1
-            temps[i] = q.sampling.temperature
-            top_ps[i] = q.sampling.top_p
+        reps = np.ones((b,), np.float32)
+        press = np.zeros((b,), np.float32)
+        freqs = np.zeros((b,), np.float32)
+        active = np.zeros((b,), np.float32)
         # make sure every active row has a page for the next token
         ok = all(
             self.scheduler._ensure_pages(q, q.total_len + 1) for q in qs
         )
         if not ok:
             raise MemoryError("KV pages exhausted during decode")
-        for i, q in enumerate(qs):
+        for q in qs:
+            # rows indexed by the query's stable slot: the token being
+            # decoded is the last generated one; its KV gets written at
+            # position total_len - 1
+            i = q.slot
+            tokens[i, 0] = q.last_token
             tables[i] = self._pad_table(q.pages)
+            lengths[i] = q.total_len - 1
+            sc = q.sampling
+            temps[i] = sc.temperature
+            top_ks[i] = sc.top_k
+            top_ps[i] = sc.top_p
+            reps[i] = sc.repetition_penalty
+            press[i] = sc.presence_penalty
+            freqs[i] = sc.frequency_penalty
+            active[i] = 1.0
 
-        step = self._decode_step(b)
-        toks, self.kv, self._key = step(
+        penalized = any(q.sampling.needs_counts for q in qs)
+        step = self._decode_step(b, penalized)
+        args = [
             jnp.asarray(tokens),
             self.kv,
             jnp.asarray(tables),
             jnp.asarray(lengths),
             self._key,
             jnp.asarray(temps),
+            jnp.asarray(top_ks),
             jnp.asarray(top_ps),
-        )
+        ]
+        if penalized:
+            toks, self.kv, self._key, self._counts = step(
+                *args,
+                jnp.asarray(reps),
+                jnp.asarray(press),
+                jnp.asarray(freqs),
+                self._counts,
+                self._pmask,
+                jnp.asarray(active),
+            )
+        else:
+            toks, self.kv, self._key = step(*args)
         toks_np = np.asarray(toks)
-        for i, q in enumerate(qs):
-            self.scheduler.push_token(q, int(toks_np[i]))
+        for q in qs:
+            self.scheduler.push_token(q, int(toks_np[q.slot]))
 
     def step(self) -> bool:
         """Run one scheduler batch; returns False when idle."""

@@ -33,6 +33,9 @@ class Query:
     sampling: SamplingConfig = SamplingConfig()
     eos_token_id: int | None = None
     state: str = RECEIVED
+    # fixed decode-batch row while running (stable so per-slot device-side
+    # sampling state — token counts — follows the query across steps)
+    slot: int | None = None
     # progress
     prefill_pos: int = 0  # prompt tokens already in KV (incl. prefix match)
     matched_len: int = 0
@@ -105,6 +108,7 @@ class Scheduler:
         self.waiting: list[Query] = []
         self.running: list[Query] = []
         self._ids = itertools.count()
+        self._free_slots = list(range(cfg.max_batch_size))
         self.finished: list[Query] = []
 
     # -- intake ------------------------------------------------------------
@@ -165,6 +169,7 @@ class Scheduler:
             ):
                 break  # no memory; keep FCFS order
             self.waiting.pop(0)
+            q.slot = self._free_slots.pop(0)
             self.running.append(q)
 
     def next_batch(self) -> BatchPlan | None:
@@ -216,6 +221,10 @@ class Scheduler:
         q.out_queue.put(None)  # sentinel
         if q in self.running:
             self.running.remove(q)
+        if q.slot is not None:
+            self._free_slots.append(q.slot)
+            self._free_slots.sort()
+            q.slot = None
         # hand fully-written prompt pages to the prefix cache, then drop our
         # references
         if self.prefix is not None and q.prompt:

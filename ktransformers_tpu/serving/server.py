@@ -78,6 +78,9 @@ class OpenAIServer:
             temperature=float(body.get("temperature", 0.0) or 0.0),
             top_p=float(body.get("top_p", 1.0) or 1.0),
             top_k=int(body.get("top_k", 0) or 0),
+            repetition_penalty=float(body.get("repetition_penalty", 1.0) or 1.0),
+            presence_penalty=float(body.get("presence_penalty", 0.0) or 0.0),
+            frequency_penalty=float(body.get("frequency_penalty", 0.0) or 0.0),
         )
 
     async def _collect(self, q) -> list[int]:

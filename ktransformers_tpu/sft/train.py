@@ -34,13 +34,17 @@ class TrainConfig:
 
 
 def loss_fn(params, spec: ModelSpec, input_ids, labels, compute_dtype):
-    """Token-level CE; labels == IGNORE_INDEX are masked (prompt tokens)."""
+    """Next-token CE: logits[t] (the distribution after consuming token t)
+    is scored against labels[t+1], i.e. logits[:, :-1] vs labels[:, 1:]
+    (the HF/reference shift convention). labels == IGNORE_INDEX are masked
+    (prompt tokens)."""
     b, s = input_ids.shape
     cache = KVCache.create(spec, b, s, dtype=compute_dtype)
     logits, _ = forward(
         params, spec, input_ids, cache, compute_dtype=compute_dtype
     )
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    labels = labels[:, 1:]
     tgt = jnp.where(labels == IGNORE_INDEX, 0, labels)
     nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
     mask = (labels != IGNORE_INDEX).astype(jnp.float32)

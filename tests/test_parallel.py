@@ -118,6 +118,48 @@ def test_ep_with_prefix_of_experts_on_each_shard(rng):
     )
 
 
+def test_ep_with_logical_to_physical_remap(rng):
+    """reorder_expert_weights output must run correctly through BOTH EP
+    paths: the remap applies to global logical ids BEFORE shard-local
+    localization (regression: ADVICE r1 — localizing before the remap
+    selected wrong experts)."""
+    from ktransformers_tpu.parallel.ep import moe_forward_ep_a2a
+    from ktransformers_tpu.utils.expert_placement import (
+        balanced_logical_to_physical,
+        reorder_expert_weights,
+    )
+
+    e, d, f, k, t = 16, 64, 96, 4, 32
+    gu = jnp.asarray(rng.standard_normal((e, d, 2 * f)).astype(np.float32) * 0.05)
+    dn = jnp.asarray(rng.standard_normal((e, f, d)).astype(np.float32) * 0.05)
+    w = MoEWeights(gate_up=quantize(gu, "int8"), down=quantize(dn, "int8"))
+    x = jnp.asarray(rng.standard_normal((t, d)).astype(np.float32))
+    logits = jnp.asarray(rng.standard_normal((t, e)).astype(np.float32))
+    idx, wts = route(logits, GateConfig(num_experts=e, top_k=k))
+    cfg = MoEConfig()
+    ref = moe_forward(x, w, idx, wts, cfg)
+
+    freqs = rng.random(e)
+    l2p = balanced_logical_to_physical(freqs, ep_size=4)
+    assert not np.array_equal(l2p, np.arange(e))  # a real permutation
+    w_re = reorder_expert_weights(w, l2p)
+    # single-device path with remap attached
+    np.testing.assert_allclose(
+        np.asarray(moe_forward(x, w_re, idx, wts, cfg)), np.asarray(ref),
+        rtol=1e-4, atol=1e-4,
+    )
+    mesh = make_mesh(dp=1, ep=4, tp=1)
+    y_ep = moe_forward_ep(x, w_re, idx, wts, cfg, mesh)
+    np.testing.assert_allclose(
+        np.asarray(y_ep), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+    y_a2a = moe_forward_ep_a2a(x, w_re, idx, wts, cfg, mesh,
+                               capacity_factor=8.0)
+    np.testing.assert_allclose(
+        np.asarray(y_a2a), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_moe_forward_ep_a2a_exact(rng):
     """all_to_all dispatch with drop-free capacity must equal the
     single-device result."""

@@ -77,6 +77,29 @@ def test_lora_training_reduces_loss():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_sft_trains_next_token_not_copy():
+    """The trained model must predict the token AFTER the context, not
+    reproduce the token it just read (guards the logits/labels shift in
+    loss_fn: logits[:, :-1] vs labels[:, 1:])."""
+    spec = spec_from_hf_config(dict(TINY_DS))
+    params = init_params(spec, seed=0, quant="bf16")
+    pl = init_lora(params, spec, LoRAConfig(rank=8, alpha=32), seed=1)
+    trainer = Trainer(pl, spec, TrainConfig(learning_rate=1e-2))
+
+    # Deterministic bigram language: after token 3 always comes token 7,
+    # after 7 always 3. A copy objective would instead learn identity.
+    seq = np.tile(np.array([3, 7]), 8)[None, :]  # [1, 16]
+    for _ in range(60):
+        trainer.train_step(seq, seq)
+
+    logits = _logits(trainer.params, spec, jnp.asarray(seq, jnp.int32))
+    # at positions holding token 3 (even idx), prediction must be 7
+    preds = logits[0].argmax(-1)
+    # skip position 0 (no context yet beyond the first token itself)
+    assert (preds[2:14:2] == 7).mean() > 0.8, preds
+    assert (preds[1:14:2] == 3).mean() > 0.8, preds
+
+
 def test_lora_save_load(tmp_path):
     spec = spec_from_hf_config(dict(TINY_DS))
     params = init_params(spec, seed=0, quant="int8")
