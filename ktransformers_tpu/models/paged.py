@@ -69,12 +69,20 @@ def plinear(p: dict, key: str, x, bias=None):
 
 
 
-def _write_pages(buf, new, page_tables, lengths, page_size):
-    """Scatter new [B, S, ...] into pages at positions lengths[b] + j."""
+def _write_pages(buf, new, page_tables, lengths, page_size, valid=None):
+    """Scatter new [B, S, ...] into pages at positions lengths[b] + j.
+
+    `valid` [B] (optional): rows j >= valid[b] are padding (bucketed
+    prefill chunks) — their writes are redirected to reserved page 0 (the
+    serving engine's trash page) and their table index clamped in-range."""
     b, s = new.shape[:2]
     pos = lengths[:, None] + jnp.arange(s)[None, :]  # [B, S]
-    pid = jnp.take_along_axis(page_tables, pos // page_size, axis=1)  # [B,S]
+    pidx = jnp.clip(pos // page_size, 0, page_tables.shape[1] - 1)
+    pid = jnp.take_along_axis(page_tables, pidx, axis=1)  # [B,S]
     slot = pos % page_size
+    if valid is not None:
+        keep = jnp.arange(s)[None, :] < valid[:, None]
+        pid = jnp.where(keep, pid, 0)
     flat = new.reshape(b * s, *new.shape[2:])
     return buf.at[pid.reshape(-1), slot.reshape(-1)].set(
         flat.astype(buf.dtype)
@@ -94,7 +102,8 @@ def _attn_mask(lengths, q_len, kv_len):
     return jnp.where(kpos <= qpos, 0.0, NEG_INF).astype(jnp.float32)
 
 
-def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size):
+def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
+               valid=None):
     a = spec.attention
     b, s, _ = x.shape
     h = a.num_heads
@@ -125,8 +134,10 @@ def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size):
         w_uk.astype(jnp.float32),
     ).astype(x.dtype)
 
-    buf_a = _write_pages(bufs[0], ckv, page_tables, lengths, page_size)
-    buf_b = _write_pages(bufs[1], k_pe, page_tables, lengths, page_size)
+    buf_a = _write_pages(bufs[0], ckv, page_tables, lengths, page_size,
+                         valid)
+    buf_b = _write_pages(bufs[1], k_pe, page_tables, lengths, page_size,
+                         valid)
 
     scale = a.softmax_scale or (
         (nope + dr) ** -0.5 * rope_attention_scale(spec.rope)
@@ -169,7 +180,8 @@ def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size):
     return plinear(p, "o_proj", out, p.get("o_bias")), (buf_a, buf_b)
 
 
-def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size):
+def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
+               valid=None):
     a = spec.attention
     b, s, _ = x.shape
     h, hkv, d = a.num_heads, a.num_kv_heads, a.head_dim
@@ -199,8 +211,8 @@ def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size):
         k = apply_rope(k, cos[:, None], sin[:, None])
     k = k.transpose(0, 2, 1, 3)  # back to [B,S,Hkv,D]
 
-    buf_a = _write_pages(bufs[0], k, page_tables, lengths, page_size)
-    buf_b = _write_pages(bufs[1], v, page_tables, lengths, page_size)
+    buf_a = _write_pages(bufs[0], k, page_tables, lengths, page_size, valid)
+    buf_b = _write_pages(bufs[1], v, page_tables, lengths, page_size, valid)
 
     scale = a.softmax_scale or d**-0.5
     if s == 1 and _PAGED_GQA_DECODE is not None:
@@ -244,6 +256,9 @@ def forward_paged(
     rope_tables=None,
     compute_dtype=jnp.bfloat16,
     logits_last_only: bool = True,
+    valid=None,  # [B] int32: tokens[b, valid[b]:] are padding (bucketed
+    # prefill chunks); their KV writes go to the trash page and the
+    # returned logits row is taken at position valid[b]-1
 ):
     """Returns (logits [B, 1 or S, V], updated PagedKVCache)."""
     b, s = tokens.shape
@@ -270,6 +285,7 @@ def forward_paged(
             lengths,
             rope_cs,
             kv.page_size,
+            valid,
         )
         new_a.append(buf_a)
         new_b.append(buf_b)
@@ -284,7 +300,10 @@ def forward_paged(
 
     x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
     if logits_last_only:
-        x = x[:, -1:, :]
+        if valid is not None:
+            x = x[jnp.arange(b), jnp.maximum(valid - 1, 0)][:, None]
+        else:
+            x = x[:, -1:, :]
     lm_head = params.get("lm_head")
     if lm_head is None:
         logits = x @ params["embed"].astype(x.dtype).T

@@ -107,12 +107,15 @@ class ServeEngine:
     # -- jitted steps -------------------------------------------------------
 
     def _prefill_step(self, s: int):
+        """One compiled step per BUCKET size; chunk remainders are padded
+        into the bucket with trash-page writes (no per-length recompiles —
+        the r1 unbounded-compile fix)."""
         name = ("prefill", s)
         if name not in self._steps:
             spec, rope, cdt = self.spec, self.rope_tables, self.compute_dtype
 
             @partial(jax.jit, donate_argnums=(2,))
-            def step(params, tokens, kv, page_table, length):
+            def step(params, tokens, kv, page_table, length, valid):
                 return forward_paged(
                     params,
                     spec,
@@ -123,10 +126,17 @@ class ServeEngine:
                     rope_tables=rope,
                     compute_dtype=cdt,
                     logits_last_only=True,
+                    valid=valid,
                 )
 
             self._steps[name] = partial(step, self.params)
         return self._steps[name]
+
+    def _bucket(self, n: int) -> int:
+        b = 16
+        while b < n:
+            b *= 2
+        return b
 
     def _decode_step(self, b: int, penalized: bool):
         """Two step variants: 'basic' samples with per-row temperature /
@@ -189,10 +199,26 @@ class ServeEngine:
         pt[: len(pages)] = pages
         return pt
 
+    def _init_slot_state(self, q: Query) -> None:
+        """(Re)build the query's per-slot device sampling state — generated
+        token counts + prompt mask — from host bookkeeping (fresh queries
+        after their first token; preempted queries on resume)."""
+        v = self.spec.vocab_size
+        b = self.cfg.max_batch_size
+        if self._counts is None:
+            self._counts = jnp.zeros((b, v), jnp.int32)
+            self._pmask = jnp.zeros((b, v), bool)
+        row = np.zeros((v,), np.int32)
+        for t in q.output_ids:
+            row[t] += 1
+        pm = np.zeros((v,), bool)
+        pm[np.asarray(q.prompt, np.int64)] = True
+        self._counts = self._counts.at[q.slot].set(jnp.asarray(row))
+        self._pmask = self._pmask.at[q.slot].set(jnp.asarray(pm))
+
     def _first_token(self, q: Query, logits) -> int:
         """Sample the first generated token from the last prefill logits,
-        honoring the query's full sampling config, and initialize the
-        query's per-slot device sampling state if it uses penalties."""
+        honoring the query's full sampling config."""
         from ktransformers_tpu.engine.sampler import sample
 
         self._key, sub = jax.random.split(self._key)
@@ -204,41 +230,59 @@ class ServeEngine:
             pm[0, np.asarray(q.prompt, np.int64)] = True
             pmask = jnp.asarray(pm)
             counts = jnp.zeros((1, v), jnp.int32)
-        tok = int(
+        return int(
             sample(logits, sub, sc, token_counts=counts, prompt_mask=pmask)[0]
         )
-        if sc.needs_counts:
-            b = self.cfg.max_batch_size
-            if self._counts is None:
-                self._counts = jnp.zeros((b, v), jnp.int32)
-                self._pmask = jnp.zeros((b, v), bool)
-            row = np.zeros((v,), np.int32)
-            row[tok] += 1
-            self._counts = self._counts.at[q.slot].set(jnp.asarray(row))
-            self._pmask = self._pmask.at[q.slot].set(pmask[0])
-        return tok
 
-    def _run_prefill(self, plan: BatchPlan) -> None:
-        q = plan.queries[0]
-        chunk = plan.chunk
-        # Chunks are either the full prefill_chunk or the final remainder;
-        # remainders compile per distinct length (bounded; proper bucketing
-        # with masked cache writes is a later optimization).
-        tokens = np.asarray([chunk], np.int32)
-        step = self._prefill_step(len(chunk))
+    def _dispatch_prefill(self, q: Query, chunk: list[int]):
+        """Async-dispatch one bucketed prefill chunk; returns the logits
+        future ([1, 1, V], taken at the last VALID position)."""
+        bucket = self._bucket(len(chunk))
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, : len(chunk)] = chunk
+        step = self._prefill_step(bucket)
         logits, self.kv = step(
-            tokens,
+            jnp.asarray(tokens),
             self.kv,
             jnp.asarray(self._pad_table(q.pages))[None],
             jnp.asarray([q.prefill_pos], jnp.int32),
+            jnp.asarray([len(chunk)], jnp.int32),
         )
-        self.scheduler.prefill_done_chunk(q, len(chunk))
-        if q.state == DECODE:
-            # first generated token comes from the last prefill logits
-            self.scheduler.push_token(q, self._first_token(q, logits[:, -1]))
+        return logits
 
-    def _run_decode(self, plan: BatchPlan) -> None:
-        qs = plan.queries
+    def _finish_prefill(self, q: Query, chunk: list[int], logits) -> None:
+        self.scheduler.prefill_done_chunk(q, len(chunk))
+        if q.state != DECODE:
+            return
+        if not q.resumed:
+            # first generated token comes from the last prefill logits;
+            # resumed (preempted) queries already hold their last token
+            self.scheduler.push_token(
+                q, self._first_token(q, logits[:, -1])
+            )
+        if q.state == DECODE and q.sampling.needs_counts:
+            self._init_slot_state(q)
+
+    def _ensure_decode_pages(self, qs: list[Query]) -> list[Query]:
+        """Guarantee every decoding query a page for its next token,
+        preempting the newest queries under page exhaustion instead of
+        raising (reference: kvc2 eviction; FCFS order is preserved — the
+        oldest query always survives)."""
+        qs = list(qs)
+        while qs:
+            failed = None
+            for q in qs:
+                if not self.scheduler._ensure_pages(q, q.total_len + 1):
+                    failed = q
+                    break
+            if failed is None:
+                return qs
+            victim = max(qs, key=lambda q: q.id)
+            self.scheduler.preempt(victim)
+            qs.remove(victim)
+        return qs
+
+    def _run_decode(self, qs: list[Query]) -> None:
         b = self.cfg.max_batch_size  # fixed shape (CUDA-graph bucket analog)
         tokens = np.zeros((b, 1), np.int32)
         tables = np.zeros((b, self.cfg.max_pages_per_query), np.int32)
@@ -250,12 +294,6 @@ class ServeEngine:
         press = np.zeros((b,), np.float32)
         freqs = np.zeros((b,), np.float32)
         active = np.zeros((b,), np.float32)
-        # make sure every active row has a page for the next token
-        ok = all(
-            self.scheduler._ensure_pages(q, q.total_len + 1) for q in qs
-        )
-        if not ok:
-            raise MemoryError("KV pages exhausted during decode")
         for q in qs:
             # rows indexed by the query's stable slot: the token being
             # decoded is the last generated one; its KV gets written at
@@ -297,19 +335,33 @@ class ServeEngine:
             )
         else:
             toks, self.kv, self._key = step(*args)
+        return toks
+
+    def _resolve_decode(self, qs: list[Query], toks) -> None:
         toks_np = np.asarray(toks)
         for q in qs:
             self.scheduler.push_token(q, int(toks_np[q.slot]))
 
     def step(self) -> bool:
-        """Run one scheduler batch; returns False when idle."""
+        """Run one mixed scheduler batch (decode batch + ≤2 prefill chunks,
+        async-dispatched back-to-back); returns False when idle."""
         plan = self.scheduler.next_batch()
         if plan is None:
             return False
-        if plan.kind == "prefill":
-            self._run_prefill(plan)
-        else:
-            self._run_decode(plan)
+        decode_qs = (
+            self._ensure_decode_pages(plan.decode) if plan.decode else []
+        )
+        # dispatch everything (decode first — its tokens resolve first)
+        # before reading anything back: prefill chunks execute behind the
+        # decode step on-device while the host is already collecting tokens
+        toks = self._run_decode(decode_qs) if decode_qs else None
+        pending = []
+        for q, chunk in plan.prefills:
+            pending.append((q, chunk, self._dispatch_prefill(q, chunk)))
+        if toks is not None:
+            self._resolve_decode(decode_qs, toks)
+        for q, chunk, logits in pending:
+            self._finish_prefill(q, chunk, logits)
         self.steps_executed += 1
         return True
 

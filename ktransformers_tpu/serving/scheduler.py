@@ -43,6 +43,25 @@ class Query:
     prefix_pages: int = 0  # leading pages borrowed from the prefix cache
     output_ids: list[int] = dataclasses.field(default_factory=list)
     last_token: int | None = None
+    # True after a preemption: the query re-prefills its full context
+    # (prompt + generated so far) and resumes decoding without re-sampling
+    # a "first" token (reference: kvc2 eviction + Received re-entry,
+    # scheduler.cpp:737-795)
+    resumed: bool = False
+    preemptions: int = 0
+
+    @property
+    def context_ids(self) -> list[int]:
+        """Token ids whose KV must exist to continue this query."""
+        return self.prompt + self.output_ids
+
+    @property
+    def prefill_target(self) -> int:
+        """How far prefill must run: fresh queries stop before sampling the
+        first token from the final chunk's logits; resumed queries stop one
+        short (the last generated token is fed through the decode step)."""
+        n = len(self.context_ids)
+        return n - 1 if self.resumed else len(self.prompt)
     # streaming + SLO metrics
     out_queue: "queue.Queue" = dataclasses.field(default_factory=queue.Queue)
     created: float = dataclasses.field(default_factory=time.monotonic)
@@ -82,13 +101,35 @@ class SchedulerConfig:
     max_pages_per_query: int = 32
     page_size: int = 64
     max_queue: int = 512
+    # ≤N prefill chunks ride along with each decode step (reference: ≤2
+    # prefill minibatches per BatchQueryTodo, scheduler.cpp:441-446)
+    max_prefills_per_step: int = 2
 
 
 @dataclasses.dataclass
 class BatchPlan:
-    kind: str  # "prefill" | "decode"
-    queries: list[Query]
-    chunk: Optional[list[int]] = None  # prefill token chunk
+    """One engine step's work: a decode batch AND up to `max_prefills`
+    prefill chunks execute back-to-back (async-dispatched together), the
+    analog of the reference's mixed ForwardBatch of ≤2 prefill minibatches
+    + decode minibatches (sched/scheduler.cpp:441-475)."""
+
+    decode: list[Query] = dataclasses.field(default_factory=list)
+    prefills: list[tuple[Query, list[int]]] = dataclasses.field(
+        default_factory=list
+    )
+
+    # compat helpers for r1-style call sites/tests
+    @property
+    def kind(self) -> str:
+        if self.prefills and not self.decode:
+            return "prefill"
+        if self.decode and not self.prefills:
+            return "decode"
+        return "mixed"
+
+    @property
+    def queries(self) -> list[Query]:
+        return [q for q, _ in self.prefills] + self.decode
 
 
 class Scheduler:
@@ -156,16 +197,17 @@ class Scheduler:
             q = self.waiting[0]
             if q.state == RECEIVED:
                 if self.prefix is not None:
-                    matched, pages = self.prefix.lookup(q.prompt[:-1])
-                    # never match the full prompt: the last token must be
-                    # prefilled to produce first-token logits
+                    matched, pages = self.prefix.lookup(q.context_ids[:-1])
+                    # never match the full context: the last token must be
+                    # prefilled/decoded to produce the next logits
                     q.matched_len = matched
                     q.prefill_pos = matched
                     q.pages = list(pages)
                     q.prefix_pages = len(pages)
                 q.state = PREFILL
             if not self._ensure_pages(
-                q, min(len(q.prompt), q.prefill_pos + self.cfg.prefill_chunk)
+                q,
+                min(q.prefill_target, q.prefill_pos + self.cfg.prefill_chunk),
             ):
                 break  # no memory; keep FCFS order
             self.waiting.pop(0)
@@ -173,29 +215,59 @@ class Scheduler:
             self.running.append(q)
 
     def next_batch(self) -> BatchPlan | None:
-        """One step's work (the analog of BatchQueryTodo)."""
+        """One step's work (the analog of BatchQueryTodo): the decode batch
+        plus ≤max_prefills_per_step prefill chunks — decode never stalls
+        behind a long prompt (the r1 head-of-line blocking fix)."""
         self._admit()
-        # prefill first: FCFS query with remaining prompt tokens
+        decoding = [q for q in self.running if q.state == DECODE][
+            : self.cfg.max_batch_size
+        ]
+        prefills = []
+        chunk_budget = self.cfg.prefill_chunk
+        if not decoding:
+            # idle decode lane: double the chunk (reference doubles the
+            # single prefill's chunk when there is room, scheduler.cpp:441)
+            chunk_budget *= 2
         for q in self.running:
-            if q.state == PREFILL:
-                end = min(len(q.prompt), q.prefill_pos + self.cfg.prefill_chunk)
-                if not self._ensure_pages(q, end):
-                    continue
-                chunk = q.prompt[q.prefill_pos : end]
-                return BatchPlan(kind="prefill", queries=[q], chunk=chunk)
-        decoding = [q for q in self.running if q.state == DECODE]
-        if decoding:
-            return BatchPlan(
-                kind="decode", queries=decoding[: self.cfg.max_batch_size]
-            )
-        return None
+            if len(prefills) >= self.cfg.max_prefills_per_step:
+                break
+            if q.state != PREFILL:
+                continue
+            end = min(q.prefill_target, q.prefill_pos + chunk_budget)
+            if end <= q.prefill_pos or not self._ensure_pages(q, end):
+                continue
+            prefills.append((q, q.context_ids[q.prefill_pos : end]))
+        if not decoding and not prefills:
+            return None
+        return BatchPlan(decode=decoding, prefills=prefills)
 
     # -- updates -----------------------------------------------------------
 
     def prefill_done_chunk(self, q: Query, chunk_len: int) -> None:
         q.prefill_pos += chunk_len
-        if q.prefill_pos >= len(q.prompt):
+        if q.prefill_pos >= q.prefill_target:
             q.state = DECODE
+
+    def preempt(self, q: Query) -> None:
+        """Release a running query's pages under memory pressure and requeue
+        it (front of the waiting line) to re-prefill its full context later.
+        Already-streamed tokens are kept; decoding resumes afterwards
+        (reference analog: kvc2 eviction + query re-preparation)."""
+        if q in self.running:
+            self.running.remove(q)
+        if q.slot is not None:
+            self._free_slots.append(q.slot)
+            self._free_slots.sort()
+            q.slot = None
+        self.alloc.release(q.pages)
+        q.pages = []
+        q.prefix_pages = 0
+        q.prefill_pos = 0
+        q.matched_len = 0
+        q.resumed = True
+        q.preemptions += 1
+        q.state = RECEIVED
+        self.waiting.insert(0, q)
 
     def push_token(self, q: Query, token: int) -> None:
         if q.first_token_at is None:
@@ -225,14 +297,19 @@ class Scheduler:
             self._free_slots.append(q.slot)
             self._free_slots.sort()
             q.slot = None
-        # hand fully-written prompt pages to the prefix cache, then drop our
-        # references
+        # hand fully-written context pages (prompt + generated — multi-turn
+        # reuse) to the prefix cache, then drop our references
         if self.prefix is not None and q.prompt:
             ps = self.cfg.page_size
-            # only fully-written prompt pages (cancelled queries may have
-            # prefilled only part of the prompt)
-            full = min(len(q.prompt), q.prefill_pos) // ps
-            self.prefix.insert(q.prompt[: full * ps], q.pages[:full])
+            # KV coverage: everything prefilled, plus every decoded token
+            # except the final sampled one (its KV was never written)
+            covered = (
+                q.total_len - 1
+                if q.first_token_at is not None
+                else q.prefill_pos
+            )
+            full = min(len(q.context_ids), max(covered, 0)) // ps
+            self.prefix.insert(q.context_ids[: full * ps], q.pages[:full])
         self.alloc.release(q.pages)
         q.pages = []
         self.finished.append(q)
