@@ -62,6 +62,7 @@ def load_model(
     placement=None,
     save_packed: str | None = None,
     progress=None,
+    exact_gguf: bool = True,
 ):
     """Returns (spec, params). `save_packed` writes the converted params so
     the next start loads them directly (reference .kt cache analog)."""
@@ -76,6 +77,7 @@ def load_model(
         from ktransformers_tpu.loader.providers import SafetensorsProvider
 
         provider = SafetensorsProvider(path)
+        exact_gguf = False
     else:
         from ktransformers_tpu.loader.providers import GGUFProvider
 
@@ -88,6 +90,9 @@ def load_model(
         moe_quant=moe_quant,
         placement=placement,
         progress=progress,
+        # GGUF default: compute on the original block codes (lossless
+        # repack), matching the reference's direct-on-GGUF kernels
+        exact_gguf=exact_gguf,
     )
     if save_packed:
         from ktransformers_tpu.models.checkpoint import save_params

@@ -49,8 +49,9 @@ def _w_value(v) -> bytes:
 
 
 def write_gguf(path: str, metadata: dict, tensors: dict):
-    """tensors: name -> np.ndarray (float32/float16), written in numpy
-    (row-major) shape; dims are reversed into ggml order."""
+    """tensors: name -> np.ndarray (float32/float16) written in numpy
+    (row-major) shape, or (raw_uint8_bytes, ggml_type_name, logical_shape)
+    for pre-packed quantized blocks; dims are reversed into ggml order."""
     align = int(metadata.get("general.alignment", 32))
     header = struct.pack("<IIQQ", 0x46554747, 3, len(tensors), len(metadata))
     kv = b""
@@ -61,14 +62,19 @@ def write_gguf(path: str, metadata: dict, tensors: dict):
     blobs = []
     offset = 0
     for name, arr in tensors.items():
-        arr = np.ascontiguousarray(arr)
-        tname = {"float32": "F32", "float16": "F16"}[str(arr.dtype)]
-        dims = tuple(reversed(arr.shape))
+        if isinstance(arr, tuple):
+            raw, tname, shape = arr
+            blob = np.ascontiguousarray(np.asarray(raw, np.uint8)).tobytes()
+            dims = tuple(reversed(shape))
+        else:
+            arr = np.ascontiguousarray(arr)
+            tname = {"float32": "F32", "float16": "F16"}[str(arr.dtype)]
+            dims = tuple(reversed(arr.shape))
+            blob = arr.tobytes()
         infos += _w_str(name)
         infos += struct.pack("<I", len(dims))
         infos += struct.pack(f"<{len(dims)}Q", *dims)
         infos += struct.pack("<IQ", GGML_NAMES[tname], offset)
-        blob = arr.tobytes()
         pad = (-len(blob)) % align
         blobs.append(blob + b"\x00" * pad)
         offset += len(blob) + pad

@@ -198,3 +198,91 @@ class GGUFProvider(WeightProvider):
         if full not in self._names:
             raise KeyError(full)
         return self.gguf.load(full)
+
+    # -- lossless repack (exact Q4_K-class compute, VERDICT r1 item 4) ------
+
+    def _repack(self, gname: str):
+        """Repack one ggml tensor without requantizing; None if dense or
+        unsupported type."""
+        from ktransformers_tpu.loader.gguf import GGML_TYPES
+        from ktransformers_tpu.quant.gguf_repack import repack_ggml_exact
+
+        info = self.gguf.info(gname)
+        tname = GGML_TYPES[info.ggml_type][0]
+        gf = self.gguf.tensor_file[gname]
+        return repack_ggml_exact(gf.raw(gname), tname, info.shape)
+
+    @staticmethod
+    def _cat_n(a, b):
+        """Concatenate two repacked QTensors along N (gate||up fusion);
+        None if formats differ."""
+        import jax.numpy as jnp
+
+        from ktransformers_tpu.quant.formats import QTensor
+
+        if a is None or b is None:
+            return None
+        if a.kind != b.kind or a.group_size != b.group_size:
+            return None
+        return QTensor(
+            data=jnp.concatenate([a.data, b.data], axis=-1),
+            scales=jnp.concatenate([a.scales, b.scales], axis=-1),
+            zeros=None
+            if a.zeros is None
+            else jnp.concatenate([a.zeros, b.zeros], axis=-1),
+            kind=a.kind,
+            group_size=a.group_size,
+        )
+
+    def get_exact(self, name: str):
+        """QTensor in the [..., K, N] layout carrying the ORIGINAL ggml
+        codes and block scales (no decode->requantize), or None for dense/
+        unsupported tensors. `…gate_up_proj` names fuse gate||up along N."""
+        if name in _GGUF_TOP:
+            g = _GGUF_TOP[name]
+            if g not in self._names and name == "lm_head.weight":
+                g = "token_embd.weight"
+            if g not in self._names:
+                raise KeyError(name)
+            return self._repack(g)
+
+        m = re.match(r"model\.layers\.(\d+)\.(.+)$", name)
+        if not m:
+            raise KeyError(name)
+        li, suffix = int(m.group(1)), m.group(2)
+
+        if suffix in (
+            "mlp.experts.gate_up_proj",
+            "block_sparse_moe.experts.gate_up_proj",
+        ):
+            return self._cat_n(
+                self._repack(f"blk.{li}.ffn_gate_exps.weight"),
+                self._repack(f"blk.{li}.ffn_up_exps.weight"),
+            )
+        if suffix in (
+            "mlp.experts.down_proj",
+            "block_sparse_moe.experts.down_proj",
+        ):
+            return self._repack(f"blk.{li}.ffn_down_exps.weight")
+        fused = {
+            "mlp.gate_up_proj": ("ffn_gate.weight", "ffn_up.weight"),
+            "mlp.shared_experts.gate_up_proj": (
+                "ffn_gate_shexp.weight", "ffn_up_shexp.weight",
+            ),
+            "mlp.shared_expert.gate_up_proj": (
+                "ffn_gate_shexp.weight", "ffn_up_shexp.weight",
+            ),
+        }
+        if suffix in fused:
+            ga = f"blk.{li}.{fused[suffix][0]}"
+            up = f"blk.{li}.{fused[suffix][1]}"
+            if ga not in self._names or up not in self._names:
+                return None
+            return self._cat_n(self._repack(ga), self._repack(up))
+
+        if suffix not in _GGUF_SUFFIX:
+            raise KeyError(name)
+        g = f"blk.{li}.{_GGUF_SUFFIX[suffix]}"
+        if g not in self._names:
+            raise KeyError(name)
+        return self._repack(g)

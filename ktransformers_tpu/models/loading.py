@@ -50,19 +50,48 @@ def build_params(
     group_size: int = 128,
     placement=None,  # PlacementSpec: per-module quant override
     progress: Callable[[str], None] | None = None,
+    exact_gguf: bool = False,
 ):
     """Assemble the full params pytree from a provider.
 
     `placement` (placement/spec.py) overrides quant per module path — the
-    load-time half of the reference's YAML injection rules."""
+    load-time half of the reference's YAML injection rules.
+
+    `exact_gguf`: take the provider's lossless repack (GGUF codes + block
+    scales carried verbatim into the framework's group formats,
+    quant/gguf_repack.py) instead of decode->requantize, so compute matches
+    the reference's direct-on-GGUF kernels at the same bit-width."""
     moe_quant = moe_quant or quant
     a = spec.attention
     get, maybe = p.get, p.maybe
+    can_exact = exact_gguf and hasattr(p, "get_exact")
 
     def pick(path: str, default_kind: str):
         if placement is None:
             return default_kind, group_size
         return placement.quant_for(path)
+
+    def _exact(name: str):
+        if not can_exact:
+            return None
+        try:
+            return p.get_exact(name)
+        except KeyError:
+            return None
+
+    def qx(name: str, path: str, default_kind: str):
+        qt = _exact(name)
+        if qt is not None:
+            return qt
+        return _q(_t(get(name)), *pick(path, default_kind))
+
+    def qx_fused(gname: str, uname: str, fused_name: str, path: str,
+                 default_kind: str):
+        qt = _exact(fused_name)
+        if qt is not None:
+            return qt
+        g, u = _t(get(gname)), _t(get(uname))
+        return _q(np.concatenate([g, u], 1), *pick(path, default_kind))
 
     def vec(name):
         return jnp.asarray(np.asarray(get(name), np.float32))
@@ -84,41 +113,37 @@ def build_params(
             )
             absorbed_dtype = jnp.float32 if quant == "f32" else jnp.bfloat16
             attn = {
-                "kv_a": _q(
-                    _t(get(f"{sa}.kv_a_proj_with_mqa.weight")),
-                    *pick(f"layers.{li}.attn.kv_a", quant),
+                "kv_a": qx(
+                    f"{sa}.kv_a_proj_with_mqa.weight",
+                    f"layers.{li}.attn.kv_a", quant,
                 ),
                 "kv_a_norm": vec(f"{sa}.kv_a_layernorm.weight"),
                 "w_uk": w_uk.astype(absorbed_dtype),
                 "w_uv": w_uv.astype(absorbed_dtype),
-                "o_proj": _q(
-                    _t(get(f"{sa}.o_proj.weight")),
-                    *pick(f"layers.{li}.attn.o_proj", quant),
+                "o_proj": qx(
+                    f"{sa}.o_proj.weight", f"layers.{li}.attn.o_proj", quant
                 ),
             }
             if maybe(f"{sa}.kv_a_proj_with_mqa.bias") is not None:
                 attn["kv_a_bias"] = vec(f"{sa}.kv_a_proj_with_mqa.bias")
             if a.q_lora_rank:
-                attn["q_a"] = _q(
-                    _t(get(f"{sa}.q_a_proj.weight")),
-                    *pick(f"layers.{li}.attn.q_a", quant),
+                attn["q_a"] = qx(
+                    f"{sa}.q_a_proj.weight", f"layers.{li}.attn.q_a", quant
                 )
                 attn["q_a_norm"] = vec(f"{sa}.q_a_layernorm.weight")
-                attn["q_b"] = _q(
-                    _t(get(f"{sa}.q_b_proj.weight")),
-                    *pick(f"layers.{li}.attn.q_b", quant),
+                attn["q_b"] = qx(
+                    f"{sa}.q_b_proj.weight", f"layers.{li}.attn.q_b", quant
                 )
             else:
-                attn["q_proj"] = _q(
-                    _t(get(f"{sa}.q_proj.weight")),
-                    *pick(f"layers.{li}.attn.q_proj", quant),
+                attn["q_proj"] = qx(
+                    f"{sa}.q_proj.weight", f"layers.{li}.attn.q_proj", quant
                 )
         else:
             attn = {}
             for nm in ("q", "k", "v", "o"):
-                attn[f"{nm}_proj"] = _q(
-                    _t(get(f"{sa}.{nm}_proj.weight")),
-                    *pick(f"layers.{li}.attn.{nm}_proj", quant),
+                attn[f"{nm}_proj"] = qx(
+                    f"{sa}.{nm}_proj.weight",
+                    f"layers.{li}.attn.{nm}_proj", quant,
                 )
                 bias = maybe(f"{sa}.{nm}_proj.bias")
                 if bias is not None and nm != "o":
@@ -142,8 +167,12 @@ def build_params(
             if bias is not None:
                 moe["router_bias_corr"] = jnp.asarray(np.asarray(bias, np.float32))
 
-            stacked_gu = maybe(f"{mlp_pre}.experts.gate_up_proj")
-            if stacked_gu is not None:
+            exact_gu = _exact(f"{mlp_pre}.experts.gate_up_proj")
+            exact_dn = _exact(f"{mlp_pre}.experts.down_proj")
+            if exact_gu is not None and exact_dn is not None:
+                moe["experts"] = MoEWeights(gate_up=exact_gu, down=exact_dn)
+                gus = dns = None
+            elif (stacked_gu := maybe(f"{mlp_pre}.experts.gate_up_proj")) is not None:
                 # pre-stacked [E, in, 2*out] / down [E, inter, in]
                 gus = np.asarray(stacked_gu, np.float32)
                 dns = np.asarray(get(f"{mlp_pre}.experts.down_proj"), np.float32)
@@ -163,11 +192,12 @@ def build_params(
                     dns_list.append(dn)
                 gus = np.stack(gus_list)
                 dns = np.stack(dns_list)
-            ek, eg = pick(f"layers.{li}.moe.experts", moe_quant)
-            moe["experts"] = MoEWeights(
-                gate_up=_q(gus, ek, eg),
-                down=_q(dns, ek, eg),
-            )
+            if gus is not None:
+                ek, eg = pick(f"layers.{li}.moe.experts", moe_quant)
+                moe["experts"] = MoEWeights(
+                    gate_up=_q(gus, ek, eg),
+                    down=_q(dns, ek, eg),
+                )
             if m.shared_expert_intermediate_size:
                 base = (
                     f"{mlp_pre}.shared_experts"
@@ -175,12 +205,16 @@ def build_params(
                     is not None
                     else f"{mlp_pre}.shared_expert"
                 )
-                g = _t(get(f"{base}.gate_proj.weight"))
-                u = _t(get(f"{base}.up_proj.weight"))
-                sk, sg = pick(f"layers.{li}.moe.shared", quant)
                 moe["shared"] = {
-                    "gate_up": _q(np.concatenate([g, u], 1), sk, sg),
-                    "down": _q(_t(get(f"{base}.down_proj.weight")), sk, sg),
+                    "gate_up": qx_fused(
+                        f"{base}.gate_proj.weight", f"{base}.up_proj.weight",
+                        f"{base}.gate_up_proj",
+                        f"layers.{li}.moe.shared", quant,
+                    ),
+                    "down": qx(
+                        f"{base}.down_proj.weight",
+                        f"layers.{li}.moe.shared", quant,
+                    ),
                 }
                 if m.shared_expert_gate:
                     moe["shared_gate"] = jnp.asarray(
@@ -190,12 +224,15 @@ def build_params(
                     )
             lp["moe"] = moe
         else:
-            g = _t(get(f"{mlp_pre}.gate_proj.weight"))
-            u = _t(get(f"{mlp_pre}.up_proj.weight"))
-            mk, mg = pick(f"layers.{li}.mlp", quant)
             lp["mlp"] = {
-                "gate_up": _q(np.concatenate([g, u], 1), mk, mg),
-                "down": _q(_t(get(f"{mlp_pre}.down_proj.weight")), mk, mg),
+                "gate_up": qx_fused(
+                    f"{mlp_pre}.gate_proj.weight",
+                    f"{mlp_pre}.up_proj.weight",
+                    f"{mlp_pre}.gate_up_proj", f"layers.{li}.mlp", quant,
+                ),
+                "down": qx(
+                    f"{mlp_pre}.down_proj.weight", f"layers.{li}.mlp", quant
+                ),
             }
         layers.append(lp)
 
@@ -207,7 +244,5 @@ def build_params(
         "final_norm": jnp.asarray(np.asarray(get("model.norm.weight"), np.float32)),
     }
     if not spec.tie_word_embeddings:
-        params["lm_head"] = _q(
-            _t(get("lm_head.weight")), *pick("lm_head", quant)
-        )
+        params["lm_head"] = qx("lm_head.weight", "lm_head", quant)
     return params

@@ -54,7 +54,7 @@ def qmatmul(x: jnp.ndarray, w: QTensor, *, impl: str = "auto") -> jnp.ndarray:
         y = jnp.matmul(x, _int_data(w, x.dtype))
         return (y.astype(jnp.float32) * w.scales.reshape(1, -1)).astype(x.dtype)
 
-    if w.kind in ("int4_g", "int4_gz"):
+    if w.kind in ("int4_g", "int4_gz", "int8_g", "int8_gz"):
         g = w.group_size
         q = _int_data(w, x.dtype)  # [K, N]
         k, n = q.shape
@@ -64,7 +64,7 @@ def qmatmul(x: jnp.ndarray, w: QTensor, *, impl: str = "auto") -> jnp.ndarray:
         part = jnp.einsum(
             "tGg,GgN->tGN", xr.astype(jnp.float32), q.astype(jnp.float32)
         )
-        if w.kind == "int4_gz":
+        if w.kind.endswith("_gz"):
             # y -= sum_g (sum_k x) * z[g, n] * s[g, n]
             xsum = jnp.sum(xr.astype(jnp.float32), axis=-1)  # [t, G]
             part = part - xsum[..., None] * w.zeros[None]

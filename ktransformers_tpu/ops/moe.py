@@ -201,7 +201,7 @@ def gathered_matmul(x: jnp.ndarray, w: QTensor, ids: jnp.ndarray) -> jnp.ndarray
     scales = w.scales[ids]  # [t,k,G,n]
     if w.kind in ("mxfp4", "mxfp8"):
         scales = jnp.exp2(scales.astype(jnp.float32) - 127.0)
-    if w.kind == "int4_gz":
+    if w.kind.endswith("_gz"):
         part = part - xsum[..., None] * w.zeros[ids]
     y = jnp.sum(part * scales, axis=2)
     return y.astype(x.dtype)

@@ -201,7 +201,7 @@ def quantize(
     if kind in ("bf16", "fp16", "f32"):
         dt = {"bf16": jnp.bfloat16, "fp16": jnp.float16, "f32": jnp.float32}[kind]
         return QTensor(w.astype(dt), None, None, kind="bf16", group_size=0)
-    if kind in ("int4_g", "int4_gz"):
+    if kind in ("int4_g", "int4_gz", "int8_g"):
         group_size = effective_group_size(w.shape[-2], group_size)
 
     wf = w.astype(jnp.float32)
@@ -222,6 +222,20 @@ def quantize(
         data = pack_int4(q.reshape(*lead, kg * group_size, n), group_size)
         return QTensor(
             data,
+            scales.squeeze(-2).astype(scale_dtype),
+            None,
+            kind=kind,
+            group_size=group_size,
+        )
+
+    if kind == "int8_g":
+        g = _group_reshape(wf, group_size)
+        absmax = jnp.max(jnp.abs(g), axis=-2, keepdims=True)
+        scales = jnp.maximum(absmax, 1e-10) / 127.0
+        q = jnp.clip(jnp.round(g / scales), -127, 127).astype(jnp.int8)
+        *lead, kg, _, n = q.shape
+        return QTensor(
+            q.reshape(*lead, kg * group_size, n),
             scales.squeeze(-2).astype(scale_dtype),
             None,
             kind=kind,
@@ -301,11 +315,14 @@ def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     if qt.kind == "int4":
         q = unpack_int4(qt.data, qt.group_size).astype(jnp.float32)
         return (q * qt.scales).astype(dtype)
-    if qt.kind in ("int4_g", "int4_gz"):
-        q = unpack_int4(qt.data, qt.group_size).astype(jnp.float32)
+    if qt.kind in ("int4_g", "int4_gz", "int8_g", "int8_gz"):
+        if qt.kind.startswith("int4"):
+            q = unpack_int4(qt.data, qt.group_size).astype(jnp.float32)
+        else:
+            q = qt.data.astype(jnp.float32)
         g = _group_reshape(q, qt.group_size)
         scales = qt.scales[..., :, None, :]
-        if qt.kind == "int4_gz":
+        if qt.kind.endswith("_gz"):
             g = g - qt.zeros[..., :, None, :]
         out = g * scales
         *lead, kg, gs, n = out.shape
