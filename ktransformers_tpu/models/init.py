@@ -27,6 +27,7 @@ def init_params_synthetic(
     moe_quant: str | None = None,
     group_size: int = 128,
     dtype=jnp.bfloat16,
+    skip_experts: bool = False,
 ):
     """Device-side synthetic init for *benchmarks at real model scale*:
     quantized tensors are created directly as random codes + constant scales
@@ -97,7 +98,10 @@ def init_params_synthetic(
 
             def fn(skey):
                 q, rand = factories(skey)
-                return _layer_params(spec, li, q, rand, quant, moe_quant)
+                return _layer_params(
+                    spec, li, q, rand, quant, moe_quant,
+                    skip_experts=skip_experts,
+                )
 
             compiled[is_moe] = jax.jit(fn)
         return compiled[is_moe](jax.random.PRNGKey(seed * 100003 + li))
@@ -118,9 +122,11 @@ def init_params_synthetic(
     return {**head, "layers": layers}
 
 
-def _layer_params(spec: ModelSpec, li: int, q, rand, quant: str, moe_quant: str):
+def _layer_params(spec: ModelSpec, li: int, q, rand, quant: str,
+                  moe_quant: str, skip_experts: bool = False):
     """One decoder layer's params: q(shape, kind) makes a QTensor,
-    rand(shape, scale) a float array."""
+    rand(shape, scale) a float array. skip_experts: leave routed experts
+    out (host-offload builds: offload/host_engine.py)."""
     a = spec.attention
     d = spec.hidden_size
     lp = {
@@ -170,11 +176,12 @@ def _layer_params(spec: ModelSpec, li: int, q, rand, quant: str, moe_quant: str)
         f = m.moe_intermediate_size
         moe = {
             "router_w": rand((m.num_experts, d), 1.0 / np.sqrt(d)),
-            "experts": MoEWeights(
+        }
+        if not skip_experts:
+            moe["experts"] = MoEWeights(
                 gate_up=q((m.num_experts, d, 2 * f), moe_quant),
                 down=q((m.num_experts, f, d), moe_quant),
-            ),
-        }
+            )
         if m.gate.has_correction_bias:
             moe["router_bias_corr"] = jnp.zeros((m.num_experts,), jnp.float32)
         if m.shared_expert_intermediate_size:

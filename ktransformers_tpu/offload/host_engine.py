@@ -1,0 +1,361 @@
+"""Bigger-than-HBM serving: device attention + host routed experts.
+
+The reference's raison d'être is running 100s-of-GB MoE models on
+memory-constrained accelerators by keeping routed experts in host RAM
+(kt-kernel/python/experts_base.py:377-485, doc/en/DeepseekR1_V3_tutorial
+.md:127-163). On this runtime the device sits behind a ~30 MB/s tunnel,
+so the reference's OTHER key property — only activations cross the
+boundary, weights never move — is not just an optimization here, it is
+the only physically possible design. The forward is split into per-layer
+jitted segments; between segments the host computes the routed-expert FFN
+in C++ (offload/host_moe.py) from the normed hidden states, while
+attention, norms, router and shared experts stay on-device.
+
+Current model shape support: optional dense prefix layers
+(first_k_dense_replace) followed by uniform MoE layers — the
+DeepSeek/Kimi/Qwen-MoE families this path exists for.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ktransformers_tpu.models.model import (
+    KVCache,
+    _dense_mlp,
+    _gqa_attention,
+    _mla_attention,
+)
+from ktransformers_tpu.models.spec import ModelSpec
+from ktransformers_tpu.ops.gate import route
+from ktransformers_tpu.ops.norm import rms_norm
+from ktransformers_tpu.ops.rope import precompute_rope_tables
+
+
+def split_params_for_offload(params, spec: ModelSpec, activation=None):
+    """Move each MoE layer's routed experts to host RAM. Returns
+    (device_params, {layer_idx: HostMoELayer}). The device copy of a MoE
+    layer keeps router/shared/norms/attention only."""
+    from ktransformers_tpu.offload.host_moe import HostMoELayer
+
+    host = {}
+    dev_layers = []
+    for li, lp in enumerate(params["layers"]):
+        if "moe" in lp:
+            moe = dict(lp["moe"])
+            w = moe.pop("experts")
+            act = activation or getattr(spec.activation, "kind", "silu")
+            host[li] = HostMoELayer.from_qtensors(w.gate_up, w.down, act)
+            dev_layers.append({**lp, "moe": moe})
+        else:
+            dev_layers.append(lp)
+    return {**params, "layers": dev_layers}, host
+
+
+@dataclasses.dataclass
+class _State:
+    """Host-side loop state for one in-flight batch."""
+
+    res: jnp.ndarray          # [B, S, H] residual after attention+shared
+    xn_host: np.ndarray       # [B*S, H] f32: input for host experts
+    ids_host: np.ndarray      # [B*S, k]
+    w_host: np.ndarray        # [B*S, k]
+
+
+class HostOffloadGenerator:
+    """Batch generation with host-resident routed experts.
+
+    The per-step device work is L+2 jitted segments (embed+dense prefix,
+    one reused mid-layer segment, final norm+lm_head+sample); between
+    them the host runs kt_hostmoe_forward. All segments are compiled once
+    per (batch, seq) shape."""
+
+    def __init__(
+        self,
+        dev_params,
+        spec: ModelSpec,
+        host_layers,  # {layer_idx: HostMoELayer}
+        max_len: int = 2048,
+        batch: int = 8,
+        cache_dtype=jnp.bfloat16,
+        compute_dtype=jnp.bfloat16,
+        transfer_dtype=None,  # activation dtype across the tunnel; bf16
+        # halves host<->device traffic (the per-layer hop is latency/
+        # bandwidth-bound); None = keep full compute precision (tests)
+    ):
+        self.params = dev_params
+        self.spec = spec
+        self.host = host_layers
+        self.max_len = max_len
+        self.batch = batch
+        self.cache_dtype = cache_dtype
+        self.compute_dtype = compute_dtype
+        self.transfer_dtype = transfer_dtype
+        self.rope = precompute_rope_tables(spec.rope)
+        self.moe_lis = sorted(host_layers)
+        n = spec.num_layers
+        # supported shape: dense prefix [0, moe_lis[0]), then all-MoE
+        first = self.moe_lis[0]
+        assert self.moe_lis == list(range(first, n)), (
+            "host offload supports dense-prefix + uniform MoE tails only"
+        )
+        self.first_moe = first
+        self._steps = {}
+
+    def new_cache(self) -> KVCache:
+        return KVCache.create(
+            self.spec, self.batch, self.max_len, dtype=self.cache_dtype
+        )
+
+    # -- device segments ----------------------------------------------------
+
+    def _attn(self, lp, xn, bufs, lengths, rope_cs):
+        if self.spec.attention.kind == "mla":
+            return _mla_attention(lp["attn"], self.spec, xn, bufs, lengths, rope_cs)
+        return _gqa_attention(lp["attn"], self.spec, xn, bufs, lengths, rope_cs)
+
+    def _layer_head(self, lp, x, bufs, lengths, rope_cs):
+        """attention + residual + post-norm + router + shared expert for
+        one MoE layer; returns everything the host needs plus the residual
+        that waits for the expert output."""
+        res = x
+        xn = rms_norm(x, lp["input_norm"], self.spec.rms_norm_eps)
+        attn_out, bufs = self._attn(lp, xn, bufs, lengths, rope_cs)
+        x = res + attn_out
+        res2 = x
+        xn2 = rms_norm(x, lp["post_attn_norm"], self.spec.rms_norm_eps)
+        moe = lp["moe"]
+        b, s, d = xn2.shape
+        flat = xn2.reshape(b * s, d)
+        logits = flat.astype(jnp.float32) @ moe["router_w"].astype(jnp.float32).T
+        topk_idx, topk_w = route(
+            logits, self.spec.moe.gate, moe.get("router_bias_corr")
+        )
+        shared_y = jnp.zeros_like(flat)
+        if moe.get("shared") is not None:
+            shared_y = _dense_mlp(moe["shared"], self.spec, flat)
+            if self.spec.moe.shared_expert_gate:
+                g = jax.nn.sigmoid(
+                    flat.astype(jnp.float32)
+                    @ moe["shared_gate"].astype(jnp.float32).T
+                )
+                shared_y = shared_y * g.astype(shared_y.dtype)
+        return res2, shared_y.reshape(b, s, d), flat, topk_idx, topk_w, bufs
+
+    def _pack(self, flat, idx, w):
+        """One readback instead of three: [T, H + 3k] in transfer_dtype.
+        idx is split hi/lo base-128 so expert ids stay exact in bf16."""
+        td = self.transfer_dtype
+        if td is None:
+            return flat, idx, w
+        cols = [
+            flat.astype(td),
+            (idx // 128).astype(td),
+            (idx % 128).astype(td),
+            w.astype(td),
+        ]
+        return jnp.concatenate(cols, axis=1)
+
+    def _seg_first(self, s: int):
+        """embed + dense prefix layers + first MoE layer's head."""
+        key = ("first", s)
+        if key not in self._steps:
+            spec, cdt = self.spec, self.compute_dtype
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def fn(params, tokens, bufs, lengths, rope_tables):
+                cos_t, sin_t = rope_tables
+                pos = lengths[:, None] + jnp.arange(tokens.shape[1])[None, :]
+                rope_cs = (cos_t[pos], sin_t[pos])
+                x = params["embed"][tokens].astype(cdt)
+                new_bufs = []
+                for li in range(self.first_moe):
+                    lp = params["layers"][li]
+                    res = x
+                    xn = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
+                    attn_out, b2 = self._attn(lp, xn, bufs[li], lengths, rope_cs)
+                    new_bufs.append(b2)
+                    x = res + attn_out
+                    res = x
+                    xn = rms_norm(x, lp["post_attn_norm"], spec.rms_norm_eps)
+                    x = res + _dense_mlp(lp["mlp"], spec, xn)
+                lp = params["layers"][self.first_moe]
+                res2, sh, flat, idx, w, b2 = self._layer_head(
+                    lp, x, bufs[self.first_moe], lengths, rope_cs
+                )
+                new_bufs.append(b2)
+                return res2, sh, self._pack(flat, idx, w), new_bufs, rope_cs
+
+            self._steps[key] = fn
+        return self._steps[key]
+
+    def _seg_mid(self, s: int):
+        """combine previous layer's expert output + next MoE layer head.
+        One compiled function reused for every uniform mid layer."""
+        key = ("mid", s)
+        if key not in self._steps:
+
+            @partial(jax.jit, donate_argnums=(1, 3))
+            def fn(lp, res, shared_y, expert_y, bufs, lengths, rope_cs):
+                # combine in the resident path's order (model.py _moe_mlp):
+                # y = routed.astype(dtype) + shared; x = res + y
+                y = expert_y.reshape(res.shape).astype(res.dtype) + shared_y
+                r2, sh, flat, idx, ww, b2 = self._layer_head(
+                    lp, res + y, bufs, lengths, rope_cs
+                )
+                return r2, sh, self._pack(flat, idx, ww), b2
+
+            self._steps[key] = fn
+        return self._steps[key]
+
+    def _seg_final(self, s: int):
+        key = ("final", s)
+        if key not in self._steps:
+            spec = self.spec
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def fn(params, res, shared_y, expert_y, temperature, key_):
+                y = expert_y.reshape(res.shape).astype(res.dtype) + shared_y
+                x = res + y
+                x = rms_norm(
+                    x[:, -1:], params["final_norm"], spec.rms_norm_eps
+                )
+                lm = params.get("lm_head")
+                if lm is None:
+                    logits = x @ params["embed"].astype(x.dtype).T
+                else:
+                    from ktransformers_tpu.ops.linear import linear
+
+                    logits = linear(x, lm)
+                logits = logits[:, 0].astype(jnp.float32)
+                greedy = jnp.argmax(logits, -1)
+                sampled = jax.random.categorical(
+                    key_, logits / jnp.maximum(temperature, 1e-6)
+                )
+                tok = jnp.where(temperature > 0, sampled, greedy)
+                return tok.astype(jnp.int32), logits
+
+            self._steps[key] = fn
+        return self._steps[key]
+
+    # -- host expert hop ----------------------------------------------------
+
+    def _host_moe(self, li: int, packed) -> np.ndarray:
+        if self.transfer_dtype is None:
+            flat, ids, w = packed
+            x = np.asarray(flat).astype(np.float32)
+            ids = np.asarray(ids)
+            w = np.asarray(w).astype(np.float32)
+        else:
+            a = np.asarray(packed).astype(np.float32)
+            h = self.spec.hidden_size
+            k = self.spec.moe.gate.top_k
+            x = a[:, :h]
+            ids = (
+                a[:, h : h + k].astype(np.int32) * 128
+                + a[:, h + k : h + 2 * k].astype(np.int32)
+            )
+            w = a[:, h + 2 * k :]
+        y = self.host[li].forward(x, ids, w)
+        if self.transfer_dtype is not None:
+            import ml_dtypes
+
+            y = y.astype(ml_dtypes.bfloat16)
+        return y
+
+    # -- forward over one chunk --------------------------------------------
+
+    def forward_chunk(
+        self,
+        tokens: np.ndarray,  # [B, S] int32
+        cache: KVCache,
+        temperature: float = 0.0,
+        key=None,
+    ):
+        """Runs the full layer stack over S new tokens; returns
+        (next_token [B], logits [B, V], cache). The KV bufs advance by S."""
+        b, s = tokens.shape
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        lengths = cache.lengths
+        bufs = list(zip(cache.bufs_a, cache.bufs_b))
+        # numpy operands go straight into the jit calls: on this runtime an
+        # explicit device_put costs a full extra round trip, the call path
+        # streams arguments with the dispatch
+        res, sh, packed, new_bufs, rope_cs = self._seg_first(s)(
+            self.params, tokens, bufs[: self.first_moe + 1],
+            lengths, self.rope,
+        )
+        expert_y = self._host_moe(self.first_moe, packed)
+        mid = self._seg_mid(s)
+        for li in range(self.first_moe + 1, self.spec.num_layers):
+            res, sh, packed, b2 = mid(
+                self.params["layers"][li], res, sh, expert_y,
+                bufs[li], lengths, rope_cs,
+            )
+            new_bufs.append(b2)
+            expert_y = self._host_moe(li, packed)
+        tok, logits = self._seg_final(s)(
+            self.params, res, sh, expert_y,
+            jnp.float32(temperature), key,
+        )
+        cache = KVCache(
+            lengths=lengths + s,
+            bufs_a=[a for a, _ in new_bufs],
+            bufs_b=[bb for _, bb in new_bufs],
+        )
+        return tok, logits, cache
+
+    def generate(
+        self,
+        prompts: list[list[int]],
+        max_new_tokens: int = 32,
+        prefill_chunk: int = 256,
+        temperature: float = 0.0,
+        seed: int = 0,
+        progress=None,
+    ) -> list[list[int]]:
+        """Greedy/temperature batch generation. Prompts are left-aligned;
+        per-row lengths tracked via the cache (rows shorter than the batch
+        max are padded at the END and their extra logits ignored — v1
+        requires equal prompt lengths for exactness)."""
+        assert len(prompts) <= self.batch
+        lens = {len(p) for p in prompts}
+        assert len(lens) == 1, "v1: equal prompt lengths"
+        n = len(prompts)
+        pad = [prompts[0]] * (self.batch - n)
+        toks = np.asarray(list(prompts) + pad, np.int32)
+        cache = self.new_cache()
+        key = jax.random.PRNGKey(seed)
+        out = [[] for _ in range(n)]
+        # prefill in chunks
+        pos = 0
+        total = toks.shape[1]
+        while pos < total:
+            chunk = toks[:, pos : pos + prefill_chunk]
+            key, sub = jax.random.split(key)
+            tok, logits, cache = self.forward_chunk(
+                chunk, cache, temperature, sub
+            )
+            pos += chunk.shape[1]
+            if progress:
+                progress(f"prefill {pos}/{total}")
+        toks_dev = [tok]
+        keys = jax.random.split(key, max_new_tokens + 1)
+        cur = tok
+        for step in range(max_new_tokens - 1):
+            cur, _, cache = self.forward_chunk(
+                cur.reshape(-1, 1), cache, temperature, keys[step]
+            )
+            toks_dev.append(cur)
+            if progress:
+                progress(f"decode {step + 2}/{max_new_tokens}")
+        cols = [np.asarray(t) for t in toks_dev]
+        for i in range(n):
+            out[i] = [int(c[i]) for c in cols]
+        return out

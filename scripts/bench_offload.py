@@ -1,0 +1,146 @@
+"""Bigger-than-HBM decode benchmark: a DeepSeek-V2-236B-half-shaped MoE
+(~58 GB of int4 routed experts in host RAM + ~9 GB resident on the one
+v5e chip, ~4x HBM total) through the host-offload engine.
+
+This is the reference's headline capability (671B-class on memory-
+constrained hardware, doc/en/DeepseekR1_V3_tutorial.md:127-163) on TPU.
+Host expert synthesis tiles a random megabyte instead of drawing 58 GB of
+randomness; routing statistics (what perf depends on) are driven by the
+real router on random device weights.
+
+Usage: python scripts/bench_offload.py [--batch 128] [--layers 30]
+Prints one JSON line with decode tok/s.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synth_host_layer(rng_block, E, K, N, gs):
+    """[E,2N,K/2]+[E,K,N/2] uint8 filled by tiling one random MB block."""
+    from ktransformers_tpu.offload.host_moe import HostMoELayer
+
+    def tiled(shape):
+        size = int(np.prod(shape))
+        a = np.empty(size, np.uint8)
+        b = rng_block
+        n = b.size
+        reps = size // n
+        if reps:
+            a[: reps * n].reshape(reps, n)[:] = b
+        a[reps * n :] = b[: size - reps * n]
+        return a.reshape(shape)
+
+    gu = tiled((E, 2 * N, K // 2))
+    dn = tiled((E, K, N // 2))
+    sc = 1.0 / np.sqrt(K) / 7.0
+    gus = np.full((E, 2 * N, K // gs), sc, np.float32)
+    dns = np.full((E, K, N // gs), sc * 0.5, np.float32)
+    return HostMoELayer(gu, gus, dn, dns, "silu")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--layers", type=int, default=30)
+    ap.add_argument("--experts", type=int, default=160)
+    ap.add_argument("--prompt", type=int, default=32)
+    ap.add_argument("--decode", type=int, default=12)
+    ap.add_argument("--hidden", type=int, default=5120)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from ktransformers_tpu.models.init import init_params_synthetic
+    from ktransformers_tpu.models.spec import spec_from_hf_config
+    from ktransformers_tpu.offload.host_engine import HostOffloadGenerator
+    from ktransformers_tpu.ops import pallas as kpallas
+
+    kpallas.maybe_enable()
+
+    cfg = dict(
+        model_type="deepseek_v2", vocab_size=102400, hidden_size=args.hidden,
+        intermediate_size=12288, moe_intermediate_size=1536,
+        num_hidden_layers=args.layers, num_attention_heads=64,
+        num_key_value_heads=64, n_shared_experts=2,
+        n_routed_experts=args.experts, num_experts_per_tok=6,
+        first_k_dense_replace=1, moe_layer_freq=1, topk_method="greedy",
+        norm_topk_prob=False, routed_scaling_factor=16.0,
+        scoring_func="softmax", kv_lora_rank=512, q_lora_rank=1536,
+        qk_rope_head_dim=64, qk_nope_head_dim=128, v_head_dim=128,
+        max_position_embeddings=2048, rms_norm_eps=1e-6, rope_theta=10000.0,
+    )
+    spec = spec_from_hf_config(cfg)
+    t0 = time.time()
+    dev_params = init_params_synthetic(
+        spec, quant="int8", moe_quant="int4_g", skip_experts=True
+    )
+    jax.block_until_ready(dev_params)
+    dev_bytes = sum(
+        a.nbytes for a in jax.tree.leaves(dev_params)
+        if hasattr(a, "nbytes")
+    )
+    print(f"device params: {dev_bytes/1e9:.1f} GB in {time.time()-t0:.0f}s",
+          file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    block = rng.integers(0, 256, 1 << 20, dtype=np.uint8)
+    host = {}
+    t0 = time.time()
+    K, N = args.hidden, 1536
+    for li in range(1, args.layers):
+        host[li] = synth_host_layer(block, args.experts, K, N, 128)
+    host_bytes = sum(h.nbytes for h in host.values())
+    print(f"host experts: {host_bytes/1e9:.1f} GB in {time.time()-t0:.0f}s",
+          file=sys.stderr)
+
+    gen = HostOffloadGenerator(
+        dev_params, spec, host, max_len=256, batch=args.batch,
+        transfer_dtype=jnp.bfloat16,
+    )
+    prompts = [
+        list(rng.integers(100, 5000, args.prompt)) for _ in range(args.batch)
+    ]
+
+    times = []
+    last = [time.time()]
+
+    def progress(msg):
+        now = time.time()
+        times.append((msg, now - last[0]))
+        last[0] = now
+        print(f"  {msg}: {times[-1][1]:.2f}s", file=sys.stderr)
+
+    out = gen.generate(
+        prompts, max_new_tokens=args.decode, prefill_chunk=args.prompt,
+        progress=progress,
+    )
+    decode_steps = [dt for m, dt in times if m.startswith("decode")]
+    # first decode step includes compilation; drop it
+    steady = decode_steps[2:] if len(decode_steps) > 4 else decode_steps
+    step_s = float(np.median(steady))
+    tok_s = args.batch / step_s
+    result = {
+        "metric": "offload_decode_tok_s",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "batch": args.batch,
+        "model_bytes_gb": round((dev_bytes + host_bytes) / 1e9, 1),
+        "hbm_ratio": round((dev_bytes + host_bytes) / 16e9, 1),
+        "step_ms": round(step_s * 1e3, 1),
+        "per_user_tok_s": round(1.0 / step_s, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
