@@ -78,6 +78,18 @@ def load_model(
 
         provider = SafetensorsProvider(path)
         exact_gguf = False
+        if os.path.isdir(path):
+            from ktransformers_tpu.loader.gptq import (
+                QuantizedSafetensorsProvider,
+                detect_quant_method,
+            )
+
+            method = detect_quant_method(path)
+            if method is not None:
+                # GPTQ/AWQ checkpoint: carry the packed codes losslessly
+                # into int4_gz (reference loader.py:515-1227)
+                provider = QuantizedSafetensorsProvider(provider, method)
+                exact_gguf = True
     else:
         from ktransformers_tpu.loader.providers import GGUFProvider
 
