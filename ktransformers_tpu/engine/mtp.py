@@ -1,0 +1,312 @@
+"""MTP self-speculation: a DeepSeek-V3-style multi-token-prediction head
+drafts from the target's OWN hidden states — no separate draft model.
+
+Reference analog: the MTP module shipped with DeepSeek-V3/Kimi-K2
+checkpoints (one extra decoder layer at index num_hidden_layers with
+enorm/hnorm/eh_proj and a shared lm_head), used by the reference via its
+sglang fork for ~1.2x decode (doc/en/DeepSeek-V4-Flash.md:157-165).
+
+MTP convention: at sequence position i the head consumes
+(h_i, emb(t_{i+1})) — the target's pre-final-norm hidden and the NEXT
+token's embedding — projected through eh_proj, runs one decoder layer
+over its own KV cache, and predicts t_{i+2}. Drafting chains the head's
+own hidden output as the next h (the EAGLE trick), so k tokens cost k
+single-layer steps. Verification is the standard greedy-exact target
+step, so output == target greedy regardless of head quality."""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ktransformers_tpu.engine.generate import GenerateConfig, Generator
+from ktransformers_tpu.engine.speculative import SpecStats, _set_len
+from ktransformers_tpu.models.model import (
+    KVCache,
+    _dense_mlp,
+    _gqa_attention,
+    _mla_attention,
+    _moe_mlp,
+    forward,
+)
+from ktransformers_tpu.models.spec import ModelSpec
+from ktransformers_tpu.ops.linear import linear
+from ktransformers_tpu.ops.norm import rms_norm
+
+
+def mtp_layer_forward(
+    mtp,                  # MTP head params
+    main_params,          # for shared embed / lm_head
+    spec: ModelSpec,
+    tokens,               # [B, S] int32: t_{i+1} at each position i
+    h_prev,               # [B, S, H]: target hidden at each position i
+    cache,                # single-layer KVCache (bufs lists of length 1)
+    rope_tables,
+    compute_dtype=jnp.bfloat16,
+):
+    """Returns (logits [B, S, V], h_out [B, S, H], cache')."""
+    b, s = tokens.shape
+    cos_t, sin_t = rope_tables
+    pos = cache.lengths[:, None] + jnp.arange(s)[None, :]
+    rope_cs = (cos_t[pos], sin_t[pos])
+
+    e = main_params["embed"][tokens].astype(compute_dtype)
+    x = jnp.concatenate(
+        [
+            rms_norm(e, mtp["enorm"], spec.rms_norm_eps),
+            rms_norm(h_prev.astype(compute_dtype), mtp["hnorm"],
+                     spec.rms_norm_eps),
+        ],
+        axis=-1,
+    )
+    x = linear(x, mtp["eh_proj"])
+
+    lp = mtp["layer"]
+    res = x
+    xn = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
+    layer_cache = (cache.bufs_a[0], cache.bufs_b[0])
+    if spec.attention.kind == "mla":
+        attn_out, (ba, bb) = _mla_attention(
+            lp["attn"], spec, xn, layer_cache, cache.lengths, rope_cs
+        )
+    else:
+        attn_out, (ba, bb) = _gqa_attention(
+            lp["attn"], spec, xn, layer_cache, cache.lengths, rope_cs
+        )
+    x = res + attn_out
+    res = x
+    xn = rms_norm(x, lp["post_attn_norm"], spec.rms_norm_eps)
+    if "moe" in lp:
+        x = res + _moe_mlp(lp["moe"], spec, xn)
+    else:
+        x = res + _dense_mlp(lp["mlp"], spec, xn)
+
+    h_out = x
+    xf = rms_norm(x, mtp["final_norm"], spec.rms_norm_eps)
+    lm = main_params.get("lm_head")
+    if lm is None:
+        logits = xf @ main_params["embed"].astype(xf.dtype).T
+    else:
+        logits = linear(xf, lm)
+    new_cache = KVCache(lengths=cache.lengths + s, bufs_a=[ba], bufs_b=[bb])
+    return logits, h_out, new_cache
+
+
+def init_mtp_synthetic(spec: ModelSpec, seed: int = 1, quant: str = "int8",
+                       moe_quant: str | None = None):
+    """Random MTP head at model scale (bench); the decoder-layer half
+    mirrors the model's last layer type."""
+    from ktransformers_tpu.models.init import _layer_params
+    from ktransformers_tpu.quant.formats import quantize
+
+    d = spec.hidden_size
+    rng = np.random.default_rng(seed)
+
+    def q(shape, kind):
+        w = rng.standard_normal(shape).astype(np.float32) / np.sqrt(shape[-2])
+        return quantize(jnp.asarray(w), kind, group_size=128)
+
+    def rand(shape, sc=0.02):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * sc)
+
+    layer = _layer_params(
+        spec, spec.num_layers - 1, q, rand, quant, moe_quant or quant
+    )
+    return {
+        "enorm": jnp.ones((d,), jnp.float32),
+        "hnorm": jnp.ones((d,), jnp.float32),
+        "eh_proj": q((2 * d, d), quant),
+        "layer": layer,
+        "final_norm": jnp.ones((d,), jnp.float32),
+    }
+
+
+def mtp_params_from_provider(p, spec: ModelSpec, quant: str = "bf16",
+                             group_size: int = 128):
+    """Load a real DeepSeek-V3-style MTP head: HF names
+    model.layers.{L}.{enorm,hnorm,eh_proj,shared_head.norm,...} where
+    L == num_hidden_layers (reference: the checkpoint's extra MTP layer)."""
+    from ktransformers_tpu.models.loading import build_params
+
+    li = spec.num_layers
+    base = f"model.layers.{li}"
+    one_layer = dataclasses.replace(spec, num_layers=1)
+
+    # build the decoder-layer half with the loader's own machinery by
+    # remapping names layer-L -> layer-0
+    class _Shift:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def _map(self, name):
+            return name.replace("model.layers.0.", f"{base}.")
+
+        def get(self, name):
+            return self.inner.get(self._map(name))
+
+        def maybe(self, name):
+            return self.inner.maybe(self._map(name))
+
+    shifted = _Shift(p)
+    lp = build_params(
+        shifted, one_layer, quant=quant, group_size=group_size
+    )["layers"][0]
+
+    from ktransformers_tpu.models.loading import _q, _t
+
+    def vec(name):
+        return jnp.asarray(np.asarray(p.get(name), np.float32))
+
+    return {
+        "enorm": vec(f"{base}.enorm.weight"),
+        "hnorm": vec(f"{base}.hnorm.weight"),
+        "eh_proj": _q(_t(p.get(f"{base}.eh_proj.weight")), quant, group_size),
+        "layer": lp,
+        "final_norm": vec(f"{base}.shared_head.norm.weight"),
+    }
+
+
+class MTPDrafter:
+    """Owns the jitted MTP steps for one (spec, batch) shape set."""
+
+    def __init__(self, mtp_params, target: Generator):
+        self.mtp = mtp_params
+        self.t = target
+        self._steps = {}
+
+    def new_cache(self) -> KVCache:
+        one = dataclasses.replace(self.t.spec, num_layers=1)
+        return KVCache.create(
+            one, self.t.batch, self.t.max_len, dtype=self.t.cache_dtype
+        )
+
+    def _step(self, s: int):
+        if s not in self._steps:
+            spec = self.t.spec
+            rope = self.t.rope_tables
+            cdt = self.t.compute_dtype
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def fn(tokens, h_prev, cache, mtp, params):
+                return mtp_layer_forward(
+                    mtp, params, spec, tokens, h_prev, cache, rope, cdt
+                )
+
+            self._steps[s] = partial(
+                fn, mtp=self.mtp, params=self.t.params
+            )
+        return self._steps[s]
+
+
+def mtp_generate(
+    target: Generator,
+    mtp_params,
+    prompt_ids: list[int],
+    cfg: GenerateConfig = GenerateConfig(),
+    k: int = 3,
+) -> tuple[list[int], SpecStats]:
+    """Greedy self-speculative generation; output equals target greedy.
+
+    Per round: k MTP draft steps (one extra layer each) + one (k+1)-token
+    target verify step returning hidden states for the next round."""
+    assert cfg.sampling.temperature <= 0, "speculative path is greedy-only"
+    spec = target.spec
+    rope = target.rope_tables
+    cdt = target.compute_dtype
+
+    @partial(jax.jit, donate_argnums=(2,), static_argnames=())
+    def t_step_hidden(params, tokens, cache):
+        return forward(
+            params, spec, tokens, cache, rope_tables=rope,
+            compute_dtype=cdt, return_hidden=True,
+        )
+
+    drafter = MTPDrafter(mtp_params, target)
+
+    prompt = jnp.asarray(np.asarray(prompt_ids, np.int32))[None]
+    P = len(prompt_ids)
+
+    t_cache = target.new_cache()
+    tl, t_cache, th = t_step_hidden(target.params, prompt, t_cache)
+    t0 = int(jnp.argmax(tl[0, -1]))
+    out = [t0]
+    stats = SpecStats()
+
+    # prime the MTP cache over the prompt: position i consumes
+    # (h_i, t_{i+1}) for i in [0, P-2]
+    m_cache = drafter.new_cache()
+    if P > 1:
+        _, _, m_cache = drafter._step(P - 1)(
+            prompt[:, 1:], th[:, : P - 1], m_cache
+        )
+    m_frontier = P - 1  # MTP positions consumed
+    t_frontier = P
+    h_last = th[:, -1:]  # target hidden at position P-1
+    d1_step = drafter._step(1)
+
+    def finished():
+        return len(out) >= cfg.max_new_tokens or (
+            cfg.eos_token_id is not None and out[-1] == cfg.eos_token_id
+        )
+
+    while not finished():
+        all_tokens = prompt_ids + out
+        # catch the MTP cache up to position t_frontier - 1: feed
+        # (h_i, t_{i+1}) pairs for already-verified positions. h for those
+        # came from the last verify step's hidden (th spans the verified
+        # inputs).
+        m_cache = _set_len(m_cache, m_frontier)
+        # positions m_frontier .. t_frontier-2 consume tokens
+        # all_tokens[m_frontier+1 .. t_frontier-1] and hiddens from th
+        # (hidden for global pos i is th[:, i - (t_frontier - th.shape[1])])
+        off = t_frontier - th.shape[1]
+        h_buf = th
+        toks_catch = all_tokens[m_frontier + 1 : t_frontier]
+        if toks_catch:
+            hs = h_buf[:, m_frontier - off : t_frontier - 1 - off]
+            _, _, m_cache = drafter._step(len(toks_catch))(
+                jnp.asarray([toks_catch], jnp.int32), hs, m_cache
+            )
+            m_frontier += len(toks_catch)
+
+        # draft k tokens: chain the head's own hidden
+        drafted = []
+        h = h_last
+        cur = all_tokens[-1]
+        for _ in range(k):
+            dl, h, m_cache = d1_step(
+                jnp.asarray([[cur]], jnp.int32), h, m_cache
+            )
+            cur = int(jnp.argmax(dl[0, -1]))
+            drafted.append(cur)
+        m_frontier += k  # provisional; rewound next round
+
+        # verify
+        t_cache = _set_len(t_cache, t_frontier)
+        inp = jnp.asarray([all_tokens[t_frontier:] + drafted], jnp.int32)
+        tl, t_cache, th = t_step_hidden(target.params, inp, t_cache)
+        greedy = np.asarray(jnp.argmax(tl[0], axis=-1))
+
+        accepted = 0
+        for i in range(k):
+            if drafted[i] == int(greedy[i]):
+                accepted += 1
+            else:
+                break
+        stats.rounds += 1
+        stats.drafted += k
+        stats.accepted += accepted
+
+        for tok in drafted[:accepted] + [int(greedy[accepted])]:
+            out.append(tok)
+            if finished():
+                break
+        t_frontier += accepted + 1
+        h_last = th[:, accepted : accepted + 1]
+        m_frontier = min(m_frontier, t_frontier - 1)
+
+    return out[: cfg.max_new_tokens], stats

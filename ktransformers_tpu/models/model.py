@@ -297,9 +297,12 @@ def forward(
     cache: KVCache,
     rope_tables=None,  # (cos, sin) full tables; precomputed if None
     compute_dtype=jnp.bfloat16,
+    return_hidden: bool = False,  # also return the pre-final-norm hidden
+    # states [B, S, H] (MTP draft heads consume them, engine/mtp.py)
 ):
     """One forward pass over S new tokens per sequence; returns
-    (logits [B, S, V], updated cache). Positions are cache.lengths + arange(S).
+    (logits [B, S, V], updated cache[, hidden]). Positions are
+    cache.lengths + arange(S).
     """
     b, s = tokens.shape
     x = params["embed"][tokens].astype(compute_dtype)
@@ -335,6 +338,7 @@ def forward(
         else:
             x = res + _dense_mlp(lp["mlp"], spec, xn)
 
+    hidden = x
     x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
     lm_head = params.get("lm_head")
     if lm_head is None:
@@ -345,4 +349,6 @@ def forward(
     new_cache = KVCache(
         lengths=cache.lengths + s, bufs_a=new_a, bufs_b=new_b
     )
+    if return_hidden:
+        return logits, new_cache, hidden
     return logits, new_cache

@@ -58,6 +58,26 @@ def _pick_bn(n, k_bytes_per_lane):
     return min(n, bn)
 
 
+# v5e scoped-vmem stack limit is 16 MB; stay safely under it including
+# double buffering (big-model shapes like K=8192 busted the old fixed
+# bm=512: 512*8192*bf16 x-blocks alone are 8.4 MB each).
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _pick_bm(m, kdim, bn, w_bytes_per_k):
+    bm = min(m, 512)
+    while bm > 64:
+        need = (
+            2 * bm * kdim * 2        # x block(s), double-buffered, bf16
+            + 2 * bn * w_bytes_per_k * kdim  # w block, double-buffered
+            + bm * bn * 4            # f32 out block
+        )
+        if need <= _VMEM_BUDGET:
+            break
+        bm //= 2
+    return bm
+
+
 def _expand_group_rows(v, n_groups, gs2, k2, bn):
     """[n_groups, bn] -> [k2, bn], each row repeated gs2 times (sublane-merge
     reshape — a free view on the (8,128)-tiled layout)."""
@@ -122,10 +142,10 @@ def quant_matmul(x: jnp.ndarray, w: QTensor, interpret: bool = False):
     x2 = x.reshape(m, kdim)
     n = w.out_features
     out_dtype = x.dtype
-    bm = min(m, 512)
 
     if w.kind in ("int8", "fp8"):
         bn = _pick_bn(n, kdim)
+        bm = _pick_bm(m, kdim, bn, 1)
         grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
         y = pl.pallas_call(
             _int8_kernel,
@@ -147,6 +167,7 @@ def quant_matmul(x: jnp.ndarray, w: QTensor, interpret: bool = False):
         k2 = kdim // 2
         n_groups = kdim // gs
         bn = _pick_bn(n, k2)
+        bm = _pick_bm(m, kdim, bn, 0.5)
         grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
         xl, xh = split_x_for_int4(x2, kdim, w.group_size)
         scales = w.scales.reshape(n_groups, n)
