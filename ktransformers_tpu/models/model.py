@@ -261,13 +261,19 @@ def _dense_mlp(p, spec: ModelSpec, x):
     return plinear(p, "down", act)
 
 
-def _moe_mlp(p, spec: ModelSpec, x):
+def _moe_mlp(p, spec: ModelSpec, x, aux: list | None = None):
+    """aux (optional, trace-time list): appends this layer's routed
+    topk_idx [B*S, k] — the serving engine's routing-statistics tap for
+    dynamic expert re-placement (reference:
+    --kt-enable-dynamic-expert-update, kt-kernel/README.md:548-559)."""
     b, s, d = x.shape
     flat = x.reshape(b * s, d)
     logits = flat.astype(jnp.float32) @ p["router_w"].astype(jnp.float32).T
     topk_idx, topk_w = route(
         logits, spec.moe.gate, p.get("router_bias_corr")
     )
+    if aux is not None:
+        aux.append(topk_idx)
     cfg = MoEConfig(activation=spec.activation)
 
     from ktransformers_tpu.parallel.context import get_parallel_context

@@ -259,8 +259,10 @@ def forward_paged(
     valid=None,  # [B] int32: tokens[b, valid[b]:] are padding (bucketed
     # prefill chunks); their KV writes go to the trash page and the
     # returned logits row is taken at position valid[b]-1
+    collect_routing: bool = False,  # also return routed topk ids
+    # [n_moe_layers, B*S, k] for dynamic expert re-placement stats
 ):
-    """Returns (logits [B, 1 or S, V], updated PagedKVCache)."""
+    """Returns (logits [B, 1 or S, V], updated PagedKVCache[, routing])."""
     b, s = tokens.shape
     x = params["embed"][tokens].astype(compute_dtype)
 
@@ -271,6 +273,7 @@ def forward_paged(
     rope_cs = (cos_t[pos], sin_t[pos])
 
     mla = spec.attention.kind == "mla"
+    routing_aux = [] if collect_routing else None
     new_a, new_b = [], []
     for li, lp in enumerate(params["layers"]):
         res = x
@@ -294,7 +297,7 @@ def forward_paged(
         res = x
         xn = rms_norm(x, lp["post_attn_norm"], spec.rms_norm_eps)
         if "moe" in lp:
-            x = res + _moe_mlp(lp["moe"], spec, xn)
+            x = res + _moe_mlp(lp["moe"], spec, xn, aux=routing_aux)
         else:
             x = res + _dense_mlp(lp["mlp"], spec, xn)
 
@@ -313,4 +316,6 @@ def forward_paged(
     new_kv = PagedKVCache(
         bufs_a=new_a, bufs_b=new_b, page_size=kv.page_size
     )
+    if collect_routing:
+        return logits, new_kv, jnp.stack(routing_aux)
     return logits, new_kv

@@ -46,6 +46,8 @@ class ServeEngine:
         compute_dtype=jnp.bfloat16,
         enable_prefix_cache: bool = True,
         spill_tier=None,  # cache/tiers.py HostDiskTier for host/disk KV
+        collect_routing: bool = False,  # per-layer expert stats for
+        # dynamic re-placement (reference --kt-enable-dynamic-expert-update)
     ):
         from ktransformers_tpu.ops import pallas as pallas_ops
 
@@ -78,6 +80,18 @@ class ServeEngine:
         self._counts = None  # [max_batch, V] int32 generated-token counts
         self._pmask = None  # [max_batch, V] bool prompt occurrence
         self._key = jax.random.PRNGKey(0)
+        self.collect_routing = collect_routing
+        self.stats = None
+        if collect_routing and spec.moe is not None:
+            from ktransformers_tpu.utils.expert_placement import (
+                ExpertStatsCollector,
+            )
+
+            n_moe = sum(
+                1 for li in range(spec.num_layers)
+                if spec.moe.is_moe_layer(li)
+            )
+            self.stats = ExpertStatsCollector(n_moe, spec.moe.num_experts)
         self._lock = threading.Lock()
         self._running = False
         self._thread = None
@@ -154,11 +168,14 @@ class ServeEngine:
                 def step(params, tokens, kv, page_tables, lengths, key,
                          temps, top_ks, top_ps, reps, press, freqs,
                          counts, pmask, active):
-                    logits, kv = forward_paged(
+                    out = forward_paged(
                         params, spec, tokens, kv, page_tables, lengths,
                         rope_tables=rope, compute_dtype=cdt,
                         logits_last_only=True,
+                        collect_routing=self.collect_routing,
                     )
+                    logits, kv = out[0], out[1]
+                    routing = out[2] if self.collect_routing else jnp.zeros(())
                     key, sub = jax.random.split(key)
                     toks = sample_batched(
                         logits[:, -1], sub, temps,
@@ -170,24 +187,27 @@ class ServeEngine:
                     counts = counts.at[jnp.arange(bsz), toks].add(
                         active.astype(jnp.int32)
                     )
-                    return toks, kv, key, counts
+                    return toks, kv, key, counts, routing
 
             else:
 
                 @partial(jax.jit, donate_argnums=(2,))
                 def step(params, tokens, kv, page_tables, lengths, key,
                          temps, top_ks, top_ps):
-                    logits, kv = forward_paged(
+                    out = forward_paged(
                         params, spec, tokens, kv, page_tables, lengths,
                         rope_tables=rope, compute_dtype=cdt,
                         logits_last_only=True,
+                        collect_routing=self.collect_routing,
                     )
+                    logits, kv = out[0], out[1]
+                    routing = out[2] if self.collect_routing else jnp.zeros(())
                     key, sub = jax.random.split(key)
                     toks = sample_batched(
                         logits[:, -1], sub, temps,
                         top_ks=top_ks, top_ps=top_ps,
                     )
-                    return toks, kv, key
+                    return toks, kv, key, routing
 
             self._steps[name] = partial(step, self.params)
         return self._steps[name]
@@ -324,7 +344,7 @@ class ServeEngine:
             jnp.asarray(top_ps),
         ]
         if penalized:
-            toks, self.kv, self._key, self._counts = step(
+            toks, self.kv, self._key, self._counts, routing = step(
                 *args,
                 jnp.asarray(reps),
                 jnp.asarray(press),
@@ -334,13 +354,47 @@ class ServeEngine:
                 jnp.asarray(active),
             )
         else:
-            toks, self.kv, self._key = step(*args)
-        return toks
+            toks, self.kv, self._key, routing = step(*args)
+        return toks, routing
 
-    def _resolve_decode(self, qs: list[Query], toks) -> None:
+    def _resolve_decode(self, qs: list[Query], toks, routing=None) -> None:
         toks_np = np.asarray(toks)
+        if self.stats is not None and routing is not None:
+            r = np.asarray(routing)  # [n_moe, B, k] logical expert ids
+            slots = [q.slot for q in qs]  # active rows only
+            for l in range(r.shape[0]):
+                self.stats.record(l, r[l, slots])
         for q in qs:
             self.scheduler.push_token(q, int(toks_np[q.slot]))
+
+    def apply_expert_rebalance(self, ep_size: int = 1) -> None:
+        """Routing-statistics-driven expert re-placement (stop-the-world):
+        rebuild each MoE layer's logical->physical map so per-shard load
+        balances under the measured routing skew, permute the stored expert
+        weights accordingly, and drop the compiled steps (the next step
+        recompiles against the new params). Exactness-preserving: the remap
+        is applied to logical ids inside moe_forward. Reference:
+        experts-sched-Tutorial.md:172-192 (decode 56.6->70.2 tok/s)."""
+        from ktransformers_tpu.utils.expert_placement import (
+            balanced_logical_to_physical,
+            reorder_expert_weights,
+        )
+
+        assert self.stats is not None, "collect_routing not enabled"
+        freqs = self.stats.frequencies
+        li_moe = 0
+        new_layers = []
+        for li, lp in enumerate(self.params["layers"]):
+            if "moe" not in lp:
+                new_layers.append(lp)
+                continue
+            l2p = balanced_logical_to_physical(freqs[li_moe], ep_size)
+            moe = dict(lp["moe"])
+            moe["experts"] = reorder_expert_weights(moe["experts"], l2p)
+            new_layers.append({**lp, "moe": moe})
+            li_moe += 1
+        self.params = {**self.params, "layers": new_layers}
+        self._steps.clear()
 
     def step(self) -> bool:
         """Run one mixed scheduler batch (decode batch + ≤2 prefill chunks,
@@ -354,12 +408,14 @@ class ServeEngine:
         # dispatch everything (decode first — its tokens resolve first)
         # before reading anything back: prefill chunks execute behind the
         # decode step on-device while the host is already collecting tokens
-        toks = self._run_decode(decode_qs) if decode_qs else None
+        toks = routing = None
+        if decode_qs:
+            toks, routing = self._run_decode(decode_qs)
         pending = []
         for q, chunk in plan.prefills:
             pending.append((q, chunk, self._dispatch_prefill(q, chunk)))
         if toks is not None:
-            self._resolve_decode(decode_qs, toks)
+            self._resolve_decode(decode_qs, toks, routing)
         for q, chunk, logits in pending:
             self._finish_prefill(q, chunk, logits)
         self.steps_executed += 1

@@ -96,8 +96,10 @@ def balanced_logical_to_physical(
 
 
 def reorder_expert_weights(weights, l2p: np.ndarray):
-    """Apply a logical->physical map to stored MoEWeights: permute the
-    expert axis of every per-expert array and attach the map."""
+    """Apply a logical->physical map to MoEWeights: permute the expert
+    axis of every per-expert array and attach the map. Composes with any
+    map already applied (dynamic RE-placement during serving re-permutes
+    relative to the current storage order)."""
     import jax.numpy as jnp
 
     from ktransformers_tpu.ops.moe import MoEWeights
@@ -106,7 +108,14 @@ def reorder_expert_weights(weights, l2p: np.ndarray):
     e = len(l2p)
     p2l = np.zeros(e, np.int64)
     p2l[l2p] = np.arange(e)
-    perm = jnp.asarray(p2l)
+    if weights.logical_to_physical is not None:
+        # storage currently holds logical expert prev_p2l[p] at slot p;
+        # new slot p must hold logical p2l[p] -> index the old storage at
+        # prev_l2p[p2l[p]]
+        prev_l2p = np.asarray(weights.logical_to_physical)
+        perm = jnp.asarray(prev_l2p[p2l])
+    else:
+        perm = jnp.asarray(p2l)
 
     def permute_qt(qt: QTensor) -> QTensor:
         return QTensor(
