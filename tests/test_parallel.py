@@ -202,3 +202,56 @@ def test_moe_forward_ep_a2a_drops_overflow(rng):
     ref = moe_forward(x, w, idx, wts, MoEConfig())
     np.testing.assert_allclose(np.asarray(y_full), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_paged_forward_sharded_matches_unsharded():
+    """Serving path on the mesh: forward_paged with ep/tp-sharded params,
+    dp-sharded tokens/tables, replicated page pool == single-device paged
+    forward (the multi-device serving evidence VERDICT r1 item 6 asks)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ktransformers_tpu.cache.paged import PagedKVCache
+    from ktransformers_tpu.models.paged import forward_paged
+
+    spec = spec_from_hf_config(dict(TINY_DS))
+    params = init_params(spec, seed=0, quant="bf16")
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, 96, (2, 8)), jnp.int32)
+    tables = jnp.asarray(
+        1 + np.arange(4, dtype=np.int32).reshape(2, 2)
+    )
+    lengths = jnp.zeros((2,), jnp.int32)
+
+    kv = PagedKVCache.create(spec, num_pages=8, page_size=8, dtype=jnp.float32)
+    ref, _ = forward_paged(
+        params, spec, tokens, kv, tables, lengths, compute_dtype=jnp.float32
+    )
+
+    mesh = make_mesh(dp=2, ep=2, tp=2)
+    p_sh = jax.tree.map(
+        lambda x, s: jax.device_put(x, s),
+        params,
+        param_shardings(params, spec, mesh),
+    )
+    kv2 = PagedKVCache.create(spec, num_pages=8, page_size=8, dtype=jnp.float32)
+    repl = NamedSharding(mesh, P())
+    kv2 = jax.tree.map(
+        lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x, kv2
+    )
+    dp2 = NamedSharding(mesh, P("dp", None))
+    tok_sh = jax.device_put(tokens, dp2)
+    tab_sh = jax.device_put(tables, dp2)
+    len_sh = jax.device_put(lengths, NamedSharding(mesh, P("dp")))
+
+    with mesh, parallel_context(mesh):
+        fn = jax.jit(
+            lambda p, t, k, pt, ln: forward_paged(
+                p, spec, t, k, pt, ln, compute_dtype=jnp.float32
+            )
+        )
+        logits, _ = fn(p_sh, tok_sh, kv2, tab_sh, len_sh)
+        logits.block_until_ready()
+
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
