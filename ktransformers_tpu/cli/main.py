@@ -119,11 +119,29 @@ def serve(model_path, quant, moe_quant, config_path, placement_yaml,
 @cli.command()
 @click.argument("model_path")
 @click.argument("out_dir")
+@click.option("--stream/--no-stream", default=False,
+              help="layer-streamed conversion with resume: bounded memory "
+              "for 100s-of-GB checkpoints; re-running skips finished units")
 @model_options
 def convert(model_path, out_dir, quant, moe_quant, config_path,
-            placement_yaml, tokenizer_path):
+            placement_yaml, tokenizer_path, stream):
     """Convert HF/GGUF weights to the packed on-disk format
-    (convert_cpu_weights.py analog)."""
+    (convert_cpu_weights.py analog; --stream = chunked+resume analog of
+    convert_cpu_weights.py:1084)."""
+    if stream:
+        from ktransformers_tpu.engine.local_chat import resolve_spec_provider
+        from ktransformers_tpu.models.checkpoint import stream_convert
+
+        spec, provider, exact = resolve_spec_provider(
+            model_path, config_path
+        )
+        stream_convert(
+            provider, spec, out_dir, quant=quant, moe_quant=moe_quant,
+            exact_gguf=exact,
+            progress=lambda m: print(f"  converted {m}", flush=True),
+        )
+        print(f"\nstream-packed params written to {out_dir}")
+        return
     _load(
         model_path, quant, moe_quant, config_path, placement_yaml,
         save_packed=out_dir,

@@ -54,6 +54,32 @@ def load_spec(path: str, config_path: str | None = None) -> ModelSpec:
         return spec_from_hf_config(json.load(f))
 
 
+def resolve_spec_provider(path: str, config_path: str | None = None):
+    """(spec, provider, exact) for a non-packed source — the streaming
+    converter's entry (cli convert --stream)."""
+    src = detect_source(path)
+    spec = load_spec(path, config_path)
+    if src == "hf":
+        from ktransformers_tpu.loader.providers import SafetensorsProvider
+
+        provider = SafetensorsProvider(path)
+        exact = False
+        if os.path.isdir(path):
+            from ktransformers_tpu.loader.gptq import (
+                QuantizedSafetensorsProvider,
+                detect_quant_method,
+            )
+
+            method = detect_quant_method(path)
+            if method is not None:
+                provider = QuantizedSafetensorsProvider(provider, method)
+                exact = True
+        return spec, provider, exact
+    from ktransformers_tpu.loader.providers import GGUFProvider
+
+    return spec, GGUFProvider(path), True
+
+
 def load_model(
     path: str,
     quant: str = "int8",

@@ -154,3 +154,79 @@ def load_params(out_dir: str):
         raise ValueError(t)
 
     return build("")
+
+
+# ---------------------------------------------------------------------------
+# streaming conversion (671B-scale checkpoints: bounded memory + resume)
+# ---------------------------------------------------------------------------
+
+
+def stream_convert(
+    provider,
+    spec,
+    out_dir: str,
+    quant: str = "int8",
+    moe_quant: str | None = None,
+    placement=None,
+    exact_gguf: bool = False,
+    progress=None,
+) -> None:
+    """Convert a checkpoint layer by layer with resume: each unit (head or
+    one decoder layer) becomes its own `<unit>.safetensors` + manifest and
+    is skipped when already present, so a 100s-of-GB conversion survives
+    interruption with bounded peak memory (one layer's tensors). Analog of
+    /root/reference/kt-kernel/scripts/convert_cpu_weights.py:1084
+    (chunked conversion with --resume)."""
+    from ktransformers_tpu.models.loading import build_params
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def unit_done(name):
+        return os.path.exists(os.path.join(out_dir, name, "manifest.json"))
+
+    def write_unit(name, tree):
+        d = os.path.join(out_dir, name)
+        tmp = d + ".tmp"
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        save_params(tree, tmp)
+        os.replace(tmp, d)  # atomic publish: resume never sees partials
+
+    if not unit_done("head"):
+        head = build_params(
+            provider, spec, quant=quant, moe_quant=moe_quant,
+            placement=placement, exact_gguf=exact_gguf, layer_indices=[],
+            include_head=True,
+        )
+        head.pop("layers")
+        write_unit("head", head)
+        if progress:
+            progress("head")
+    for li in range(spec.num_layers):
+        name = f"layer_{li:04d}"
+        if unit_done(name):
+            continue
+        part = build_params(
+            provider, spec, quant=quant, moe_quant=moe_quant,
+            placement=placement, exact_gguf=exact_gguf, layer_indices=[li],
+            include_head=False,
+        )
+        write_unit(name, part["layers"][0])
+        if progress:
+            progress(f"layer {li + 1}/{spec.num_layers}")
+    with open(os.path.join(out_dir, "stream_manifest.json"), "w") as f:
+        json.dump({"num_layers": spec.num_layers, "format": 1}, f)
+
+
+def stream_load(out_dir: str):
+    """Assemble params from a stream_convert directory."""
+    with open(os.path.join(out_dir, "stream_manifest.json")) as f:
+        meta = json.load(f)
+    params = load_params(os.path.join(out_dir, "head"))
+    params["layers"] = [
+        load_params(os.path.join(out_dir, f"layer_{li:04d}"))
+        for li in range(meta["num_layers"])
+    ]
+    return params

@@ -51,6 +51,10 @@ def build_params(
     placement=None,  # PlacementSpec: per-module quant override
     progress: Callable[[str], None] | None = None,
     exact_gguf: bool = False,
+    layer_indices=None,  # iterable of layer indices; None = all. With
+    # include_head=False this builds a PARTIAL pytree — the streaming
+    # converter's unit of work (models/checkpoint.py stream_convert).
+    include_head: bool = True,
 ):
     """Assemble the full params pytree from a provider.
 
@@ -65,6 +69,8 @@ def build_params(
     a = spec.attention
     get, maybe = p.get, p.maybe
     can_exact = exact_gguf and hasattr(p, "get_exact")
+    if layer_indices is None:
+        layer_indices = range(spec.num_layers)
 
     def pick(path: str, default_kind: str):
         if placement is None:
@@ -97,7 +103,7 @@ def build_params(
         return jnp.asarray(np.asarray(get(name), np.float32))
 
     layers = []
-    for li in range(spec.num_layers):
+    for li in layer_indices:
         if progress:
             progress(f"layer {li}/{spec.num_layers}")
         pre = f"model.layers.{li}"
@@ -237,12 +243,14 @@ def build_params(
         layers.append(lp)
 
     params = {
-        "embed": jnp.asarray(
+        "embed": None if not include_head else jnp.asarray(
             np.asarray(get("model.embed_tokens.weight"), np.float32)
         ),
         "layers": layers,
-        "final_norm": jnp.asarray(np.asarray(get("model.norm.weight"), np.float32)),
+        "final_norm": None if not include_head else jnp.asarray(
+            np.asarray(get("model.norm.weight"), np.float32)
+        ),
     }
-    if not spec.tie_word_embeddings:
+    if include_head and not spec.tie_word_embeddings:
         params["lm_head"] = qx("lm_head.weight", "lm_head", quant)
     return params

@@ -82,3 +82,77 @@ def test_cli_convert_and_doctor(tmp_path):
     assert r.exit_code == 0
     info = json.loads(r.output)
     assert info["matmul_smoke"] == "ok"
+
+
+def test_stream_convert_resume(tmp_path):
+    """Layer-streamed conversion with atomic units + resume: interrupt
+    after one layer, resume converts only the rest, and the assembled
+    params match a one-shot build_params exactly (reference analog:
+    convert_cpu_weights.py:1084 chunked conversion)."""
+    import numpy as np
+    import torch
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    from ktransformers_tpu.loader.providers import TorchModelProvider
+    from ktransformers_tpu.models.checkpoint import (
+        stream_convert,
+        stream_load,
+    )
+    from ktransformers_tpu.models.loading import build_params
+    from ktransformers_tpu.models.spec import spec_from_hf_config
+
+    cfg = DeepseekV2Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=32, num_hidden_layers=3,
+        num_attention_heads=2, num_key_value_heads=2, n_shared_experts=1,
+        n_routed_experts=4, num_experts_per_tok=2, first_k_dense_replace=1,
+        moe_layer_freq=1, routed_scaling_factor=1.0, topk_method="greedy",
+        norm_topk_prob=False, kv_lora_rank=16, q_lora_rank=None,
+        qk_rope_head_dim=8, qk_nope_head_dim=16, v_head_dim=16,
+        max_position_embeddings=64, attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = DeepseekV2ForCausalLM(cfg).eval().float()
+    prov = TorchModelProvider(model)
+    spec = spec_from_hf_config(cfg.to_dict())
+    out = str(tmp_path / "packed")
+
+    seen = []
+    # pass 1: stop after the head + first layer (simulated interruption)
+    class Stop(Exception):
+        pass
+
+    def interrupt(msg):
+        seen.append(msg)
+        if msg.startswith("layer 1/"):
+            raise Stop
+
+    try:
+        stream_convert(prov, spec, out, quant="int8", moe_quant="int4_g",
+                       progress=interrupt)
+    except Stop:
+        pass
+    import os
+
+    done_before = sorted(os.listdir(out))
+    assert "head" in done_before and "layer_0000" in done_before
+
+    # pass 2: resume — only the remaining layers convert
+    resumed = []
+    stream_convert(prov, spec, out, quant="int8", moe_quant="int4_g",
+                   progress=resumed.append)
+    assert not any(m == "head" or m.startswith("layer 1/") for m in resumed)
+
+    got = stream_load(out)
+    ref = build_params(prov, spec, quant="int8", moe_quant="int4_g")
+    import jax
+
+    flat_g = jax.tree_util.tree_flatten_with_path(got)[0]
+    flat_r = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_flatten_with_path(ref)[0]
+    }
+    assert len(flat_g) == len(flat_r)
+    for k, v in flat_g:
+        rv = flat_r[jax.tree_util.keystr(k)]
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
