@@ -26,6 +26,12 @@ class PagedKVCache:
 
     bufs_a: list
     bufs_b: list
+    # per-page key summaries for Quest-style sparse decode (ops/
+    # sparse_attention.py): smin/smax[l] is [P, Dsum] f32, the
+    # elementwise min/max of every key written to that page (MLA: the
+    # concat [ckv, k_pe] latent; GQA: [P, Hkv, D]). None = dense only.
+    smin: list | None = None
+    smax: list | None = None
     page_size: int = dataclasses.field(metadata=dict(static=True), default=64)
 
     @property
@@ -34,18 +40,40 @@ class PagedKVCache:
 
     @staticmethod
     def create(
-        spec: ModelSpec, num_pages: int, page_size: int = 64, dtype=jnp.bfloat16
+        spec: ModelSpec, num_pages: int, page_size: int = 64,
+        dtype=jnp.bfloat16, summaries: bool = False,
     ) -> "PagedKVCache":
         a = spec.attention
         if a.kind == "mla":
             sa = (num_pages, page_size, a.kv_lora_rank)
             sb = (num_pages, page_size, a.qk_rope_head_dim)
+            ssum = (num_pages, a.kv_lora_rank + a.qk_rope_head_dim)
         else:
             sa = sb = (num_pages, page_size, a.num_kv_heads, a.head_dim)
+            ssum = (num_pages, a.num_kv_heads, a.head_dim)
+        n = spec.num_layers
         return PagedKVCache(
-            bufs_a=[jnp.zeros(sa, dtype) for _ in range(spec.num_layers)],
-            bufs_b=[jnp.zeros(sb, dtype) for _ in range(spec.num_layers)],
+            bufs_a=[jnp.zeros(sa, dtype) for _ in range(n)],
+            bufs_b=[jnp.zeros(sb, dtype) for _ in range(n)],
+            smin=[jnp.full(ssum, jnp.inf, jnp.float32) for _ in range(n)]
+            if summaries else None,
+            smax=[jnp.full(ssum, -jnp.inf, jnp.float32) for _ in range(n)]
+            if summaries else None,
             page_size=page_size,
+        )
+
+    def reset_page_summaries(self, pids) -> "PagedKVCache":
+        """Clear summaries for freshly (re)allocated pages — stale extremes
+        from a previous occupant would loosen the selection bounds."""
+        if self.smin is None:
+            return self
+        import numpy as np
+
+        idx = jnp.asarray(np.asarray(pids, np.int32))
+        return dataclasses.replace(
+            self,
+            smin=[m.at[idx].set(jnp.inf) for m in self.smin],
+            smax=[m.at[idx].set(-jnp.inf) for m in self.smax],
         )
 
     def bytes_per_page(self, spec: ModelSpec) -> int:
@@ -68,11 +96,14 @@ class PageAllocator:
     those writes must land somewhere no live query reads (their reads are
     position-masked, but the writes are real)."""
 
-    def __init__(self, num_pages: int, reserved: int = 0):
+    def __init__(self, num_pages: int, reserved: int = 0, on_alloc=None):
         self.num_pages = num_pages
         self.reserved = reserved
         self._free = list(range(num_pages - 1, reserved - 1, -1))
         self._refs = [0] * num_pages
+        # callback(list[int]) on every allocation — the sparse-attention
+        # engine resets page summaries for recycled pages through this
+        self.on_alloc = on_alloc
 
     @property
     def free_count(self) -> int:
@@ -86,6 +117,8 @@ class PageAllocator:
         pages = [self._free.pop() for _ in range(n)]
         for p in pages:
             self._refs[p] = 1
+        if self.on_alloc is not None:
+            self.on_alloc(pages)
         return pages
 
     def retain(self, pages: list[int]) -> None:

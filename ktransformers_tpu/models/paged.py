@@ -103,7 +103,7 @@ def _attn_mask(lengths, q_len, kv_len):
 
 
 def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
-               valid=None):
+               valid=None, summ=None, sparse_budget=None):
     a = spec.attention
     b, s, _ = x.shape
     h = a.num_heads
@@ -138,10 +138,45 @@ def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
                          valid)
     buf_b = _write_pages(bufs[1], k_pe, page_tables, lengths, page_size,
                          valid)
+    new_summ = None
+    if summ is not None:
+        from ktransformers_tpu.ops.sparse_attention import (
+            update_page_summaries,
+        )
+
+        pos = lengths[:, None] + jnp.arange(s)[None, :]
+        pidx = jnp.clip(pos // page_size, 0, page_tables.shape[1] - 1)
+        pid = jnp.take_along_axis(page_tables, pidx, axis=1)
+        if valid is not None:
+            keep = jnp.arange(s)[None, :] < valid[:, None]
+            pid = jnp.where(keep, pid, 0)
+        new_summ = update_page_summaries(
+            summ[0], summ[1], jnp.concatenate([ckv, k_pe], -1), pid
+        )
 
     scale = a.softmax_scale or (
         (nope + dr) ** -0.5 * rope_attention_scale(spec.rope)
     )
+    if s == 1 and sparse_budget is not None and new_summ is not None:
+        from ktransformers_tpu.ops.sparse_attention import sparse_mla_decode
+
+        attn = sparse_mla_decode(
+            q_nope_eff[:, :, 0].astype(jnp.float32),
+            q_pe[:, :, 0].astype(jnp.float32),
+            buf_a, buf_b, new_summ[0], new_summ[1],
+            page_tables, lengths + 1, page_size, sparse_budget, scale,
+        )[:, :, None]
+        w_uv = p["w_uv"]
+        out = jnp.einsum(
+            "bhsr,hrv->bshv", attn.astype(jnp.float32),
+            w_uv.astype(jnp.float32),
+        ).astype(x.dtype)
+        out = out.reshape(b, s, h * a.v_head_dim)
+        return (
+            plinear(p, "o_proj", out, p.get("o_bias")),
+            (buf_a, buf_b),
+            new_summ,
+        )
     if s == 1 and _PAGED_MLA_DECODE is not None:
         # true paged decode: the kernel walks the page table itself
         attn = _PAGED_MLA_DECODE(
@@ -154,7 +189,11 @@ def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
             w_uv.astype(jnp.float32),
         ).astype(x.dtype)
         out = out.reshape(b, s, h * a.v_head_dim)
-        return plinear(p, "o_proj", out, p.get("o_bias")), (buf_a, buf_b)
+        return (
+            plinear(p, "o_proj", out, p.get("o_bias")),
+            (buf_a, buf_b),
+            new_summ,
+        )
 
     ckv_all = _gather_pages(buf_a, page_tables)  # [B, Smax, R]
     kpe_all = _gather_pages(buf_b, page_tables)
@@ -177,11 +216,15 @@ def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
         "bhsr,hrv->bshv", attn.astype(jnp.float32), w_uv.astype(jnp.float32)
     ).astype(x.dtype)
     out = out.reshape(b, s, h * a.v_head_dim)
-    return plinear(p, "o_proj", out, p.get("o_bias")), (buf_a, buf_b)
+    return (
+        plinear(p, "o_proj", out, p.get("o_bias")),
+        (buf_a, buf_b),
+        new_summ,
+    )
 
 
 def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
-               valid=None):
+               valid=None, summ=None, sparse_budget=None):
     a = spec.attention
     b, s, _ = x.shape
     h, hkv, d = a.num_heads, a.num_kv_heads, a.head_dim
@@ -213,14 +256,44 @@ def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
 
     buf_a = _write_pages(bufs[0], k, page_tables, lengths, page_size, valid)
     buf_b = _write_pages(bufs[1], v, page_tables, lengths, page_size, valid)
+    new_summ = None
+    if summ is not None:
+        from ktransformers_tpu.ops.sparse_attention import (
+            update_page_summaries,
+        )
+
+        pos = lengths[:, None] + jnp.arange(s)[None, :]
+        pidx = jnp.clip(pos // page_size, 0, page_tables.shape[1] - 1)
+        pid = jnp.take_along_axis(page_tables, pidx, axis=1)
+        if valid is not None:
+            keep = jnp.arange(s)[None, :] < valid[:, None]
+            pid = jnp.where(keep, pid, 0)
+        new_summ = update_page_summaries(summ[0], summ[1], k, pid)
 
     scale = a.softmax_scale or d**-0.5
+    if s == 1 and sparse_budget is not None and new_summ is not None:
+        from ktransformers_tpu.ops.sparse_attention import sparse_gqa_decode
+
+        out = sparse_gqa_decode(
+            q[:, :, 0], buf_a, buf_b, new_summ[0], new_summ[1],
+            page_tables, lengths + 1, page_size, sparse_budget, scale,
+        )[:, None]
+        out = out.reshape(b, s, h * d)
+        return (
+            plinear(p, "o_proj", out, p.get("o_bias")),
+            (buf_a, buf_b),
+            new_summ,
+        )
     if s == 1 and _PAGED_GQA_DECODE is not None:
         out = _PAGED_GQA_DECODE(
             q[:, :, 0], buf_a, buf_b, page_tables, lengths + 1, scale
         )[:, None]  # [B, 1, H, D]
         out = out.reshape(b, s, h * d)
-        return plinear(p, "o_proj", out, p.get("o_bias")), (buf_a, buf_b)
+        return (
+            plinear(p, "o_proj", out, p.get("o_bias")),
+            (buf_a, buf_b),
+            new_summ,
+        )
 
     k_all = _gather_pages(buf_a, page_tables)  # [B, Smax, Hkv, D]
     v_all = _gather_pages(buf_b, page_tables)
@@ -243,7 +316,11 @@ def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
             mask=mask,
         )
     out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
-    return plinear(p, "o_proj", out, p.get("o_bias")), (buf_a, buf_b)
+    return (
+        plinear(p, "o_proj", out, p.get("o_bias")),
+        (buf_a, buf_b),
+        new_summ,
+    )
 
 
 def forward_paged(
@@ -261,6 +338,9 @@ def forward_paged(
     # returned logits row is taken at position valid[b]-1
     collect_routing: bool = False,  # also return routed topk ids
     # [n_moe_layers, B*S, k] for dynamic expert re-placement stats
+    sparse_budget: int | None = None,  # decode-only: attend the top-K
+    # pages by Quest bound instead of the full context (requires a cache
+    # created with summaries=True; ops/sparse_attention.py)
 ):
     """Returns (logits [B, 1 or S, V], updated PagedKVCache[, routing])."""
     b, s = tokens.shape
@@ -275,11 +355,12 @@ def forward_paged(
     mla = spec.attention.kind == "mla"
     routing_aux = [] if collect_routing else None
     new_a, new_b = [], []
+    new_smin, new_smax = [], []
     for li, lp in enumerate(params["layers"]):
         res = x
         xn = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
         attn_fn = _mla_paged if mla else _gqa_paged
-        attn_out, (buf_a, buf_b) = attn_fn(
+        attn_out, (buf_a, buf_b), nsm = attn_fn(
             lp["attn"],
             spec,
             xn,
@@ -289,9 +370,14 @@ def forward_paged(
             rope_cs,
             kv.page_size,
             valid,
+            (kv.smin[li], kv.smax[li]) if kv.smin is not None else None,
+            sparse_budget,
         )
         new_a.append(buf_a)
         new_b.append(buf_b)
+        if nsm is not None:
+            new_smin.append(nsm[0])
+            new_smax.append(nsm[1])
         x = res + attn_out
 
         res = x
@@ -314,7 +400,9 @@ def forward_paged(
         logits = linear(x, lm_head)
 
     new_kv = PagedKVCache(
-        bufs_a=new_a, bufs_b=new_b, page_size=kv.page_size
+        bufs_a=new_a, bufs_b=new_b,
+        smin=new_smin or None, smax=new_smax or None,
+        page_size=kv.page_size,
     )
     if collect_routing:
         return logits, new_kv, jnp.stack(routing_aux)

@@ -48,6 +48,8 @@ class ServeEngine:
         spill_tier=None,  # cache/tiers.py HostDiskTier for host/disk KV
         collect_routing: bool = False,  # per-layer expert stats for
         # dynamic re-placement (reference --kt-enable-dynamic-expert-update)
+        sparse_budget: int | None = None,  # Quest top-K-page decode
+        # attention (long-context; ops/sparse_attention.py)
     ):
         from ktransformers_tpu.ops import pallas as pallas_ops
 
@@ -55,11 +57,18 @@ class ServeEngine:
         self.params = params
         self.spec = spec
         self.cfg = cfg
+        self.sparse_budget = sparse_budget
         self.kv = PagedKVCache.create(
-            spec, num_pages, cfg.page_size, dtype=cache_dtype
+            spec, num_pages, cfg.page_size, dtype=cache_dtype,
+            summaries=sparse_budget is not None,
         )
         # page 0 = trash page for padding-row writes (see PageAllocator)
-        self.alloc = PageAllocator(num_pages, reserved=1)
+        self._stale_summary_pages: list[int] = []
+        self.alloc = PageAllocator(
+            num_pages, reserved=1,
+            on_alloc=(self._stale_summary_pages.extend
+                      if sparse_budget is not None else None),
+        )
         self.prefix = (
             PrefixCache(
                 self.alloc,
@@ -173,6 +182,7 @@ class ServeEngine:
                         rope_tables=rope, compute_dtype=cdt,
                         logits_last_only=True,
                         collect_routing=self.collect_routing,
+                        sparse_budget=self.sparse_budget,
                     )
                     logits, kv = out[0], out[1]
                     routing = out[2] if self.collect_routing else jnp.zeros(())
@@ -199,6 +209,7 @@ class ServeEngine:
                         rope_tables=rope, compute_dtype=cdt,
                         logits_last_only=True,
                         collect_routing=self.collect_routing,
+                        sparse_budget=self.sparse_budget,
                     )
                     logits, kv = out[0], out[1]
                     routing = out[2] if self.collect_routing else jnp.zeros(())
@@ -402,6 +413,11 @@ class ServeEngine:
         plan = self.scheduler.next_batch()
         if plan is None:
             return False
+        if self._stale_summary_pages:
+            # recycled pages carry the previous occupant's key extremes;
+            # clear before any step reads their bounds
+            self.kv = self.kv.reset_page_summaries(self._stale_summary_pages)
+            self._stale_summary_pages.clear()
         decode_qs = (
             self._ensure_decode_pages(plan.decode) if plan.decode else []
         )
