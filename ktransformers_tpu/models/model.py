@@ -305,6 +305,9 @@ def forward(
     compute_dtype=jnp.bfloat16,
     return_hidden: bool = False,  # also return the pre-final-norm hidden
     # states [B, S, H] (MTP draft heads consume them, engine/mtp.py)
+    remat: bool = False,  # gradient-checkpoint each decoder layer: the
+    # SFT path's memory/FLOPs trade (activations rematerialized in the
+    # backward; reference ForwardCache role, sft_moe.hpp:249-278)
 ):
     """One forward pass over S new tokens per sequence; returns
     (logits [B, S, V], updated cache[, hidden]). Positions are
@@ -322,27 +325,34 @@ def forward(
     mla = spec.attention.kind == "mla"
     new_a = []
     new_b = []
-    for li, lp in enumerate(params["layers"]):
+
+    def layer_body(lp, x, layer_cache, lengths, rope_cs):
         res = x
         xn = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
-        layer_cache = (cache.bufs_a[li], cache.bufs_b[li])
         attn_out, (buf_a, buf_b) = (
-            _mla_attention(lp["attn"], spec, xn, layer_cache, cache.lengths, rope_cs)
+            _mla_attention(lp["attn"], spec, xn, layer_cache, lengths, rope_cs)
             if mla
             else _gqa_attention(
-                lp["attn"], spec, xn, layer_cache, cache.lengths, rope_cs
+                lp["attn"], spec, xn, layer_cache, lengths, rope_cs
             )
         )
-        new_a.append(buf_a)
-        new_b.append(buf_b)
         x = res + attn_out
-
         res = x
         xn = rms_norm(x, lp["post_attn_norm"], spec.rms_norm_eps)
         if "moe" in lp:
             x = res + _moe_mlp(lp["moe"], spec, xn)
         else:
             x = res + _dense_mlp(lp["mlp"], spec, xn)
+        return x, buf_a, buf_b
+
+    for li, lp in enumerate(params["layers"]):
+        fn = jax.checkpoint(layer_body) if remat else layer_body
+        x, buf_a, buf_b = fn(
+            lp, x, (cache.bufs_a[li], cache.bufs_b[li]), cache.lengths,
+            rope_cs,
+        )
+        new_a.append(buf_a)
+        new_b.append(buf_b)
 
     hidden = x
     x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)

@@ -31,9 +31,15 @@ class TrainConfig:
     b2: float = 0.999
     max_grad_norm: float = 1.0
     seq_len: int = 512
+    # rematerialize layer activations in the backward: peak activation
+    # memory drops from O(L * S * H) to O(S * H) at ~1.3x FLOPs — the
+    # trade that makes long-sequence SFT fit (reference ForwardCache,
+    # sft_moe.hpp:249-278)
+    remat: bool = True
 
 
-def loss_fn(params, spec: ModelSpec, input_ids, labels, compute_dtype):
+def loss_fn(params, spec: ModelSpec, input_ids, labels, compute_dtype,
+            remat: bool = False):
     """Next-token CE: logits[t] (the distribution after consuming token t)
     is scored against labels[t+1], i.e. logits[:, :-1] vs labels[:, 1:]
     (the HF/reference shift convention). labels == IGNORE_INDEX are masked
@@ -41,7 +47,8 @@ def loss_fn(params, spec: ModelSpec, input_ids, labels, compute_dtype):
     b, s = input_ids.shape
     cache = KVCache.create(spec, b, s, dtype=compute_dtype)
     logits, _ = forward(
-        params, spec, input_ids, cache, compute_dtype=compute_dtype
+        params, spec, input_ids, cache, compute_dtype=compute_dtype,
+        remat=remat,
     )
     logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
     labels = labels[:, 1:]
@@ -79,12 +86,13 @@ class Trainer:
 
     def _build_step(self):
         spec, cdt, tx = self.spec, self.compute_dtype, self.tx
+        remat = self.cfg.remat
 
         @jax.jit
         def step(lora, base, opt_state, input_ids, labels):
             def lf(lora):
                 params = merge_lora_params(lora, base)
-                return loss_fn(params, spec, input_ids, labels, cdt)
+                return loss_fn(params, spec, input_ids, labels, cdt, remat)
 
             loss, grads = jax.value_and_grad(lf)(lora)
             updates, opt_state = tx.update(grads, opt_state, lora)

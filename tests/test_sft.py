@@ -162,3 +162,59 @@ def test_sft_cli_end_to_end(tmp_path):
     fresh = init_lora(params, spec, LoRAConfig(rank=4))
     restored = load_lora(fresh, str(adapter))
     assert restored is not None
+
+
+def test_lora_adapter_export_to_serving(tmp_path):
+    """Train briefly, save the adapter, load it into a SERVING engine
+    (plinear consumes the _lora siblings): serving output == Generator on
+    the trainer's merged params, and differs from the base model —
+    the adapter->serving export VERDICT r1 item 34 flagged missing."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ktransformers_tpu.engine.generate import GenerateConfig, Generator
+    from ktransformers_tpu.models.init import init_params
+    from ktransformers_tpu.models.spec import spec_from_hf_config
+    from ktransformers_tpu.serving.engine import ServeEngine
+    from ktransformers_tpu.serving.scheduler import SchedulerConfig
+    from ktransformers_tpu.sft.lora import (
+        LoRAConfig,
+        init_lora,
+        load_lora,
+        save_lora,
+    )
+    from ktransformers_tpu.sft.train import TrainConfig, Trainer
+    from tests.test_generate import TINY_DS
+
+    spec = spec_from_hf_config(dict(TINY_DS))
+    base = init_params(spec, seed=0, quant="bf16")
+    with_lora = init_lora(base, spec, LoRAConfig(rank=4), seed=3)
+    tr = Trainer(with_lora, spec, TrainConfig(learning_rate=5e-2))
+    rng = np.random.default_rng(0)
+    ids = rng.integers(2, 90, (2, 24)).astype(np.int32)
+    for _ in range(3):
+        tr.train_step(ids, ids)
+    path = str(tmp_path / "adapter.safetensors")
+    save_lora(tr.params, path)
+
+    prompt = list(range(5, 15))
+    gen = Generator(tr.params, spec, max_len=64, batch=1,
+                    cache_dtype=jnp.float32, compute_dtype=jnp.float32)
+    expected = gen.generate([prompt], GenerateConfig(max_new_tokens=6))[0]
+
+    serving_params = load_lora(
+        init_lora(base, spec, LoRAConfig(rank=4), seed=99), path
+    )
+    eng = ServeEngine(
+        serving_params, spec,
+        SchedulerConfig(max_batch_size=2, prefill_chunk=8, page_size=8,
+                        max_pages_per_query=8),
+        num_pages=32, cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+    )
+    got = eng.generate_sync(prompt, max_new_tokens=6)
+    assert got == expected
+
+    base_eng = Generator(base, spec, max_len=64, batch=1,
+                         cache_dtype=jnp.float32, compute_dtype=jnp.float32)
+    base_out = base_eng.generate([prompt], GenerateConfig(max_new_tokens=6))[0]
+    assert got != base_out  # the adapter actually changes behavior
