@@ -133,6 +133,20 @@ def _layer_params(spec: ModelSpec, li: int, q, rand, quant: str,
         "input_norm": jnp.ones((d,), jnp.float32),
         "post_attn_norm": jnp.ones((d,), jnp.float32),
     }
+    if spec.layer_kind(li) == "linear":
+        la = spec.linear_attn
+        lp["attn"] = {
+            "in_proj_qkvz": q((d, 2 * la.key_dim + 2 * la.value_dim), quant),
+            "in_proj_ba": q((d, 2 * la.num_v_heads), "bf16"),
+            "conv_w": rand((la.conv_dim, la.conv_kernel), 0.3),
+            "dt_bias": rand((la.num_v_heads,), 0.5),
+            "A_log": rand((la.num_v_heads,), 0.5),
+            "norm_w": jnp.ones((la.head_v_dim,), jnp.float32),
+            "out_proj": q((la.value_dim, d), quant),
+        }
+        lp.update(_mlp_or_moe(spec, li, q, rand, quant, moe_quant,
+                              skip_experts))
+        return lp
     if a.kind == "mla":
         nope, dr, r, v = (
             a.qk_nope_head_dim,
@@ -157,7 +171,7 @@ def _layer_params(spec: ModelSpec, li: int, q, rand, quant: str,
     else:
         h, hkv, hd = a.num_heads, a.num_kv_heads, a.head_dim
         attn = {
-            "q_proj": q((d, h * hd), quant),
+            "q_proj": q((d, h * hd * (2 if a.gated_output else 1)), quant),
             "k_proj": q((d, hkv * hd), quant),
             "v_proj": q((d, hkv * hd), quant),
             "o_proj": q((h * hd, d), quant),
@@ -170,7 +184,13 @@ def _layer_params(spec: ModelSpec, li: int, q, rand, quant: str,
             attn["q_norm"] = jnp.ones((hd,), jnp.float32)
             attn["k_norm"] = jnp.ones((hd,), jnp.float32)
     lp["attn"] = attn
+    lp.update(_mlp_or_moe(spec, li, q, rand, quant, moe_quant, skip_experts))
+    return lp
 
+
+def _mlp_or_moe(spec, li, q, rand, quant, moe_quant, skip_experts=False):
+    d = spec.hidden_size
+    lp = {}
     if spec.moe is not None and spec.moe.is_moe_layer(li):
         m = spec.moe
         f = m.moe_intermediate_size
@@ -223,7 +243,23 @@ def init_params(
             "input_norm": jnp.ones((d,), jnp.float32),
             "post_attn_norm": jnp.ones((d,), jnp.float32),
         }
-        if a.kind == "mla":
+        if spec.layer_kind(li) == "linear":
+            la = spec.linear_attn
+            attn = {
+                "in_proj_qkvz": _q(
+                    rng, (d, 2 * la.key_dim + 2 * la.value_dim), quant,
+                    group_size,
+                ),
+                "in_proj_ba": _q(
+                    rng, (d, 2 * la.num_v_heads), "bf16", group_size
+                ),
+                "conv_w": _rand(rng, (la.conv_dim, la.conv_kernel), 0.3),
+                "dt_bias": _rand(rng, (la.num_v_heads,), 0.5),
+                "A_log": _rand(rng, (la.num_v_heads,), 0.5),
+                "norm_w": jnp.ones((la.head_v_dim,), jnp.float32),
+                "out_proj": _q(rng, (la.value_dim, d), quant, group_size),
+            }
+        elif a.kind == "mla":
             nope, dr, r, v = (
                 a.qk_nope_head_dim,
                 a.qk_rope_head_dim,
@@ -249,7 +285,10 @@ def init_params(
         else:
             h, hkv, hd = a.num_heads, a.num_kv_heads, a.head_dim
             attn = {
-                "q_proj": _q(rng, (d, h * hd), quant, group_size),
+                "q_proj": _q(
+                    rng, (d, h * hd * (2 if a.gated_output else 1)),
+                    quant, group_size,
+                ),
                 "k_proj": _q(rng, (d, hkv * hd), quant, group_size),
                 "v_proj": _q(rng, (d, hkv * hd), quant, group_size),
                 "o_proj": _q(rng, (h * hd, d), quant, group_size),

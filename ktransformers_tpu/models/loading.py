@@ -42,6 +42,55 @@ def _t(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.asarray(w, np.float32).T)
 
 
+def _linear_attn_params(get, pre, la, kind, group_size):
+    """GatedDeltaNet layer weights (qwen3-next linear_attn.*). The HF
+    checkpoint interleaves in_proj_qkvz/ba output features per key-head
+    group ([q|k|v|z] x Hk blocks, modeling_qwen3_next.py
+    fix_query_key_value_ordering); columns are permuted HERE into the
+    clean [q_all | k_all | v_all | z_all] (and [b_all | a_all]) order the
+    runtime op splits contiguously (ops/linear_attention.py)."""
+    hk, hv = la.num_k_heads, la.num_v_heads
+    dk, dv = la.head_k_dim, la.head_v_dim
+    r = hv // hk
+    blk = 2 * dk + 2 * r * dv
+
+    def seg(off, width):
+        # columns [kh*blk + off, +width) for every key head
+        return np.concatenate(
+            [np.arange(kh * blk + off, kh * blk + off + width)
+             for kh in range(hk)]
+        )
+
+    perm_qkvz = np.concatenate([
+        seg(0, dk), seg(dk, dk), seg(2 * dk, r * dv),
+        seg(2 * dk + r * dv, r * dv),
+    ])
+    blk_ba = 2 * r
+    perm_ba = np.concatenate([
+        np.concatenate([np.arange(kh * blk_ba, kh * blk_ba + r)
+                        for kh in range(hk)]),
+        np.concatenate([np.arange(kh * blk_ba + r, kh * blk_ba + 2 * r)
+                        for kh in range(hk)]),
+    ])
+
+    qkvz = _t(get(f"{pre}.in_proj_qkvz.weight"))[:, perm_qkvz]
+    ba = _t(get(f"{pre}.in_proj_ba.weight"))[:, perm_ba]
+    conv = np.asarray(get(f"{pre}.conv1d.weight"), np.float32)  # [C, 1, K]
+    return {
+        "in_proj_qkvz": _q(qkvz, kind, group_size),
+        "in_proj_ba": _q(ba, "bf16", group_size),
+        "conv_w": jnp.asarray(conv[:, 0, :]),
+        "dt_bias": jnp.asarray(np.asarray(get(f"{pre}.dt_bias"), np.float32)),
+        "A_log": jnp.asarray(np.asarray(get(f"{pre}.A_log"), np.float32)),
+        "norm_w": jnp.asarray(
+            np.asarray(get(f"{pre}.norm.weight"), np.float32)
+        ),
+        "out_proj": _q(
+            _t(get(f"{pre}.out_proj.weight")), kind, group_size
+        ),
+    }
+
+
 def build_params(
     p: WeightProvider,
     spec: ModelSpec,
@@ -102,17 +151,30 @@ def build_params(
     def vec(name):
         return jnp.asarray(np.asarray(get(name), np.float32))
 
+    # qwen3-next stores RMSNorm weights zero-centered (output = normed *
+    # (1 + w), transformers#29402); fold the +1 in at load so the runtime
+    # norm op stays universal
+    norm_off = 1.0 if spec.model_type == "qwen3_next" else 0.0
+
+    def nvec(name):
+        return vec(name) + norm_off
+
     layers = []
     for li in layer_indices:
         if progress:
             progress(f"layer {li}/{spec.num_layers}")
         pre = f"model.layers.{li}"
         lp = {
-            "input_norm": vec(f"{pre}.input_layernorm.weight"),
-            "post_attn_norm": vec(f"{pre}.post_attention_layernorm.weight"),
+            "input_norm": nvec(f"{pre}.input_layernorm.weight"),
+            "post_attn_norm": nvec(f"{pre}.post_attention_layernorm.weight"),
         }
         sa = f"{pre}.self_attn"
-        if a.kind == "mla":
+        if spec.layer_kind(li) == "linear":
+            attn = _linear_attn_params(
+                get, f"{pre}.linear_attn", spec.linear_attn,
+                *pick(f"layers.{li}.attn", quant),
+            )
+        elif a.kind == "mla":
             kv_b = _t(get(f"{sa}.kv_b_proj.weight"))  # [R, H*(nope+v)]
             w_uk, w_uv = absorb_kv_b_proj(
                 jnp.asarray(kv_b), a.num_heads, a.qk_nope_head_dim, a.v_head_dim
@@ -155,8 +217,8 @@ def build_params(
                 if bias is not None and nm != "o":
                     attn[f"{nm}_bias"] = jnp.asarray(np.asarray(bias, np.float32))
             if a.qk_norm:
-                attn["q_norm"] = vec(f"{sa}.q_norm.weight")
-                attn["k_norm"] = vec(f"{sa}.k_norm.weight")
+                attn["q_norm"] = nvec(f"{sa}.q_norm.weight")
+                attn["k_norm"] = nvec(f"{sa}.k_norm.weight")
         lp["attn"] = attn
 
         mlp_pre = f"{pre}.mlp"
@@ -248,7 +310,7 @@ def build_params(
         ),
         "layers": layers,
         "final_norm": None if not include_head else jnp.asarray(
-            np.asarray(get("model.norm.weight"), np.float32)
+            np.asarray(get("model.norm.weight"), np.float32) + norm_off
         ),
     }
     if include_head and not spec.tie_word_embeddings:

@@ -82,7 +82,9 @@ class KVCache:
 
     @property
     def max_len(self) -> int:
-        return self.bufs_a[0].shape[1]
+        # hybrid models keep O(1) conv/recurrent state in linear layers'
+        # slots; the KV length lives in any full-attention buffer
+        return max(a.shape[1] for a in self.bufs_a)
 
     @property
     def batch(self) -> int:
@@ -99,11 +101,27 @@ class KVCache:
             sb = (batch, max_len, a.qk_rope_head_dim)
         else:
             sa = sb = (batch, max_len, a.num_kv_heads, a.head_dim)
-        return KVCache(
-            lengths=lengths,
-            bufs_a=[jnp.zeros(sa, dtype) for _ in range(spec.num_layers)],
-            bufs_b=[jnp.zeros(sb, dtype) for _ in range(spec.num_layers)],
-        )
+        bufs_a, bufs_b = [], []
+        for li in range(spec.num_layers):
+            if spec.layer_kind(li) == "linear":
+                # GatedDeltaNet layers keep O(1) state: the conv tail
+                # [B, K, conv_dim] and the recurrent matrix
+                # [B, Hv, dk, dv] (f32 — the delta rule accumulates)
+                la = spec.linear_attn
+                bufs_a.append(
+                    jnp.zeros((batch, la.conv_kernel, la.conv_dim), dtype)
+                )
+                bufs_b.append(
+                    jnp.zeros(
+                        (batch, la.num_v_heads, la.head_k_dim,
+                         la.head_v_dim),
+                        jnp.float32,
+                    )
+                )
+            else:
+                bufs_a.append(jnp.zeros(sa, dtype))
+                bufs_b.append(jnp.zeros(sb, dtype))
+        return KVCache(lengths=lengths, bufs_a=bufs_a, bufs_b=bufs_b)
 
     def bytes_per_token_per_layer(self, spec: ModelSpec) -> int:
         a = spec.attention
@@ -202,7 +220,15 @@ def _gqa_attention(p, spec: ModelSpec, x, layer_cache, pos_offset, rope_cs):
     b, s, _ = x.shape
     h, hkv, d = a.num_heads, a.num_kv_heads, a.head_dim
 
-    q = plinear(p, "q_proj", x, p.get("q_bias")).reshape(b, s, h, d)
+    gate = None
+    if a.gated_output:
+        # qwen3-next: q_proj emits [q | gate] interleaved per head
+        qg = plinear(p, "q_proj", x, p.get("q_bias")).reshape(
+            b, s, h, 2 * d
+        )
+        q, gate = qg[..., :d], qg[..., d:].reshape(b, s, h * d)
+    else:
+        q = plinear(p, "q_proj", x, p.get("q_bias")).reshape(b, s, h, d)
     k = plinear(p, "k_proj", x, p.get("k_bias")).reshape(b, s, hkv, d)
     v = plinear(p, "v_proj", x, p.get("v_bias")).reshape(b, s, hkv, d)
 
@@ -251,6 +277,8 @@ def _gqa_attention(p, spec: ModelSpec, x, layer_cache, pos_offset, rope_cs):
             mask=mask,
         )  # [B,H,S,D]
     out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    if gate is not None:
+        out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
     return plinear(p, "o_proj", out, p.get("o_bias")), (k_buf, v_buf)
 
 
@@ -326,16 +354,28 @@ def forward(
     new_a = []
     new_b = []
 
-    def layer_body(lp, x, layer_cache, lengths, rope_cs):
+    def layer_body(lp, x, layer_cache, lengths, rope_cs, kind="full"):
         res = x
         xn = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
-        attn_out, (buf_a, buf_b) = (
-            _mla_attention(lp["attn"], spec, xn, layer_cache, lengths, rope_cs)
-            if mla
-            else _gqa_attention(
-                lp["attn"], spec, xn, layer_cache, lengths, rope_cs
+        if kind == "linear":
+            from ktransformers_tpu.ops.linear_attention import (
+                gated_delta_net,
             )
-        )
+
+            attn_out, buf_a, buf_b = gated_delta_net(
+                lp["attn"], spec.linear_attn, xn, layer_cache[0],
+                layer_cache[1], spec.rms_norm_eps,
+            )
+        else:
+            attn_out, (buf_a, buf_b) = (
+                _mla_attention(
+                    lp["attn"], spec, xn, layer_cache, lengths, rope_cs
+                )
+                if mla
+                else _gqa_attention(
+                    lp["attn"], spec, xn, layer_cache, lengths, rope_cs
+                )
+            )
         x = res + attn_out
         res = x
         xn = rms_norm(x, lp["post_attn_norm"], spec.rms_norm_eps)
@@ -346,10 +386,14 @@ def forward(
         return x, buf_a, buf_b
 
     for li, lp in enumerate(params["layers"]):
-        fn = jax.checkpoint(layer_body) if remat else layer_body
+        kind = spec.layer_kind(li)
+        fn = (
+            jax.checkpoint(layer_body, static_argnums=(5,))
+            if remat else layer_body
+        )
         x, buf_a, buf_b = fn(
             lp, x, (cache.bufs_a[li], cache.bufs_b[li]), cache.lengths,
-            rope_cs,
+            rope_cs, kind,
         )
         new_a.append(buf_a)
         new_b.append(buf_b)

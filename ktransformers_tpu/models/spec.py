@@ -34,6 +34,8 @@ class AttentionSpec:
     qk_norm: bool = False  # qwen3/glm4-style per-head RMSNorm on q/k
     partial_rotary_dim: int = 0  # 0 = rotate the whole head (glm4: half)
     softmax_scale: float | None = None  # None = head_dim**-0.5 (x yarn mscale)
+    gated_output: bool = False  # qwen3-next: q_proj emits q||gate and the
+    # attention output is multiplied by sigmoid(gate) before o_proj
 
     @property
     def rotary_dim(self) -> int:
@@ -79,6 +81,15 @@ class ModelSpec:
     moe: MoESpec | None = None
     tie_word_embeddings: bool = False
     max_position: int = 4096
+    # hybrid models (qwen3-next): per-layer kind "full" | "linear"; None =
+    # all full attention. linear_attn holds the GatedDeltaNet dims.
+    layer_kinds: tuple | None = None
+    linear_attn: object | None = None
+
+    def layer_kind(self, li: int) -> str:
+        if self.layer_kinds is None:
+            return "full"
+        return self.layer_kinds[li]
 
 
 def _rope_from_hf(cfg: dict, dim: int, interleaved: bool) -> RopeConfig:
@@ -214,6 +225,53 @@ def _qwen_moe_spec(cfg: dict, model_type: str) -> ModelSpec:
     )
 
 
+def _qwen3_next_spec(cfg: dict) -> ModelSpec:
+    """Qwen3-Next: hybrid GatedDeltaNet (3/4 of layers) + gated full
+    attention (1/4), qwen2-moe-style MoE with gated shared expert.
+    Reference: archive/ktransformers/models/modeling_qwen3_next.py."""
+    from ktransformers_tpu.ops.linear_attention import LinearAttentionSpec
+
+    base = _qwen_moe_spec(cfg, "qwen3_moe")
+    head_dim = int(cfg.get("head_dim") or cfg["hidden_size"] // cfg["num_attention_heads"])
+    prf = float(cfg.get("partial_rotary_factor", 0.25))
+    attn = dataclasses.replace(
+        base.attention,
+        qk_norm=True,
+        gated_output=True,
+        attention_bias=bool(cfg.get("attention_bias", False)),
+        partial_rotary_dim=int(head_dim * prf) if prf < 1.0 else 0,
+        num_kv_heads=int(cfg["num_key_value_heads"]),
+        head_dim=head_dim,
+    )
+    kinds = tuple(
+        "linear" if t == "linear_attention" else "full"
+        for t in cfg["layer_types"]
+    )
+    moe = dataclasses.replace(
+        base.moe,
+        shared_expert_intermediate_size=int(
+            cfg.get("shared_expert_intermediate_size", 0)
+        ),
+        shared_expert_gate=True,
+    )
+    rot = int(head_dim * prf) if prf < 1.0 else head_dim
+    return dataclasses.replace(
+        base,
+        model_type="qwen3_next",
+        attention=attn,
+        moe=moe,
+        rope=_rope_from_hf(cfg, rot, interleaved=False),
+        layer_kinds=kinds,
+        linear_attn=LinearAttentionSpec(
+            num_v_heads=int(cfg["linear_num_value_heads"]),
+            num_k_heads=int(cfg["linear_num_key_heads"]),
+            head_k_dim=int(cfg["linear_key_head_dim"]),
+            head_v_dim=int(cfg["linear_value_head_dim"]),
+            conv_kernel=int(cfg.get("linear_conv_kernel_dim", 4)),
+        ),
+    )
+
+
 def _mixtral_spec(cfg: dict) -> ModelSpec:
     # Mixtral: softmax over all experts, top-k, renormalize — identical to
     # softmax + norm_topk_prob.
@@ -316,6 +374,7 @@ _TRANSLATORS = {
     "qwen2_moe": lambda c: _qwen_moe_spec(c, "qwen2_moe"),
     "qwen3_moe": lambda c: _qwen_moe_spec(c, "qwen3_moe"),
     "mixtral": _mixtral_spec,
+    "qwen3_next": _qwen3_next_spec,
     "glm4_moe": _glm4_moe_spec,
     "llama": lambda c: _dense_spec(c, "llama"),
     "qwen2": lambda c: _dense_spec(c, "qwen2"),

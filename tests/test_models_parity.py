@@ -277,3 +277,35 @@ def test_glm4_moe_parity():
         for layer in model.model.layers[cfg.first_k_dense_replace:]:
             layer.mlp.gate.e_score_correction_bias.uniform_(-0.1, 0.1)
     _run_parity(model, cfg)
+
+
+def test_qwen3_next_parity():
+    """Hybrid GatedDeltaNet (3 linear + 1 full attention layers) + gated
+    full attention + qwen2-moe-style MoE: logits vs HF torch fp32 eager.
+    Reference: archive/ktransformers/models/modeling_qwen3_next.py."""
+    from transformers import Qwen3NextConfig, Qwen3NextForCausalLM
+
+    cfg = Qwen3NextConfig(
+        vocab_size=96,
+        hidden_size=64,
+        intermediate_size=128,
+        moe_intermediate_size=48,
+        shared_expert_intermediate_size=48,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        linear_num_value_heads=4,
+        linear_num_key_heads=2,
+        linear_key_head_dim=16,
+        linear_value_head_dim=16,
+        linear_conv_kernel_dim=4,
+        num_experts=8,
+        num_experts_per_tok=2,
+        norm_topk_prob=True,
+        decoder_sparse_step=1,
+        max_position_embeddings=128,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    _run_parity(Qwen3NextForCausalLM(cfg), cfg, atol=4e-3)
