@@ -225,10 +225,15 @@ def build_params(
         if spec.moe is not None and spec.moe.is_moe_layer(li):
             m = spec.moe
             if maybe(f"{mlp_pre}.gate.weight") is None:
-                mlp_pre = f"{pre}.block_sparse_moe"  # mixtral
+                mlp_pre = f"{pre}.block_sparse_moe"  # mixtral/smallthinker
+            router_name = (
+                f"{mlp_pre}.primary_router.weight"  # smallthinker
+                if maybe(f"{mlp_pre}.gate.weight") is None
+                else f"{mlp_pre}.gate.weight"
+            )
             moe = {
                 "router_w": jnp.asarray(
-                    np.asarray(get(f"{mlp_pre}.gate.weight"), np.float32)
+                    np.asarray(get(router_name), np.float32)
                 )
             }
             bias = maybe(f"{mlp_pre}.gate.e_score_correction_bias")
@@ -252,10 +257,15 @@ def build_params(
                         g = _t(get(f"{base}.gate_proj.weight"))
                         u = _t(get(f"{base}.up_proj.weight"))
                         dn = _t(get(f"{base}.down_proj.weight"))
-                    else:  # mixtral w1/w3/w2
+                    elif maybe(f"{base}.w1.weight") is not None:
+                        # mixtral w1/w3/w2
                         g = _t(get(f"{base}.w1.weight"))
                         u = _t(get(f"{base}.w3.weight"))
                         dn = _t(get(f"{base}.w2.weight"))
+                    else:  # smallthinker gate/up/down
+                        g = _t(get(f"{base}.gate.weight"))
+                        u = _t(get(f"{base}.up.weight"))
+                        dn = _t(get(f"{base}.down.weight"))
                     gus_list.append(np.concatenate([g, u], axis=1))
                     dns_list.append(dn)
                 gus = np.stack(gus_list)
@@ -292,16 +302,36 @@ def build_params(
                     )
             lp["moe"] = moe
         else:
-            lp["mlp"] = {
-                "gate_up": qx_fused(
-                    f"{mlp_pre}.gate_proj.weight",
-                    f"{mlp_pre}.up_proj.weight",
-                    f"{mlp_pre}.gate_up_proj", f"layers.{li}.mlp", quant,
-                ),
-                "down": qx(
-                    f"{mlp_pre}.down_proj.weight", f"layers.{li}.mlp", quant
-                ),
-            }
+            if (
+                maybe(f"{mlp_pre}.gate_proj.weight") is None
+                and maybe(f"{pre}.block_sparse_moe.gate.weight") is not None
+            ):
+                # smallthinker dense layers live under block_sparse_moe
+                bsm = f"{pre}.block_sparse_moe"
+                gk, gg = pick(f"layers.{li}.mlp", quant)
+                lp["mlp"] = {
+                    "gate_up": _q(
+                        np.concatenate(
+                            [_t(get(f"{bsm}.gate.weight")),
+                             _t(get(f"{bsm}.up.weight"))], 1,
+                        ), gk, gg,
+                    ),
+                    "down": qx(
+                        f"{bsm}.down.weight", f"layers.{li}.mlp", quant
+                    ),
+                }
+            else:
+                lp["mlp"] = {
+                    "gate_up": qx_fused(
+                        f"{mlp_pre}.gate_proj.weight",
+                        f"{mlp_pre}.up_proj.weight",
+                        f"{mlp_pre}.gate_up_proj", f"layers.{li}.mlp", quant,
+                    ),
+                    "down": qx(
+                        f"{mlp_pre}.down_proj.weight", f"layers.{li}.mlp",
+                        quant,
+                    ),
+                }
         layers.append(lp)
 
     params = {

@@ -131,11 +131,17 @@ class KVCache:
         return 2 * a.num_kv_heads * a.head_dim * itemsize
 
 
-def _attn_mask(pos_offset: jnp.ndarray, q_len: int, kv_len: int) -> jnp.ndarray:
-    """Additive causal mask [B, q_len, kv_len] from per-seq offsets [B]."""
+def _attn_mask(pos_offset: jnp.ndarray, q_len: int, kv_len: int,
+               window: int = 0) -> jnp.ndarray:
+    """Additive causal mask [B, q_len, kv_len] from per-seq offsets [B].
+    window > 0: sliding-window attention — keys older than window are
+    masked (smallthinker swa_layout layers)."""
     qpos = pos_offset[:, None, None] + jnp.arange(q_len)[None, :, None]
     kpos = jnp.arange(kv_len)[None, None, :]
-    return jnp.where(kpos <= qpos, 0.0, NEG_INF).astype(jnp.float32)
+    ok = kpos <= qpos
+    if window:
+        ok = ok & (kpos > qpos - window)
+    return jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
 
 
 def _write_cache(buf: jnp.ndarray, new: jnp.ndarray, offset: jnp.ndarray):
@@ -215,7 +221,8 @@ def a_interleaved(spec: ModelSpec) -> bool:
     return spec.rope.interleaved
 
 
-def _gqa_attention(p, spec: ModelSpec, x, layer_cache, pos_offset, rope_cs):
+def _gqa_attention(p, spec: ModelSpec, x, layer_cache, pos_offset, rope_cs,
+                   use_rope: bool = True, window: int = 0):
     a = spec.attention
     b, s, _ = x.shape
     h, hkv, d = a.num_heads, a.num_kv_heads, a.head_dim
@@ -240,7 +247,9 @@ def _gqa_attention(p, spec: ModelSpec, x, layer_cache, pos_offset, rope_cs):
     q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)
     rot = a.rotary_dim
-    if rot and rot < d:
+    if not use_rope:
+        pass  # smallthinker nope layers: positions only via the mask
+    elif rot and rot < d:
         q = jnp.concatenate(
             [apply_rope(q[..., :rot], cos[:, None], sin[:, None]), q[..., rot:]],
             axis=-1,
@@ -258,7 +267,7 @@ def _gqa_attention(p, spec: ModelSpec, x, layer_cache, pos_offset, rope_cs):
     v_buf = _write_cache(layer_cache[1], v, pos_offset)
 
     scale = a.softmax_scale or d**-0.5
-    if k_buf.shape[1] >= BLOCKWISE_KV_THRESHOLD:
+    if window == 0 and k_buf.shape[1] >= BLOCKWISE_KV_THRESHOLD:
         qpos = pos_offset[:, None] + jnp.arange(s)[None, :]
         out = mha_blockwise(
             q,
@@ -268,7 +277,7 @@ def _gqa_attention(p, spec: ModelSpec, x, layer_cache, pos_offset, rope_cs):
             scale=scale,
         )
     else:
-        mask = _attn_mask(pos_offset, s, k_buf.shape[1])
+        mask = _attn_mask(pos_offset, s, k_buf.shape[1], window)
         out = mha(
             q,
             k_buf.transpose(0, 2, 1, 3),
@@ -289,14 +298,16 @@ def _dense_mlp(p, spec: ModelSpec, x):
     return plinear(p, "down", act)
 
 
-def _moe_mlp(p, spec: ModelSpec, x, aux: list | None = None):
+def _moe_mlp(p, spec: ModelSpec, x, aux: list | None = None,
+             router_x=None):
     """aux (optional, trace-time list): appends this layer's routed
     topk_idx [B*S, k] — the serving engine's routing-statistics tap for
     dynamic expert re-placement (reference:
     --kt-enable-dynamic-expert-update, kt-kernel/README.md:548-559)."""
     b, s, d = x.shape
     flat = x.reshape(b * s, d)
-    logits = flat.astype(jnp.float32) @ p["router_w"].astype(jnp.float32).T
+    rflat = flat if router_x is None else router_x.reshape(b * s, d)
+    logits = rflat.astype(jnp.float32) @ p["router_w"].astype(jnp.float32).T
     topk_idx, topk_w = route(
         logits, spec.moe.gate, p.get("router_bias_corr")
     )
@@ -354,8 +365,12 @@ def forward(
     new_a = []
     new_b = []
 
-    def layer_body(lp, x, layer_cache, lengths, rope_cs, kind="full"):
+    early = spec.moe is not None and spec.moe.early_router
+
+    def layer_body(lp, x, layer_cache, lengths, rope_cs, kind="full",
+                   use_rope=True, window=0):
         res = x
+        router_x = x if early else None  # pre-norm layer input
         xn = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
         if kind == "linear":
             from ktransformers_tpu.ops.linear_attention import (
@@ -373,14 +388,15 @@ def forward(
                 )
                 if mla
                 else _gqa_attention(
-                    lp["attn"], spec, xn, layer_cache, lengths, rope_cs
+                    lp["attn"], spec, xn, layer_cache, lengths, rope_cs,
+                    use_rope, window,
                 )
             )
         x = res + attn_out
         res = x
         xn = rms_norm(x, lp["post_attn_norm"], spec.rms_norm_eps)
         if "moe" in lp:
-            x = res + _moe_mlp(lp["moe"], spec, xn)
+            x = res + _moe_mlp(lp["moe"], spec, xn, router_x=router_x)
         else:
             x = res + _dense_mlp(lp["mlp"], spec, xn)
         return x, buf_a, buf_b
@@ -388,12 +404,12 @@ def forward(
     for li, lp in enumerate(params["layers"]):
         kind = spec.layer_kind(li)
         fn = (
-            jax.checkpoint(layer_body, static_argnums=(5,))
+            jax.checkpoint(layer_body, static_argnums=(5, 6, 7))
             if remat else layer_body
         )
         x, buf_a, buf_b = fn(
             lp, x, (cache.bufs_a[li], cache.bufs_b[li]), cache.lengths,
-            rope_cs, kind,
+            rope_cs, kind, spec.layer_uses_rope(li), spec.layer_window(li),
         )
         new_a.append(buf_a)
         new_b.append(buf_b)

@@ -36,6 +36,7 @@ class AttentionSpec:
     softmax_scale: float | None = None  # None = head_dim**-0.5 (x yarn mscale)
     gated_output: bool = False  # qwen3-next: q_proj emits q||gate and the
     # attention output is multiplied by sigmoid(gate) before o_proj
+    sliding_window: int = 0  # smallthinker: window for swa_layout layers
 
     @property
     def rotary_dim(self) -> int:
@@ -57,6 +58,9 @@ class MoESpec:
     # deepseek checks layer_idx % freq == 0; qwen checks (layer_idx+1) % step
     moe_layer_offset: int = 0
     mlp_only_layers: tuple[int, ...] = ()  # qwen3-moe explicit dense layers
+    # smallthinker: router consumes the LAYER INPUT (pre-attention
+    # residual) instead of the post-attention hidden state
+    early_router: bool = False
 
     def is_moe_layer(self, layer_idx: int) -> bool:
         if layer_idx in self.mlp_only_layers:
@@ -85,6 +89,19 @@ class ModelSpec:
     # all full attention. linear_attn holds the GatedDeltaNet dims.
     layer_kinds: tuple | None = None
     linear_attn: object | None = None
+    # smallthinker per-layer layouts: rope on/off and sliding-window
+    # on/off (window size in attention.sliding_window)
+    rope_layout: tuple | None = None
+    swa_layout: tuple | None = None
+
+    def layer_uses_rope(self, li: int) -> bool:
+        return self.rope_layout is None or bool(self.rope_layout[li])
+
+    def layer_window(self, li: int) -> int:
+        """0 = full attention; else the sliding window size."""
+        if self.swa_layout is None or not self.swa_layout[li]:
+            return 0
+        return self.attention.sliding_window
 
     def layer_kind(self, li: int) -> str:
         if self.layer_kinds is None:
@@ -272,6 +289,67 @@ def _qwen3_next_spec(cfg: dict) -> ModelSpec:
     )
 
 
+def _smallthinker_spec(cfg: dict) -> ModelSpec:
+    """SmallThinker (4B/21B MoE): plain GQA with per-layer nope/rope and
+    per-layer sliding window, ReLU-GLU experts, early (pre-attention)
+    router, sigmoid-or-softmax top-k weighting. Reference:
+    archive/ktransformers/models/modeling_smallthinker.py,
+    configuration_smallthinker.py."""
+    if cfg.get("moe_enable_secondary_experts"):
+        raise NotImplementedError(
+            "smallthinker secondary experts are not supported yet"
+        )
+    n_layers = int(cfg["num_hidden_layers"])
+    e = int(cfg["moe_num_primary_experts"])
+    gate = GateConfig(
+        num_experts=e,
+        top_k=int(cfg["moe_num_active_primary_experts"]),
+        scoring="softmax"
+        if cfg.get("moe_primary_router_apply_softmax", True)
+        else "sigmoid",
+        norm_topk_prob=bool(cfg.get("moe_primary_router_apply_softmax", True)),
+    )
+    moe_layout = list(cfg.get("moe_layer_layout") or [1] * n_layers)
+    moe = MoESpec(
+        num_experts=e,
+        top_k=gate.top_k,
+        moe_intermediate_size=int(cfg["moe_ffn_hidden_size"]),
+        gate=gate,
+        mlp_only_layers=tuple(
+            li for li in range(n_layers) if not moe_layout[li]
+        ),
+        early_router=bool(cfg.get("moe_enable_early_router", True)),
+    )
+    head_dim = int(cfg.get("head_dim") or cfg["hidden_size"] // cfg["num_attention_heads"])
+    attn = AttentionSpec(
+        kind="gqa",
+        num_heads=int(cfg["num_attention_heads"]),
+        num_kv_heads=int(cfg["num_key_value_heads"]),
+        head_dim=head_dim,
+        sliding_window=int(cfg.get("sliding_window_size", 0)),
+    )
+    rope_layout = cfg.get("rope_layout")
+    swa_layout = cfg.get("sliding_window_layout")
+    return ModelSpec(
+        model_type="smallthinker",
+        vocab_size=int(cfg["vocab_size"]),
+        hidden_size=int(cfg["hidden_size"]),
+        num_layers=n_layers,
+        intermediate_size=int(
+            cfg.get("dense_ffn_hidden_size", cfg.get("moe_ffn_hidden_size"))
+        ),
+        rms_norm_eps=float(cfg.get("rms_norm_eps", 1e-6)),
+        attention=attn,
+        rope=_rope_from_hf(cfg, head_dim, interleaved=False),
+        activation=ActivationConfig(kind="relu"),
+        moe=moe,
+        tie_word_embeddings=bool(cfg.get("tie_word_embeddings", False)),
+        max_position=int(cfg.get("max_position_embeddings", 4096)),
+        rope_layout=None if rope_layout is None else tuple(rope_layout),
+        swa_layout=None if swa_layout is None else tuple(swa_layout),
+    )
+
+
 def _mixtral_spec(cfg: dict) -> ModelSpec:
     # Mixtral: softmax over all experts, top-k, renormalize — identical to
     # softmax + norm_topk_prob.
@@ -375,6 +453,7 @@ _TRANSLATORS = {
     "qwen3_moe": lambda c: _qwen_moe_spec(c, "qwen3_moe"),
     "mixtral": _mixtral_spec,
     "qwen3_next": _qwen3_next_spec,
+    "smallthinker": _smallthinker_spec,
     "glm4_moe": _glm4_moe_spec,
     "llama": lambda c: _dense_spec(c, "llama"),
     "qwen2": lambda c: _dense_spec(c, "qwen2"),

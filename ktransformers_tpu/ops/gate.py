@@ -78,6 +78,12 @@ def route(
         raise ValueError(cfg.scoring)
 
     scores_for_choice = scores
+    if cfg.scoring == "sigmoid" and not cfg.has_correction_bias:
+        # select by the raw logits: sigmoid saturates to exactly 1.0 in
+        # f32 above ~17, creating artificial top-k ties; logits preserve
+        # the order (and match the reference's topk-then-sigmoid,
+        # modeling_smallthinker.py:92-97)
+        scores_for_choice = logits
     if cfg.has_correction_bias:
         if correction_bias is None:
             raise ValueError("gate requires e_score_correction_bias")
