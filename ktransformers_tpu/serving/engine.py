@@ -10,6 +10,7 @@ next batch is planned on host while the device executes).
 from __future__ import annotations
 
 import dataclasses
+import os
 import threading
 import time
 from functools import partial
@@ -89,6 +90,14 @@ class ServeEngine:
         self._counts = None  # [max_batch, V] int32 generated-token counts
         self._pmask = None  # [max_batch, V] bool prompt occurrence
         self._key = jax.random.PRNGKey(0)
+        from ktransformers_tpu.utils.observability import StageTimer
+
+        # per-stage host profile of the serving loop (enable with
+        # KT_FORWARD_TIME_PROFILE=1; engine.timer.report() / /metrics)
+        self.timer = StageTimer()
+        self.check_numerics = (
+            os.environ.get("KT_CHECK_NUMERICS", "0") == "1"
+        )
         self.collect_routing = collect_routing
         self.stats = None
         if collect_routing and spec.moe is not None:
@@ -410,8 +419,10 @@ class ServeEngine:
     def step(self) -> bool:
         """Run one mixed scheduler batch (decode batch + ≤2 prefill chunks,
         async-dispatched back-to-back); returns False when idle."""
+        self.timer.stage("schedule")
         plan = self.scheduler.next_batch()
         if plan is None:
+            self.timer.end()
             return False
         if self._stale_summary_pages:
             # recycled pages carry the previous occupant's key extremes;
@@ -424,16 +435,26 @@ class ServeEngine:
         # dispatch everything (decode first — its tokens resolve first)
         # before reading anything back: prefill chunks execute behind the
         # decode step on-device while the host is already collecting tokens
+        self.timer.stage("dispatch")
         toks = routing = None
         if decode_qs:
             toks, routing = self._run_decode(decode_qs)
         pending = []
         for q, chunk in plan.prefills:
             pending.append((q, chunk, self._dispatch_prefill(q, chunk)))
+        self.timer.stage("readback")
         if toks is not None:
+            if self.check_numerics:
+                from ktransformers_tpu.utils.observability import (
+                    check_numerics,
+                )
+
+                check_numerics(toks, "decode tokens")
             self._resolve_decode(decode_qs, toks, routing)
+        self.timer.stage("bookkeeping")
         for q, chunk, logits in pending:
             self._finish_prefill(q, chunk, logits)
+        self.timer.end()
         self.steps_executed += 1
         return True
 

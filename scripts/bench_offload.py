@@ -25,11 +25,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def synth_host_layer(rng_block, E, K, N, gs):
     """[E,2N,K/2]+[E,K,N/2] uint8 filled by tiling one random MB block."""
-    from ktransformers_tpu.offload.host_moe import HostMoELayer
+    from ktransformers_tpu.offload.host_moe import (
+        HostMoELayer,
+        hugepage_empty,
+    )
 
     def tiled(shape):
         size = int(np.prod(shape))
-        a = np.empty(size, np.uint8)
+        a = hugepage_empty(size, np.uint8)
         b = rng_block
         n = b.size
         reps = size // n
@@ -41,8 +44,10 @@ def synth_host_layer(rng_block, E, K, N, gs):
     gu = tiled((E, 2 * N, K // 2))
     dn = tiled((E, K, N // 2))
     sc = 1.0 / np.sqrt(K) / 7.0
-    gus = np.full((E, 2 * N, K // gs), sc, np.float32)
-    dns = np.full((E, K, N // gs), sc * 0.5, np.float32)
+    gus = hugepage_empty((E, 2 * N, K // gs), np.float32)
+    gus[:] = sc
+    dns = hugepage_empty((E, K, N // gs), np.float32)
+    dns[:] = sc * 0.5
     return HostMoELayer(gu, gus, dn, dns, "silu")
 
 
@@ -140,6 +145,9 @@ def main():
         "per_user_tok_s": round(1.0 / step_s, 3),
     }
     print(json.dumps(result))
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_OFFLOAD.json"), "w") as f:
+        json.dump(result, f)
 
 
 if __name__ == "__main__":

@@ -333,3 +333,31 @@ def test_three_tier_prefix_cache(tmp_path):
     out1b = eng.generate_sync(p1, max_new_tokens=4)
     assert out1b == out1
     assert spill.stats["host_hits"] + spill.stats["disk_hits"] >= 1
+
+
+def test_stage_timer_and_numeric_guard():
+    """Observability: KT_FORWARD_TIME_PROFILE stage profile accumulates
+    over serving steps; check_numerics raises on injected NaN."""
+    import numpy as np
+    import pytest
+
+    from ktransformers_tpu.utils.observability import (
+        StageTimer,
+        check_numerics,
+    )
+
+    spec, params = _spec_params(TINY_DS)
+    eng = ServeEngine(
+        params, spec,
+        SchedulerConfig(max_batch_size=2, prefill_chunk=8, page_size=8,
+                        max_pages_per_query=8),
+        num_pages=32, cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+    )
+    eng.timer = StageTimer(enabled=True)
+    eng.generate_sync(list(range(6)), max_new_tokens=4)
+    rep = eng.timer.report()
+    assert {"schedule", "dispatch", "readback"} <= set(rep)
+    assert all(v["count"] > 0 for v in rep.values())
+
+    with pytest.raises(FloatingPointError):
+        check_numerics({"x": np.asarray([1.0, np.nan])}, "test")
