@@ -315,6 +315,28 @@ def _moe_mlp(p, spec: ModelSpec, x, aux: list | None = None,
         aux.append(topk_idx)
     cfg = MoEConfig(activation=spec.activation)
 
+    n_fused = p.get("n_shared_fused")
+    if n_fused:
+        # shared experts ride the gathered kernel as always-selected rows
+        # (ops/fuse_shared.py); weight 1.0, or the qwen2-style sigmoid
+        # gate value when present
+        e_routed = spec.moe.num_experts
+        t = topk_idx.shape[0]
+        sh_ids = jnp.broadcast_to(
+            jnp.arange(e_routed, e_routed + n_fused, dtype=topk_idx.dtype),
+            (t, n_fused),
+        )
+        if p.get("shared_gate") is not None:
+            g = jax.nn.sigmoid(
+                flat.astype(jnp.float32)
+                @ p["shared_gate"].astype(jnp.float32).T
+            )
+            sh_w = jnp.broadcast_to(g, (t, n_fused))
+        else:
+            sh_w = jnp.ones((t, n_fused), topk_w.dtype)
+        topk_idx = jnp.concatenate([topk_idx, sh_ids], -1)
+        topk_w = jnp.concatenate([topk_w, sh_w.astype(topk_w.dtype)], -1)
+
     from ktransformers_tpu.parallel.context import get_parallel_context
 
     ctx = get_parallel_context()
@@ -324,7 +346,7 @@ def _moe_mlp(p, spec: ModelSpec, x, aux: list | None = None,
         y = moe_forward_ep(flat, p["experts"], topk_idx, topk_w, cfg, ctx.mesh)
     else:
         y = moe_forward(flat, p["experts"], topk_idx, topk_w, cfg)
-    if "shared" in p and p["shared"] is not None:
+    if not n_fused and "shared" in p and p["shared"] is not None:
         y_sh = _dense_mlp(p["shared"], spec, flat)
         if spec.moe.shared_expert_gate:
             g = jax.nn.sigmoid(
