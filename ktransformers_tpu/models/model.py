@@ -315,12 +315,12 @@ def _moe_mlp(p, spec: ModelSpec, x, aux: list | None = None,
         aux.append(topk_idx)
     cfg = MoEConfig(activation=spec.activation)
 
-    n_fused = p.get("n_shared_fused")
+    n_fused = getattr(p["experts"], "n_shared_fused", 0)
     if n_fused:
         # shared experts ride the gathered kernel as always-selected rows
         # (ops/fuse_shared.py); weight 1.0, or the qwen2-style sigmoid
         # gate value when present
-        e_routed = spec.moe.num_experts
+        e_routed = p["experts"].num_experts - n_fused
         t = topk_idx.shape[0]
         sh_ids = jnp.broadcast_to(
             jnp.arange(e_routed, e_routed + n_fused, dtype=topk_idx.dtype),

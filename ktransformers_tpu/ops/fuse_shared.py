@@ -138,8 +138,8 @@ def fuse_shared_experts(params, spec, requantize: bool = False):
         moe["experts"] = MoEWeights(
             gate_up=cat(w.gate_up, gu_parts),
             down=cat(w.down, dn_parts),
+            n_shared_fused=n_sh,
         )
-        moe["n_shared_fused"] = n_sh
         moe.pop("shared")
         new_layers.append({**lp, "moe": moe})
     return {**params, "layers": new_layers}

@@ -73,6 +73,11 @@ class MoEWeights:
     logical_to_physical: jnp.ndarray | None = None
     expert_mask: jnp.ndarray | None = None
     lora: dict | None = None
+    # number of shared experts stacked at the END of the expert arrays
+    # (ops/fuse_shared.py); static: shapes the routing concat in the jaxpr
+    n_shared_fused: int = dataclasses.field(
+        metadata=dict(static=True), default=0
+    )
 
     @property
     def num_experts(self) -> int:

@@ -28,7 +28,8 @@ def test_fused_shared_experts_exact():
 
     fused = fuse_shared_experts(params, spec)
     assert any(
-        lp.get("moe", {}).get("n_shared_fused")
+        lp.get("moe", {}).get("experts") is not None
+        and lp["moe"]["experts"].n_shared_fused
         for lp in fused["layers"]
     )
     cache = KVCache.create(spec, 2, 16, dtype=jnp.float32)
@@ -44,12 +45,12 @@ def test_fuse_falls_back_on_kind_mismatch():
                          group_size=32)
     fused = fuse_shared_experts(params, spec)  # shared bf16 vs routed int4
     assert not any(
-        lp.get("moe", {}).get("n_shared_fused")
+        "moe" in lp and lp["moe"]["experts"].n_shared_fused
         for lp in fused["layers"]
     )
     # explicit requantize opt-in stacks anyway
     fused2 = fuse_shared_experts(params, spec, requantize=True)
     assert any(
-        lp.get("moe", {}).get("n_shared_fused")
+        "moe" in lp and lp["moe"]["experts"].n_shared_fused
         for lp in fused2["layers"]
     )
