@@ -73,11 +73,9 @@ def main():
 
     t0 = time.perf_counter()
     params = init_params_synthetic(spec, quant="int8", moe_quant="int4_g")
-    # shared experts ride the routed gather (2 fewer kernel calls +
-    # no separate combine per MoE layer; ops/fuse_shared.py)
-    from ktransformers_tpu.ops.fuse_shared import fuse_shared_experts
-
-    params = fuse_shared_experts(params, spec, requantize=True)
+    # NOTE: ops/fuse_shared.fuse_shared_experts measured -4% here (the
+    # gather re-reads shared blocks per row; the dense matmuls read them
+    # once per batch) — kept as an opt-in transform, not used in bench.
     jax.block_until_ready(params)
     nbytes = sum(
         x.size * x.dtype.itemsize for x in jax.tree.leaves(params)

@@ -38,10 +38,14 @@ def fuse_shared_experts(params, spec, requantize: bool = False):
     if gs is not None and gs.down.group_size and f % gs.down.group_size:
         return params
 
-    new_layers = []
-    for lp in params["layers"]:
+    # Replace layers IN PLACE so each layer's old expert buffers free
+    # before the next layer's concat: building a full second copy of the
+    # expert arrays peaks at 2x the model and OOMs a 10 GB model on the
+    # 16 GB chip.
+    layers = params["layers"]
+    for li in range(len(layers)):
+        lp = layers[li]
         if "moe" not in lp or "shared" not in lp["moe"]:
-            new_layers.append(lp)
             continue
         moe = dict(lp["moe"])
         w: MoEWeights = moe["experts"]
@@ -72,7 +76,6 @@ def fuse_shared_experts(params, spec, requantize: bool = False):
             and w.expert_mask is None
         )
         if not same_kind:
-            new_layers.append(lp)
             continue
 
         def col(qt, lo, hi):
@@ -135,11 +138,17 @@ def fuse_shared_experts(params, spec, requantize: bool = False):
             return QTensor(data, scales, zeros, kind=qt.kind,
                            group_size=qt.group_size)
 
+        new_gu = cat(w.gate_up, gu_parts)
+        new_dn = cat(w.down, dn_parts)
+        import jax
+
+        jax.block_until_ready(new_gu.data)
         moe["experts"] = MoEWeights(
-            gate_up=cat(w.gate_up, gu_parts),
-            down=cat(w.down, dn_parts),
-            n_shared_fused=n_sh,
+            gate_up=new_gu, down=new_dn, n_shared_fused=n_sh,
         )
         moe.pop("shared")
-        new_layers.append({**lp, "moe": moe})
-    return {**params, "layers": new_layers}
+        # drop the old buffers before the next layer's concat
+        del w, gu_sh, dn_sh, gu_parts, dn_parts, new_gu, new_dn
+        layers[li] = {**lp, "moe": moe}
+        lp = None
+    return params
