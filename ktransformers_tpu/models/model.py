@@ -357,6 +357,48 @@ def _moe_mlp(p, spec: ModelSpec, x, aux: list | None = None,
     return y.reshape(b, s, d)
 
 
+def decoder_layer(lp, spec: ModelSpec, x, layer_cache, lengths, rope_cs,
+                  kind: str = "full", use_rope: bool = True,
+                  window: int = 0, aux: list | None = None):
+    """One decoder layer (attention + MLP/MoE with residuals); returns
+    (x, new_buf_a, new_buf_b). Module-level so both the sequential
+    forward() and the pipeline-parallel executor (parallel/pp.py) run the
+    identical layer math."""
+    mla = spec.attention.kind == "mla"
+    early = spec.moe is not None and spec.moe.early_router
+    res = x
+    router_x = x if early else None  # pre-norm layer input
+    xn = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
+    if kind == "linear":
+        from ktransformers_tpu.ops.linear_attention import (
+            gated_delta_net,
+        )
+
+        attn_out, buf_a, buf_b = gated_delta_net(
+            lp["attn"], spec.linear_attn, xn, layer_cache[0],
+            layer_cache[1], spec.rms_norm_eps,
+        )
+    else:
+        attn_out, (buf_a, buf_b) = (
+            _mla_attention(
+                lp["attn"], spec, xn, layer_cache, lengths, rope_cs
+            )
+            if mla
+            else _gqa_attention(
+                lp["attn"], spec, xn, layer_cache, lengths, rope_cs,
+                use_rope, window,
+            )
+        )
+    x = res + attn_out
+    res = x
+    xn = rms_norm(x, lp["post_attn_norm"], spec.rms_norm_eps)
+    if "moe" in lp:
+        x = res + _moe_mlp(lp["moe"], spec, xn, aux=aux, router_x=router_x)
+    else:
+        x = res + _dense_mlp(lp["mlp"], spec, xn)
+    return x, buf_a, buf_b
+
+
 def forward(
     params,
     spec: ModelSpec,
@@ -383,45 +425,15 @@ def forward(
     pos = cache.lengths[:, None] + jnp.arange(s)[None, :]  # [B,S]
     rope_cs = (cos_t[pos], sin_t[pos])
 
-    mla = spec.attention.kind == "mla"
     new_a = []
     new_b = []
 
-    early = spec.moe is not None and spec.moe.early_router
-
     def layer_body(lp, x, layer_cache, lengths, rope_cs, kind="full",
                    use_rope=True, window=0):
-        res = x
-        router_x = x if early else None  # pre-norm layer input
-        xn = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
-        if kind == "linear":
-            from ktransformers_tpu.ops.linear_attention import (
-                gated_delta_net,
-            )
-
-            attn_out, buf_a, buf_b = gated_delta_net(
-                lp["attn"], spec.linear_attn, xn, layer_cache[0],
-                layer_cache[1], spec.rms_norm_eps,
-            )
-        else:
-            attn_out, (buf_a, buf_b) = (
-                _mla_attention(
-                    lp["attn"], spec, xn, layer_cache, lengths, rope_cs
-                )
-                if mla
-                else _gqa_attention(
-                    lp["attn"], spec, xn, layer_cache, lengths, rope_cs,
-                    use_rope, window,
-                )
-            )
-        x = res + attn_out
-        res = x
-        xn = rms_norm(x, lp["post_attn_norm"], spec.rms_norm_eps)
-        if "moe" in lp:
-            x = res + _moe_mlp(lp["moe"], spec, xn, router_x=router_x)
-        else:
-            x = res + _dense_mlp(lp["mlp"], spec, xn)
-        return x, buf_a, buf_b
+        return decoder_layer(
+            lp, spec, x, layer_cache, lengths, rope_cs, kind, use_rope,
+            window,
+        )
 
     for li, lp in enumerate(params["layers"]):
         kind = spec.layer_kind(li)

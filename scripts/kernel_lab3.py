@@ -55,6 +55,22 @@ def gathered_tiled(x_rows, wt, st, ids, n, bn):
         out_shape=jax.ShapeDtypeStruct((r8, n), jnp.float32),
     )(ids, xl, xh, wt, st)
 
+def bench_production(x, qt, ids, nbytes, INNER):
+    from ktransformers_tpu.ops.pallas.quant_matmul import gathered_quant_matmul
+    @jax.jit
+    def chain(x, ids):
+        def body(i, x):
+            y = gathered_quant_matmul(x, qt, ids)
+            return (y[:, :x.shape[1]] * 1e-6).astype(x.dtype) + x
+        return jax.lax.fori_loop(0, INNER, body, x)
+    y = chain(x, ids); jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    for _ in range(5): y = chain(y, ids)
+    jax.block_until_ready(y)
+    dt = (time.perf_counter()-t0)/(5*INNER)
+    print(f"production bn<=512     : {dt*1e6:8.1f} us {nbytes/dt/1e9:7.1f} GB/s", flush=True)
+
+
 def main():
     rng = np.random.default_rng(0)
     E, K, N, R = 64, 2048, 2816, 8
@@ -66,9 +82,10 @@ def main():
     x = jnp.asarray(rng.standard_normal((R, K)), jnp.bfloat16)
     wd = dequantize(qt, jnp.float32)[np.asarray(ids)]
     ref = jnp.einsum("rk,rkn->rn", x.astype(jnp.float32), wd)
+    bench_production(x, qt, ids, nbytes, INNER)
     k2 = K // 2
     ng = qt.scales.shape[1]
-    for bn in (256, 512, 1408):
+    for bn in (256, 1408, 2816):
         nb = N // bn
         # pre-tile: [E, k2, N] -> [E, nb, k2, bn]
         wt = jnp.asarray(
