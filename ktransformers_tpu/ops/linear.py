@@ -21,7 +21,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ktransformers_tpu.quant.formats import QTensor, dequantize, unpack_int4
+from ktransformers_tpu.quant.formats import (
+    QTensor,
+    dequantize,
+    raw_int4_data,
+    unpack_int4,
+)
 
 # Set by ktransformers_tpu.ops.pallas at import time when running on TPU.
 _PALLAS_QMATMUL = None
@@ -35,7 +40,7 @@ def set_pallas_qmatmul(fn) -> None:
 def _int_data(w: QTensor, dtype) -> jnp.ndarray:
     """Weight codes as `dtype` [..., K, N] (unpacks int4 nibbles)."""
     if w.kind in ("int4", "int4_g", "int4_gz"):
-        return unpack_int4(w.data, w.group_size).astype(dtype)
+        return unpack_int4(raw_int4_data(w), w.group_size).astype(dtype)
     return w.data.astype(dtype)
 
 

@@ -33,6 +33,7 @@ from ktransformers_tpu.quant.formats import (
     QTensor,
     dequantize,
     e2m1_decode,
+    raw_int4_data,
     unpack_int4,
     unpack_uint4,
 )
@@ -126,7 +127,7 @@ def grouped_matmul(
         wd = w.data.astype(x.dtype)
     elif w.kind in ("int8", "int4", "fp8"):
         if w.kind == "int4":
-            codes = unpack_int4(w.data, w.group_size)
+            codes = unpack_int4(raw_int4_data(w), w.group_size)
         else:
             codes = w.data
         y = jax.lax.ragged_dot(
@@ -150,6 +151,8 @@ def _gathered_codes(w: QTensor, ids: jnp.ndarray) -> jnp.ndarray:
     float32 codes [T, k, K, N] (int4/e2m1 unpacked)."""
     q = w.data[ids]
     if w.kind in ("int4", "int4_g", "int4_gz"):
+        if w.act_quant:
+            q = jax.lax.bitcast_convert_type(q, jnp.uint8) ^ jnp.uint8(8)
         q = unpack_int4(q, w.group_size)
     elif w.kind == "mxfp4":
         q = e2m1_decode(unpack_uint4(q, w.group_size))

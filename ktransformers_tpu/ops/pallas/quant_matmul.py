@@ -43,10 +43,16 @@ INT4_KINDS = ("int4", "int4_g", "int4_gz")
 MAX_W_BLOCK_BYTES = 4 * 1024 * 1024
 
 
-def _unpack_nibbles(b):
-    """uint8 [R, N] -> (lo, hi) sign-extended int32 in [-8, 7]."""
+def _unpack_nibbles(b, offset_lo=False):
+    """uint8 [R, N] -> (lo, hi) sign-extended int32 in [-8, 7].
+
+    offset_lo: data is in the w4a8 offset-lo encoding (quant/w4a8.py,
+    byte ^ 0x08), where the low nibble stores lo_signed + 8."""
     bi = b.astype(jnp.int32)
-    lo = ((bi & 0xF) ^ 8) - 8
+    if offset_lo:
+        lo = (bi & 0xF) - 8
+    else:
+        lo = ((bi & 0xF) ^ 8) - 8
     hi = (((bi >> 4) & 0xF) ^ 8) - 8
     return lo, hi
 
@@ -84,14 +90,15 @@ def _expand_group_rows(v, n_groups, gs2, k2, bn):
     return jnp.broadcast_to(v[:, None, :], (n_groups, gs2, bn)).reshape(k2, bn)
 
 
-def _int4_matblock(xl, xh, w_blk, s_ref, z_ref, n_groups, gs2, has_zeros, s_idx):
+def _int4_matblock(xl, xh, w_blk, s_ref, z_ref, n_groups, gs2, has_zeros, s_idx,
+                   offset_lo=False):
     """Shared math: full-K packed block [K/2, bn] x activations [M, K/2].
 
     Unpacks the whole block once and folds scales (and zero-points) into the
     dequantized weights, so the MXU sees two full-K-contraction dots instead
     of n_groups narrow ones."""
     k2, bn = w_blk.shape
-    lo, hi = _unpack_nibbles(w_blk[:])
+    lo, hi = _unpack_nibbles(w_blk[:], offset_lo)
     s = s_ref[s_idx] if s_idx else s_ref[:]
     s_exp = _expand_group_rows(s, n_groups, gs2, k2, bn)
     lo = lo.astype(jnp.float32)
@@ -123,12 +130,12 @@ def _int8_kernel(x_ref, w_ref, s_ref, o_ref):
 
 
 def _int4_kernel(xl_ref, xh_ref, w_ref, s_ref, *rest, n_groups, gs2,
-                 has_zeros):
+                 has_zeros, offset_lo=False):
     z_ref = rest[0] if has_zeros else None
     o_ref = rest[-1]
     o_ref[:] = _int4_matblock(
         xl_ref[:], xh_ref[:], w_ref, s_ref, z_ref, n_groups, gs2, has_zeros,
-        s_idx=(),
+        s_idx=(), offset_lo=offset_lo,
     )
 
 
@@ -142,6 +149,12 @@ def quant_matmul(x: jnp.ndarray, w: QTensor, interpret: bool = False):
     x2 = x.reshape(m, kdim)
     n = w.out_features
     out_dtype = x.dtype
+
+    if w.kind in INT4_KINDS and w.act_quant and m <= 16:
+        from ktransformers_tpu.ops.pallas.w4a8_matmul import dense_w4a8_matmul
+
+        y = dense_w4a8_matmul(x2, w, interpret=interpret)
+        return y.reshape(*lead, n)
 
     if w.kind in ("int8", "fp8"):
         bn = _pick_bn(n, kdim)
@@ -188,6 +201,7 @@ def quant_matmul(x: jnp.ndarray, w: QTensor, interpret: bool = False):
                 n_groups=n_groups,
                 gs2=gs2,
                 has_zeros=has_zeros,
+                offset_lo=w.act_quant,
             ),
             grid=grid,
             in_specs=in_specs,
@@ -206,7 +220,8 @@ def quant_matmul(x: jnp.ndarray, w: QTensor, interpret: bool = False):
 
 
 def _gather_int4_kernel(
-    ids_ref, xl_ref, xh_ref, w_ref, s_ref, *rest, n_groups, gs2, has_zeros
+    ids_ref, xl_ref, xh_ref, w_ref, s_ref, *rest, n_groups, gs2, has_zeros,
+    offset_lo=False
 ):
     z_ref = rest[0] if has_zeros else None
     o_ref = rest[-1]
@@ -222,7 +237,7 @@ def _gather_int4_kernel(
 
     acc = _int4_matblock(
         xl_ref[:], xh_ref[:], w_ref[0], s_ref, z_ref, n_groups, gs2,
-        has_zeros, s_idx=(0,),
+        has_zeros, s_idx=(0,), offset_lo=offset_lo,
     )
     row_ids = jax.lax.broadcasted_iota(jnp.int32, o_ref.shape, 0)
     o_ref[:] += jnp.where(row_ids == r, acc, 0.0)
@@ -257,6 +272,13 @@ def gathered_quant_matmul(
     Only the routed experts' weight tiles are fetched from HBM (block index
     map reads the prefetched ids), so per-token traffic is
     k_active * bytes(expert), like the reference's forward_decode."""
+    if w.kind in INT4_KINDS and w.act_quant:
+        from ktransformers_tpu.ops.pallas.w4a8_matmul import (
+            gathered_w4a8_matmul,
+        )
+
+        return gathered_w4a8_matmul(x_rows, w, ids, interpret=interpret)
+
     r, kdim = x_rows.shape
     e = w.data.shape[0]
     n = w.out_features
@@ -319,6 +341,7 @@ def gathered_quant_matmul(
                 n_groups=n_groups,
                 gs2=gs2,
                 has_zeros=has_zeros,
+                offset_lo=w.act_quant,
             ),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((r8, n), jnp.float32),
@@ -338,13 +361,14 @@ GROUP_BM = 64
 
 
 def _grouped_int4_kernel(
-    tg_ref, xl_ref, xh_ref, w_ref, s_ref, *rest, n_groups, gs2, has_zeros
+    tg_ref, xl_ref, xh_ref, w_ref, s_ref, *rest, n_groups, gs2, has_zeros,
+    offset_lo=False
 ):
     z_ref = rest[0] if has_zeros else None
     o_ref = rest[-1]
     o_ref[:] = _int4_matblock(
         xl_ref[:], xh_ref[:], w_ref[0], s_ref, z_ref, n_groups, gs2,
-        has_zeros, s_idx=(0,),
+        has_zeros, s_idx=(0,), offset_lo=offset_lo,
     )
 
 
@@ -467,6 +491,7 @@ def grouped_quant_matmul(
                 n_groups=n_groups,
                 gs2=gs2,
                 has_zeros=has_zeros,
+                offset_lo=w.act_quant,
             ),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((mpad, n), jnp.float32),

@@ -1,0 +1,211 @@
+"""W4A8 Pallas kernels: int4 weights x int8 activations on the int8 MXU.
+
+The decode-batch companion of ops/pallas/quant_matmul.py. Those kernels
+dequantize weights to bf16 on the VPU (~14 ops/byte -> ~340 GB/s on v5e);
+these feed the *raw packed bytes* to int8 MXU dots via the offset-lo dot
+identity (quant/w4a8.py module docstring), cutting VPU work to ~1 op/byte
+and reaching ~630 GB/s at M=8 (scripts/kernel_lab6e.py V4).
+
+TPU re-derivation of the reference's AMX-INT8 activation-quantized MoE
+(kt-kernel/operators/amx/moe.hpp: per-block int8 activation quant feeding
+AMX int8 tiles); here the per-(row, scale-group) activation scales ride
+outside two int8 dots per group.
+
+Weights must be offset-lo repacked (QTensor.act_quant=True). Activations
+are quantized per (row, weight scale group) by quant/w4a8.w4a8_prep.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ktransformers_tpu.quant.formats import QTensor
+from ktransformers_tpu.quant.w4a8 import w4a8_prep
+
+# one weight block (k2 x bn int8 bytes); sized so double buffering stays
+# well under the ~16 MB VMEM budget alongside the activation planes
+_W4A8_BLOCK_BYTES = 4 * 1024 * 1024
+
+
+def _pick_bn(n: int, k2: int) -> int:
+    bn = _W4A8_BLOCK_BYTES // max(k2, 1)
+    bn = max(256, (bn // 256) * 256)
+    return min(n, bn)
+
+
+def _w4a8_group_acc(qa, qb, sa, sb, t, braw, s_blk, z_blk, xsum,
+                    n_groups, gs2):
+    """Core math shared by the dense and gathered kernels.
+
+    qa/qb: int8 [M, K/2]; sa/sb/t/xsum: f32 [M, ng]; braw: int8 [K/2, bn]
+    offset-lo packed bytes; s_blk: f32 [ng, bn]; z_blk: f32 [ng, bn] | None.
+    Returns f32 [M, bn].
+    """
+    u = (braw.astype(jnp.int32) & 0xF).astype(jnp.int8)
+    m = qa.shape[0]
+    bn = braw.shape[-1]
+    acc = jnp.zeros((m, bn), jnp.float32)
+    for g in range(n_groups):
+        wl = slice(g * gs2, (g + 1) * gs2)
+        pa = jnp.dot(qa[:, wl], u[wl], preferred_element_type=jnp.int32)
+        pb = jnp.dot(qb[:, wl], braw[wl], preferred_element_type=jnp.int32)
+        val = (
+            pa.astype(jnp.float32) * sa[:, g][:, None]
+            + pb.astype(jnp.float32) * sb[:, g][:, None]
+            - t[:, g][:, None]
+        )
+        if z_blk is not None:
+            val = val - xsum[:, g][:, None] * z_blk[g][None, :]
+        acc += val * s_blk[g][None, :]
+    return acc
+
+
+def _gather_w4a8_kernel(ids_ref, qa_ref, qb_ref, sa_ref, sb_ref, t_ref,
+                        xs_ref, w_ref, s_ref, *rest, n_groups, gs2,
+                        has_zeros):
+    z_ref = rest[0] if has_zeros else None
+    o_ref = rest[-1]
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    acc = _w4a8_group_acc(
+        qa_ref[:], qb_ref[:], sa_ref[:], sb_ref[:], t_ref[:], w_ref[0],
+        s_ref[0], z_ref[0] if has_zeros else None, xs_ref[:], n_groups, gs2,
+    )
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, o_ref.shape, 0)
+    o_ref[:] += jnp.where(row_ids == r, acc, 0.0)
+
+
+def _dense_w4a8_kernel(qa_ref, qb_ref, sa_ref, sb_ref, t_ref, xs_ref,
+                       w_ref, s_ref, *rest, n_groups, gs2, has_zeros):
+    z_ref = rest[0] if has_zeros else None
+    o_ref = rest[-1]
+    o_ref[:] = _w4a8_group_acc(
+        qa_ref[:], qb_ref[:], sa_ref[:], sb_ref[:], t_ref[:], w_ref[:],
+        s_ref[:], z_ref[:] if has_zeros else None, xs_ref[:], n_groups, gs2,
+    )
+
+
+def _as_i8(data: jnp.ndarray) -> jnp.ndarray:
+    # repack_offset_lo stores int8 directly; a per-step bitcast here would
+    # materialize a full copy of the weight array inside the jitted step
+    if data.dtype == jnp.int8:
+        return data
+    return jax.lax.bitcast_convert_type(data, jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gathered_w4a8_matmul(
+    x_rows: jnp.ndarray,  # [R, K] float, one activation row per (token, slot)
+    w: QTensor,  # act_quant int4 kind, [E, K/2, N]
+    ids: jnp.ndarray,  # [R] int32 expert per row
+    interpret: bool = False,
+):
+    """Decode-MoE matmul on the int8 MXU. Returns [R, N] x.dtype."""
+    r, kdim = x_rows.shape
+    e = w.data.shape[0]
+    n = w.out_features
+    out_dtype = x_rows.dtype
+    gs = w.group_size or kdim
+    gs2 = gs // 2
+    k2 = kdim // 2
+    ng = kdim // gs
+    bn = _pick_bn(n, k2)
+
+    r8 = max(8, ((r + 7) // 8) * 8)
+    if r8 != r:
+        x_rows = jnp.pad(x_rows, ((0, r8 - r), (0, 0)))
+    qa, qb, sa, sb, t, xsum = w4a8_prep(x_rows, kdim, w.group_size)
+
+    scales = w.scales.reshape(e, ng, n)
+    has_zeros = w.zeros is not None
+    ins = [ids, qa, qb, sa, sb, t, xsum, _as_i8(w.data), scales]
+    in_specs = [
+        pl.BlockSpec((r8, k2), lambda j, i, ids: (0, 0)),
+        pl.BlockSpec((r8, k2), lambda j, i, ids: (0, 0)),
+        pl.BlockSpec((r8, ng), lambda j, i, ids: (0, 0)),
+        pl.BlockSpec((r8, ng), lambda j, i, ids: (0, 0)),
+        pl.BlockSpec((r8, ng), lambda j, i, ids: (0, 0)),
+        pl.BlockSpec((r8, ng), lambda j, i, ids: (0, 0)),
+        pl.BlockSpec((1, k2, bn), lambda j, i, ids: (ids[i], 0, j)),
+        pl.BlockSpec((1, ng, bn), lambda j, i, ids: (ids[i], 0, j)),
+    ]
+    if has_zeros:
+        ins.append(w.zeros.reshape(e, ng, n))
+        in_specs.append(
+            pl.BlockSpec((1, ng, bn), lambda j, i, ids: (ids[i], 0, j))
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pl.cdiv(n, bn), r),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((r8, bn), lambda j, i, ids: (0, j)),
+    )
+    y = pl.pallas_call(
+        functools.partial(
+            _gather_w4a8_kernel, n_groups=ng, gs2=gs2, has_zeros=has_zeros
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r8, n), jnp.float32),
+        interpret=interpret,
+    )(*ins)
+    return y[:r].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dense_w4a8_matmul(
+    x2: jnp.ndarray,  # [M, K] float (intended for small decode M)
+    w: QTensor,  # act_quant int4 kind, [K/2, N]
+    interpret: bool = False,
+):
+    """Dense linear on the int8 MXU (shared experts / dense int4 layers at
+    decode batch sizes). Returns [M, N] x.dtype."""
+    m, kdim = x2.shape
+    n = w.out_features
+    out_dtype = x2.dtype
+    gs = w.group_size or kdim
+    gs2 = gs // 2
+    k2 = kdim // 2
+    ng = kdim // gs
+    bn = _pick_bn(n, k2)
+
+    m8 = max(8, ((m + 7) // 8) * 8)
+    if m8 != m:
+        x2 = jnp.pad(x2, ((0, m8 - m), (0, 0)))
+    qa, qb, sa, sb, t, xsum = w4a8_prep(x2, kdim, w.group_size)
+
+    scales = w.scales.reshape(ng, n)
+    has_zeros = w.zeros is not None
+    ins = [qa, qb, sa, sb, t, xsum, _as_i8(w.data), scales]
+    in_specs = [
+        pl.BlockSpec((m8, k2), lambda j: (0, 0)),
+        pl.BlockSpec((m8, k2), lambda j: (0, 0)),
+        pl.BlockSpec((m8, ng), lambda j: (0, 0)),
+        pl.BlockSpec((m8, ng), lambda j: (0, 0)),
+        pl.BlockSpec((m8, ng), lambda j: (0, 0)),
+        pl.BlockSpec((m8, ng), lambda j: (0, 0)),
+        pl.BlockSpec((k2, bn), lambda j: (0, j)),
+        pl.BlockSpec((ng, bn), lambda j: (0, j)),
+    ]
+    if has_zeros:
+        ins.append(w.zeros.reshape(ng, n))
+        in_specs.append(pl.BlockSpec((ng, bn), lambda j: (0, j)))
+    y = pl.pallas_call(
+        functools.partial(
+            _dense_w4a8_kernel, n_groups=ng, gs2=gs2, has_zeros=has_zeros
+        ),
+        grid=(pl.cdiv(n, bn),),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((m8, bn), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((m8, n), jnp.float32),
+        interpret=interpret,
+    )(*ins)
+    return y[:m].astype(out_dtype)

@@ -153,6 +153,12 @@ class QTensor:
     zeros: jnp.ndarray | None
     kind: str = dataclasses.field(metadata=dict(static=True), default="bf16")
     group_size: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # int4 kinds only: data is stored with the low nibble OFFSET by +8
+    # (lo_stored = lo_signed + 8, i.e. original packed byte ^ 0x08) so the
+    # w4a8 Pallas kernels can bitcast a packed byte straight to
+    # int8 = 16*hi_signed + lo_offset and recover both nibbles with one
+    # VPU op + a dot identity (quant/w4a8.py). Set by w4a8.repack_offset_lo.
+    act_quant: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @property
     def shape(self):
@@ -306,6 +312,14 @@ def quantize(
     raise ValueError(f"unknown quant kind: {kind}")
 
 
+def raw_int4_data(qt: QTensor) -> jnp.ndarray:
+    """Packed int4 data in the canonical uint8 nibble encoding (undoes the
+    w4a8 offset-lo int8 repack when qt.act_quant is set)."""
+    if qt.act_quant:
+        return jax.lax.bitcast_convert_type(qt.data, jnp.uint8) ^ jnp.uint8(8)
+    return qt.data
+
+
 def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Reconstruct a dense float tensor [..., K, N]."""
     if qt.kind == "bf16" or qt.scales is None:
@@ -313,11 +327,11 @@ def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     if qt.kind in ("int8", "fp8"):
         return (qt.data.astype(jnp.float32) * qt.scales).astype(dtype)
     if qt.kind == "int4":
-        q = unpack_int4(qt.data, qt.group_size).astype(jnp.float32)
+        q = unpack_int4(raw_int4_data(qt), qt.group_size).astype(jnp.float32)
         return (q * qt.scales).astype(dtype)
     if qt.kind in ("int4_g", "int4_gz", "int8_g", "int8_gz"):
         if qt.kind.startswith("int4"):
-            q = unpack_int4(qt.data, qt.group_size).astype(jnp.float32)
+            q = unpack_int4(raw_int4_data(qt), qt.group_size).astype(jnp.float32)
         else:
             q = qt.data.astype(jnp.float32)
         g = _group_reshape(q, qt.group_size)

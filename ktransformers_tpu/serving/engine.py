@@ -53,8 +53,9 @@ class ServeEngine:
         # attention (long-context; ops/sparse_attention.py)
     ):
         from ktransformers_tpu.ops import pallas as pallas_ops
+        from ktransformers_tpu.quant.w4a8 import maybe_enable_w4a8
 
-        pallas_ops.maybe_enable()
+        params = maybe_enable_w4a8(params, pallas_ops.maybe_enable())
         self.params = params
         self.spec = spec
         self.cfg = cfg

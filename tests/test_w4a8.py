@@ -1,0 +1,170 @@
+"""W4A8 path: offset-lo repack + int8-MXU kernels (quant/w4a8.py,
+ops/pallas/w4a8_matmul.py).
+
+Interpret-mode kernel accuracy vs float references (the TPU analog of the
+reference's AMX int8 activation-quant accuracy tests,
+kt-kernel/test/per_commit/test_moe_amx_accuracy_int8.py), plus the
+invariant that the repack is exactly lossless through every XLA fallback
+path (transformed params must give bit-identical results off-TPU).
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ktransformers_tpu.ops.moe import (
+    MoEConfig,
+    MoEWeights,
+    gathered_matmul,
+    moe_forward,
+)
+from ktransformers_tpu.ops.linear import qmatmul
+from ktransformers_tpu.ops.pallas.quant_matmul import (
+    gathered_quant_matmul,
+    grouped_quant_matmul,
+    quant_matmul,
+)
+from ktransformers_tpu.ops.pallas.w4a8_matmul import (
+    dense_w4a8_matmul,
+    gathered_w4a8_matmul,
+)
+from ktransformers_tpu.quant.formats import dequantize, quantize
+from ktransformers_tpu.quant.w4a8 import enable_w4a8, repack_offset_lo
+
+KINDS = ["int4", "int4_g", "int4_gz"]
+
+
+@pytest.mark.parametrize("kind", KINDS)
+def test_repack_lossless(rng, kind):
+    w = jnp.asarray(rng.standard_normal((256, 128)).astype(np.float32) * 0.1)
+    qt = quantize(w, kind, group_size=64)
+    qt2 = repack_offset_lo(qt)
+    assert qt2.act_quant and qt2.kind == kind
+    np.testing.assert_array_equal(
+        np.asarray(dequantize(qt, jnp.float32)),
+        np.asarray(dequantize(qt2, jnp.float32)),
+    )
+    # idempotent
+    assert repack_offset_lo(qt2) is qt2
+
+
+@pytest.mark.parametrize("kind", KINDS)
+@pytest.mark.parametrize("m", [1, 8])
+def test_dense_w4a8_kernel(rng, kind, m):
+    k, n = 256, 384
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.1)
+    qt = repack_offset_lo(quantize(w, kind, group_size=128))
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    ref = np.asarray(
+        x.astype(jnp.float32) @ dequantize(qt, jnp.float32), np.float32
+    )
+    out = np.asarray(dense_w4a8_matmul(x, qt, interpret=True), np.float32)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out / scale, ref / scale, atol=3e-2)
+
+
+@pytest.mark.parametrize("kind", KINDS)
+def test_gathered_w4a8_kernel(rng, kind):
+    e, k, n, r = 8, 256, 384, 6
+    w = jnp.asarray(rng.standard_normal((e, k, n)).astype(np.float32) * 0.1)
+    qt = repack_offset_lo(quantize(w, kind, group_size=128))
+    x = jnp.asarray(rng.standard_normal((r, k)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    ids = jnp.asarray([3, 0, 5, 3, 7, 1], jnp.int32)
+    wd = np.asarray(dequantize(qt, jnp.float32))
+    ref = np.stack(
+        [np.asarray(x[i].astype(jnp.float32)) @ wd[int(ids[i])] for i in range(r)]
+    )
+    out = np.asarray(gathered_w4a8_matmul(x, qt, ids, interpret=True), np.float32)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out / scale, ref / scale, atol=3e-2)
+
+
+def test_quant_matmul_dispatches_w4a8(rng):
+    """quant_matmul / gathered_quant_matmul route act_quant weights to the
+    w4a8 kernels (small M) and stay correct through the bf16 body at
+    large M (offset-aware unpack)."""
+    k, n = 256, 384
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.1)
+    qt = repack_offset_lo(quantize(w, "int4_g", group_size=128))
+    for m in (4, 64):  # w4a8 body / bf16 offset-aware body
+        x = jnp.asarray(
+            rng.standard_normal((m, k)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        ref = np.asarray(
+            x.astype(jnp.float32) @ dequantize(qt, jnp.float32), np.float32
+        )
+        out = np.asarray(quant_matmul(x, qt, interpret=True), np.float32)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(out / scale, ref / scale, atol=3e-2)
+
+
+def test_grouped_kernel_offset_aware(rng):
+    e, k, n = 4, 256, 128
+    w = jnp.asarray(rng.standard_normal((e, k, n)).astype(np.float32) * 0.1)
+    qt = quantize(w, "int4_g", group_size=128)
+    qt2 = repack_offset_lo(qt)
+    m = 32
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    sizes = jnp.asarray([10, 0, 14, 8], jnp.int32)
+    a = np.asarray(grouped_quant_matmul(x, qt, sizes, interpret=True), np.float32)
+    b = np.asarray(grouped_quant_matmul(x, qt2, sizes, interpret=True), np.float32)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_xla_fallbacks_exact_after_repack(rng):
+    """Off-TPU (no Pallas), transformed params must be bit-identical to the
+    originals through qmatmul and the MoE gather path."""
+    e, k, n, t = 8, 128, 96, 3
+    w = jnp.asarray(rng.standard_normal((e, k, n)).astype(np.float32) * 0.1)
+    for kind in KINDS:
+        qt = quantize(w, kind, group_size=64)
+        qt2 = repack_offset_lo(qt)
+        x = jnp.asarray(
+            rng.standard_normal((t, k)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        ids = jnp.asarray([[1, 3], [0, 7], [5, 5]], jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(gathered_matmul(x, qt, ids)),
+            np.asarray(gathered_matmul(x, qt2, ids)),
+        )
+        def first_expert(q):
+            return dataclasses.replace(
+                q, data=q.data[0], scales=q.scales[0],
+                zeros=None if q.zeros is None else q.zeros[0],
+            )
+
+        np.testing.assert_array_equal(
+            np.asarray(qmatmul(x, first_expert(qt), impl="ref")),
+            np.asarray(qmatmul(x, first_expert(qt2), impl="ref")),
+        )
+
+
+def test_moe_forward_exact_after_enable(rng):
+    """moe_forward (gather and grouped decode paths) is unchanged by
+    enable_w4a8 when the Pallas kernels are not active (CPU)."""
+    e, k, inter, t = 8, 128, 64, 4
+    gu = jnp.asarray(rng.standard_normal((e, k, 2 * inter)) * 0.1, jnp.float32)
+    dn = jnp.asarray(rng.standard_normal((e, inter, k)) * 0.1, jnp.float32)
+    weights = MoEWeights(
+        gate_up=quantize(gu, "int4_g", group_size=64),
+        down=quantize(dn, "int4_g", group_size=32),
+    )
+    weights2 = enable_w4a8(weights)
+    assert weights2.gate_up.act_quant and weights2.down.act_quant
+    x = jnp.asarray(rng.standard_normal((t, k)), jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, e, (t, 2)), jnp.int32)
+    tw = jnp.full((t, 2), 0.5, jnp.float32)
+    for impl in ("gather", "ragged"):
+        cfg = MoEConfig(impl=impl)
+        np.testing.assert_array_equal(
+            np.asarray(moe_forward(x, weights, idx, tw, cfg)),
+            np.asarray(moe_forward(x, weights2, idx, tw, cfg)),
+        )
