@@ -47,9 +47,9 @@ class Generator:
         compute_dtype=jnp.bfloat16,
     ):
         from ktransformers_tpu.ops import pallas as pallas_ops
-        from ktransformers_tpu.quant.w4a8 import maybe_enable_w4a8
+        from ktransformers_tpu.utils.device_prep import prepare_params
 
-        params = maybe_enable_w4a8(params, pallas_ops.maybe_enable())
+        params = prepare_params(params, pallas_ops.maybe_enable())
         self.params = params
         self.spec = spec
         self.max_len = max_len
@@ -81,7 +81,8 @@ class Generator:
                     compute_dtype=compute_dtype,
                 )
 
-            self._steps[q_len] = partial(step, self.params)
+            # late-bind self.params: the first decode step may relayout it
+            self._steps[q_len] = lambda *a, _s=step: _s(self.params, *a)
         return self._steps[q_len]
 
     def _decode_step(self, sampling: SamplingConfig):
@@ -108,7 +109,7 @@ class Generator:
                 nxt = sample(logits[:, -1], sub, sampling)
                 return nxt, cache, key
 
-            self._steps[key_] = partial(step, self.params)
+            self._steps[key_] = lambda *a, _s=step: _s(self.params, *a)
         return self._steps[key_]
 
     def _decode_step_penalized(self, sampling: SamplingConfig):
@@ -140,7 +141,7 @@ class Generator:
                 counts = counts.at[jnp.arange(b), nxt].add(1)
                 return nxt, cache, key, counts
 
-            self._steps[key_] = partial(step, self.params)
+            self._steps[key_] = lambda *a, _s=step: _s(self.params, *a)
         return self._steps[key_]
 
     _prefill_chunk = 256

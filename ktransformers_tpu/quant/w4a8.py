@@ -68,24 +68,25 @@ def enable_w4a8(params, donate: bool = False):
     """Repack every int4-kind QTensor in a params pytree for the w4a8
     kernels. Idempotent; one extra pass over the packed bytes at init."""
 
+    pending = [0]
+
     def visit(leaf):
-        if isinstance(leaf, QTensor):
-            return repack_offset_lo(leaf, donate=donate)
-        return leaf
+        if not isinstance(leaf, QTensor):
+            return leaf
+        out = repack_offset_lo(leaf, donate=donate)
+        if donate and out is not leaf:
+            # async dispatch allocates flip outputs ahead of donated frees
+            # retiring; barrier periodically so HBM never transiently
+            # doubles on big models
+            pending[0] += out.data.size
+            if pending[0] > 512 * 1024 * 1024:
+                jax.block_until_ready(out.data)
+                pending[0] = 0
+        return out
 
     return jax.tree.map(
         visit, params, is_leaf=lambda x: isinstance(x, QTensor)
     )
-
-
-def maybe_enable_w4a8(params, pallas_active: bool):
-    """Engine-init hook: repack int4 weights for the w4a8 kernels when the
-    Pallas kernels are active (real TPU) unless KT_W4A8=0."""
-    import os
-
-    if pallas_active and os.environ.get("KT_W4A8", "1") != "0":
-        return enable_w4a8(params, donate=True)
-    return params
 
 
 def w4a8_prep(x2: jnp.ndarray, kdim: int, group_size: int):

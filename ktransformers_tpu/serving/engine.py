@@ -53,9 +53,9 @@ class ServeEngine:
         # attention (long-context; ops/sparse_attention.py)
     ):
         from ktransformers_tpu.ops import pallas as pallas_ops
-        from ktransformers_tpu.quant.w4a8 import maybe_enable_w4a8
+        from ktransformers_tpu.utils.device_prep import prepare_params
 
-        params = maybe_enable_w4a8(params, pallas_ops.maybe_enable())
+        params = prepare_params(params, pallas_ops.maybe_enable())
         self.params = params
         self.spec = spec
         self.cfg = cfg
