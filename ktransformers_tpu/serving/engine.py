@@ -91,6 +91,22 @@ class ServeEngine:
         self._counts = None  # [max_batch, V] int32 generated-token counts
         self._pmask = None  # [max_batch, V] bool prompt occurrence
         self._key = jax.random.PRNGKey(0)
+        # decode pipeline: device-resident batch state + in-flight steps
+        # whose tokens have not been read back yet (see step())
+        self._dstate = None
+        self._decode_sig = None
+        self._inflight = []
+        # max unresolved decode steps in flight before a blocking resolve
+        # of the oldest (see step()). Measured at batch 8 (16B int4, one
+        # v5e behind the tunnel, device step 16.4 ms): no pipeline
+        # 51 ms/step, depth 2 -> 31 ms, depth 3 -> 26 ms (300 out-tok/s);
+        # deeper queues trip tunnel backpressure and slow dispatch itself.
+        # Cost of depth: tokens reach the scheduler `depth` steps late
+        # (a finished query decodes a few extra tokens into its lookahead
+        # page, then they're dropped).
+        self.decode_pipeline_depth = int(
+            os.environ.get("KT_DECODE_PIPELINE", "3")
+        )
         from ktransformers_tpu.utils.observability import StageTimer
 
         # per-stage host profile of the serving loop (enable with
@@ -181,6 +197,12 @@ class ServeEngine:
         if name not in self._steps:
             spec, rope, cdt = self.spec, self.rope_tables, self.compute_dtype
 
+            # Steps are CHAINABLE: they consume tokens [B] + lengths [B]
+            # and return the next tokens and lengths+active, so the engine
+            # can dispatch step N+1 from step N's device outputs without a
+            # host round-trip (plan/execute overlap — the reference's
+            # balance_serve.py:323-381 async loop; over the axon tunnel a
+            # blocking readback costs ~10x the device step).
             if penalized:
 
                 @partial(jax.jit, donate_argnums=(2, 12))
@@ -188,8 +210,8 @@ class ServeEngine:
                          temps, top_ks, top_ps, reps, press, freqs,
                          counts, pmask, active):
                     out = forward_paged(
-                        params, spec, tokens, kv, page_tables, lengths,
-                        rope_tables=rope, compute_dtype=cdt,
+                        params, spec, tokens[:, None], kv, page_tables,
+                        lengths, rope_tables=rope, compute_dtype=cdt,
                         logits_last_only=True,
                         collect_routing=self.collect_routing,
                         sparse_budget=self.sparse_budget,
@@ -207,16 +229,17 @@ class ServeEngine:
                     counts = counts.at[jnp.arange(bsz), toks].add(
                         active.astype(jnp.int32)
                     )
-                    return toks, kv, key, counts, routing
+                    lengths = lengths + active.astype(jnp.int32)
+                    return toks, kv, key, lengths, counts, routing
 
             else:
 
                 @partial(jax.jit, donate_argnums=(2,))
                 def step(params, tokens, kv, page_tables, lengths, key,
-                         temps, top_ks, top_ps):
+                         temps, top_ks, top_ps, active):
                     out = forward_paged(
-                        params, spec, tokens, kv, page_tables, lengths,
-                        rope_tables=rope, compute_dtype=cdt,
+                        params, spec, tokens[:, None], kv, page_tables,
+                        lengths, rope_tables=rope, compute_dtype=cdt,
                         logits_last_only=True,
                         collect_routing=self.collect_routing,
                         sparse_budget=self.sparse_budget,
@@ -228,9 +251,10 @@ class ServeEngine:
                         logits[:, -1], sub, temps,
                         top_ks=top_ks, top_ps=top_ps,
                     )
-                    return toks, kv, key, routing
+                    lengths = lengths + active.astype(jnp.int32)
+                    return toks, kv, key, lengths, routing
 
-            self._steps[name] = partial(step, self.params)
+            self._steps[name] = lambda *a, _s=step: _s(self.params, *a)
         return self._steps[name]
 
     # -- execution ----------------------------------------------------------
@@ -310,10 +334,14 @@ class ServeEngine:
         raising (reference: kvc2 eviction; FCFS order is preserved — the
         oldest query always survives)."""
         qs = list(qs)
+        # lookahead: with k steps in flight the device length runs k ahead
+        # of host total_len, so the next step writes KV at up to
+        # total_len + k; keep the +1 margin on top
+        ahead = 1 + len(self._inflight) + 1
         while qs:
             failed = None
             for q in qs:
-                if not self.scheduler._ensure_pages(q, q.total_len + 1):
+                if not self.scheduler._ensure_pages(q, q.total_len + ahead):
                     failed = q
                     break
             if failed is None:
@@ -323,70 +351,119 @@ class ServeEngine:
             qs.remove(victim)
         return qs
 
-    def _run_decode(self, qs: list[Query]) -> None:
+    def _decode_signature(self, qs: list[Query], penalized: bool):
+        """Device decode state stays valid while the batch composition,
+        sampling configs, and page tables are unchanged."""
+        return (
+            penalized,
+            tuple((q.id, q.slot, len(q.pages), q.sampling) for q in qs),
+        )
+
+    def _build_decode_state(self, qs: list[Query], penalized: bool) -> dict:
+        """Host -> device upload of the full decode-batch state. Packs the
+        per-row f32 sampling params into ONE transfer — over the axon
+        tunnel each jnp.asarray is a round-trip, and ~10 of them per step
+        was most of the old 200 ms step wall."""
         b = self.cfg.max_batch_size  # fixed shape (CUDA-graph bucket analog)
-        tokens = np.zeros((b, 1), np.int32)
+        tokens = np.zeros((b,), np.int32)
         tables = np.zeros((b, self.cfg.max_pages_per_query), np.int32)
         lengths = np.zeros((b,), np.int32)
-        temps = np.zeros((b,), np.float32)
+        fpack = np.zeros((6, b), np.float32)  # temps/top_p/rep/pres/freq/act
+        fpack[1] = 1.0
+        fpack[2] = 1.0
         top_ks = np.zeros((b,), np.int32)
-        top_ps = np.ones((b,), np.float32)
-        reps = np.ones((b,), np.float32)
-        press = np.zeros((b,), np.float32)
-        freqs = np.zeros((b,), np.float32)
-        active = np.zeros((b,), np.float32)
         for q in qs:
             # rows indexed by the query's stable slot: the token being
             # decoded is the last generated one; its KV gets written at
             # position total_len - 1
             i = q.slot
-            tokens[i, 0] = q.last_token
+            tokens[i] = q.last_token
             tables[i] = self._pad_table(q.pages)
             lengths[i] = q.total_len - 1
             sc = q.sampling
-            temps[i] = sc.temperature
+            fpack[0, i] = sc.temperature
             top_ks[i] = sc.top_k
-            top_ps[i] = sc.top_p
-            reps[i] = sc.repetition_penalty
-            press[i] = sc.presence_penalty
-            freqs[i] = sc.frequency_penalty
-            active[i] = 1.0
+            fpack[1, i] = sc.top_p
+            fpack[2, i] = sc.repetition_penalty
+            fpack[3, i] = sc.presence_penalty
+            fpack[4, i] = sc.frequency_penalty
+            fpack[5, i] = 1.0
+        ints = np.concatenate(
+            [tokens[None], lengths[None], top_ks[None], tables.T]
+        )  # [3 + P, b] int32 — one transfer
+        ints_d = jnp.asarray(ints)
+        f_d = jnp.asarray(fpack)
+        return dict(
+            tokens=ints_d[0],
+            lengths=ints_d[1],
+            top_ks=ints_d[2],
+            tables=ints_d[3:].T,
+            temps=f_d[0],
+            top_ps=f_d[1],
+            reps=f_d[2],
+            press=f_d[3],
+            freqs=f_d[4],
+            active=f_d[5],
+        )
 
+    def _dispatch_decode(self, qs: list[Query]):
+        """Dispatch one decode step from device-resident state and enqueue
+        its outputs for a later (overlapped) readback."""
         penalized = any(q.sampling.needs_counts for q in qs)
-        step = self._decode_step(b, penalized)
-        args = [
-            jnp.asarray(tokens),
-            self.kv,
-            jnp.asarray(tables),
-            jnp.asarray(lengths),
-            self._key,
-            jnp.asarray(temps),
-            jnp.asarray(top_ks),
-            jnp.asarray(top_ps),
-        ]
+        sig = self._decode_signature(qs, penalized)
+        if sig != self._decode_sig:
+            self._drain_decode()
+            self._dstate = self._build_decode_state(qs, penalized)
+            self._decode_sig = sig
+        st = self._dstate
+        step = self._decode_step(self.cfg.max_batch_size, penalized)
         if penalized:
-            toks, self.kv, self._key, self._counts, routing = step(
-                *args,
-                jnp.asarray(reps),
-                jnp.asarray(press),
-                jnp.asarray(freqs),
-                self._counts,
-                self._pmask,
-                jnp.asarray(active),
+            (toks, self.kv, self._key, st["lengths"], self._counts,
+             routing) = step(
+                st["tokens"], self.kv, st["tables"], st["lengths"],
+                self._key, st["temps"], st["top_ks"], st["top_ps"],
+                st["reps"], st["press"], st["freqs"],
+                self._counts, self._pmask, st["active"],
             )
         else:
-            toks, self.kv, self._key, routing = step(*args)
-        return toks, routing
+            toks, self.kv, self._key, st["lengths"], routing = step(
+                st["tokens"], self.kv, st["tables"], st["lengths"],
+                self._key, st["temps"], st["top_ks"], st["top_ps"],
+                st["active"],
+            )
+        st["tokens"] = toks
+        try:
+            toks.copy_to_host_async()
+        except Exception:  # pragma: no cover - backend-dependent
+            pass
+        # snapshot slots: a query preempted/finished while in flight has
+        # its slot freed (possibly reused only after the drain that any
+        # composition change forces)
+        self._inflight.append(([(q, q.slot) for q in qs], toks, routing))
 
-    def _resolve_decode(self, qs: list[Query], toks, routing=None) -> None:
+    def _drain_decode(self) -> None:
+        while self._inflight:
+            self._resolve_decode(*self._inflight.pop(0))
+
+    def _resolve_decode(self, qs_slots, toks, routing=None) -> None:
         toks_np = np.asarray(toks)
+        if self.check_numerics:
+            from ktransformers_tpu.utils.observability import check_numerics
+
+            check_numerics(toks_np, "decode tokens")
         if self.stats is not None and routing is not None:
             r = np.asarray(routing)  # [n_moe, B, k] logical expert ids
-            slots = [q.slot for q in qs]  # active rows only
+            slots = [s for _, s in qs_slots]  # active rows at dispatch time
             for l in range(r.shape[0]):
                 self.stats.record(l, r[l, slots])
-        for q in qs:
-            self.scheduler.push_token(q, int(toks_np[q.slot]))
+        from ktransformers_tpu.serving.scheduler import DECODE
+
+        for q, slot in qs_slots:
+            # skip queries that finished or were preempted while this step
+            # was in flight
+            if q.state != DECODE or q.slot != slot:
+                continue
+            self.scheduler.push_token(q, int(toks_np[slot]))
 
     def apply_expert_rebalance(self, ep_size: int = 1) -> None:
         """Routing-statistics-driven expert re-placement (stop-the-world):
@@ -416,13 +493,23 @@ class ServeEngine:
             li_moe += 1
         self.params = {**self.params, "layers": new_layers}
         self._steps.clear()
+        self._drain_decode()
+        self._decode_sig = None  # device decode state must be rebuilt
 
     def step(self) -> bool:
         """Run one mixed scheduler batch (decode batch + ≤2 prefill chunks,
-        async-dispatched back-to-back); returns False when idle."""
+        async-dispatched back-to-back); returns False when idle.
+
+        Decode-only steps are PIPELINED: step N is dispatched from device-
+        resident state before step N-1's tokens are read back, so the
+        tunnel round-trip overlaps the device step (the reference's
+        plan/execute overlap, balance_serve.py:323-381). The scheduler sees
+        tokens one step late; a finished query costs one extra (harmless)
+        device step into its lookahead page."""
         self.timer.stage("schedule")
         plan = self.scheduler.next_batch()
         if plan is None:
+            self._drain_decode()  # deliver tail tokens before going idle
             self.timer.end()
             return False
         if self._stale_summary_pages:
@@ -437,21 +524,26 @@ class ServeEngine:
         # before reading anything back: prefill chunks execute behind the
         # decode step on-device while the host is already collecting tokens
         self.timer.stage("dispatch")
-        toks = routing = None
         if decode_qs:
-            toks, routing = self._run_decode(decode_qs)
+            self._dispatch_decode(decode_qs)
         pending = []
         for q, chunk in plan.prefills:
             pending.append((q, chunk, self._dispatch_prefill(q, chunk)))
         self.timer.stage("readback")
-        if toks is not None:
-            if self.check_numerics:
-                from ktransformers_tpu.utils.observability import (
-                    check_numerics,
-                )
-
-                check_numerics(toks, "decode tokens")
-            self._resolve_decode(decode_qs, toks, routing)
+        if pending:
+            # mixed step: prefill completions change the batch composition,
+            # so flush the decode pipeline now
+            self._drain_decode()
+        elif len(self._inflight) >= self.decode_pipeline_depth:
+            # blocking resolve of the oldest step. Counter-intuitively this
+            # beats is_ready()-gated non-blocking pacing (300 vs 154-240
+            # tok/s measured at batch 8): while the asarray blocks one
+            # tunnel RTT, the next in-flight steps finish computing and
+            # their async copies land, so the following resolves are free —
+            # the RTT amortizes over `depth` steps. Fine-grained polling
+            # instead paid transfer latency (or tunnel backpressure at
+            # depth>4) on every single step.
+            self._resolve_decode(*self._inflight.pop(0))
         self.timer.stage("bookkeeping")
         for q, chunk, logits in pending:
             self._finish_prefill(q, chunk, logits)
@@ -495,3 +587,10 @@ class ServeEngine:
         m = self.scheduler.metrics()
         m["engine_steps"] = self.steps_executed
         return m
+
+    def reset_metrics(self) -> None:
+        """Forget finished-query stats (e.g. after a compile-warmup wave)."""
+        self.scheduler.finished.clear()
+        self.steps_executed = 0
+        self.timer.totals.clear()
+        self.timer.counts.clear()

@@ -76,19 +76,31 @@ def main():
         num_pages=pages_per_q * args.concurrency + 16,
     )
     rng = np.random.default_rng(0)
-    t0 = time.perf_counter()
-    queries = [
-        eng.submit(
-            list(rng.integers(0, cfg["vocab_size"], args.prompt_len)),
-            max_new_tokens=args.max_new,
-        )
-        for _ in range(args.concurrency)
-    ]
-    while not all(q.state == "done" for q in queries):
-        if not eng.step():
-            time.sleep(0.001)
-    wall = time.perf_counter() - t0
+
+    def wave():
+        t0 = time.perf_counter()
+        queries = [
+            eng.submit(
+                list(rng.integers(0, cfg["vocab_size"], args.prompt_len)),
+                max_new_tokens=args.max_new,
+            )
+            for _ in range(args.concurrency)
+        ]
+        while not all(q.state == "done" for q in queries):
+            if not eng.step():
+                time.sleep(0.001)
+        return queries, time.perf_counter() - t0
+
+    # wave 1 warms every step-shape compile; wave 2 is the steady state
+    _, warm_wall = wave()
+    print(f"warmup wave (compiles): {warm_wall:.1f}s", file=sys.stderr)
+    eng.reset_metrics()
+    queries, wall = wave()
     m = eng.metrics()
+    if eng.timer.enabled:
+        for k, v in sorted(eng.timer.totals.items(), key=lambda kv: -kv[1]):
+            print(f"stage {k:14s}: {v:7.3f}s x{eng.timer.counts[k]}",
+                  file=sys.stderr)
     out_toks = sum(len(q.output_ids) for q in queries)
     total_toks = out_toks + args.concurrency * args.prompt_len
     print(
