@@ -47,6 +47,8 @@ class OpenAIServer:
         self.app = web.Application()
         self.app.add_routes(
             [
+                web.get("/", self.webui),
+                web.get("/web", self.webui),
                 web.get("/health", self.health),
                 web.get("/v1/models", self.models),
                 web.get("/metrics", self.metrics),
@@ -96,6 +98,17 @@ class OpenAIServer:
 
     async def health(self, request):
         return web.json_response({"status": "ok"})
+
+    async def webui(self, request):
+        """Built-in chat UI (reference: archive/website Vue app; here one
+        dependency-free HTML file, see serving/webui/index.html)."""
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "webui", "index.html"
+        )
+        with open(path, "rb") as f:
+            return web.Response(body=f.read(), content_type="text/html")
 
     async def models(self, request):
         return web.json_response(

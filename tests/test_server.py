@@ -112,6 +112,17 @@ async def test_metrics(client):
     assert "ktransformers_tpu_engine_steps" in text
 
 
+async def test_webui(client):
+    """The built-in chat page (reference website analog) is served at /."""
+    for path in ("/", "/web"):
+        r = await client.get(path)
+        assert r.status == 200
+        assert r.content_type == "text/html"
+        body = await r.text()
+        assert "ktransformers-tpu" in body
+        assert "/v1/chat/completions" in body  # talks to the real API
+
+
 async def test_ollama_endpoints(client):
     r = await client.get("/api/tags")
     assert (await r.json())["models"][0]["name"] == "ktransformers-tpu"
