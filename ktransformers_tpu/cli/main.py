@@ -228,6 +228,139 @@ def sft(model_path, dataset_path, quant, moe_quant, config_path,
     print(f"adapter saved to {output_path}")
 
 
+@cli.group()
+def models():
+    """Model registry (kt model list/show analog)."""
+
+
+@models.command("list")
+def models_list():
+    """Known model presets with size and v5e-fit estimates."""
+    from ktransformers_tpu.models.registry import list_models
+
+    rows = list_models()
+    wn = max(len(r["name"]) for r in rows)
+    print(f"{'name':{wn}}  params  active  quant         gb      chips")
+    for r in rows:
+        fit = "1 (fits)" if r["fits_v5e"] else str(r["min_v5e_chips"])
+        print(
+            f"{r['name']:{wn}}  {r['params_b']:>5.1f}B  {r['active_b']:>5.1f}B"
+            f"  {r['quant']:<12}  {r['total_gb']:>6.1f}  {fit}"
+        )
+
+
+@models.command("show")
+@click.argument("name")
+def models_show(name):
+    """Full spec summary + TPU run recommendation for one preset."""
+    from ktransformers_tpu.models.registry import REGISTRY, show_model
+
+    if name not in REGISTRY:
+        raise click.ClickException(
+            f"unknown model {name!r}; see `kt models list`"
+        )
+    print(json.dumps(show_model(name), indent=2))
+
+
+@cli.command()
+@click.argument("model_path")
+@click.argument("out_dir")
+@model_options
+def quant(model_path, out_dir, quant, moe_quant, config_path,
+          placement_yaml, tokenizer_path):
+    """Quantize a checkpoint to packed QTensors and report what was
+    produced (reference `kt quant` / convert quant modes analog).
+
+    Same on-disk format as `kt convert`; prints a per-kind tensor count
+    and byte total so the kind choice and resulting footprint are visible
+    before any serving run. Accuracy at a kind is measured with
+    `kt eval-ppl` on the packed output."""
+    import jax
+
+    from ktransformers_tpu.quant.formats import QTensor
+
+    spec, params = _load(
+        model_path, quant, moe_quant, config_path, placement_yaml,
+        save_packed=out_dir,
+    )
+    kinds: dict[str, dict] = {}
+    for x in jax.tree.leaves(
+        params, is_leaf=lambda x: isinstance(x, QTensor)
+    ):
+        if isinstance(x, QTensor):
+            k, nb = x.kind, sum(
+                a.size * a.dtype.itemsize for a in jax.tree.leaves(x)
+            )
+        else:
+            k, nb = str(x.dtype), x.size * x.dtype.itemsize
+        d = kinds.setdefault(k, {"tensors": 0, "gb": 0.0})
+        d["tensors"] += 1
+        d["gb"] += nb / 1e9
+    for d in kinds.values():
+        d["gb"] = round(d["gb"], 3)
+    print(json.dumps({"out_dir": out_dir, "kinds": kinds}, indent=2))
+
+
+@cli.command()
+@click.option("--model", "preset", default="deepseek-v2-lite",
+              show_default=True, help="registry preset to plan for")
+@click.option("--quant", default=None, help="override dense quant kind")
+@click.option("--moe-quant", default=None, help="override expert kind")
+@click.option("--output", default=None, help="write the plan JSON here")
+def tune(preset, quant, moe_quant, output):
+    """Plan serving knobs for a model on this device (reference tuner
+    analog: kt-kernel's kernel/config search, README.md:548-559).
+
+    Static planning from the registry size model: page size, scheduler
+    shape, resident-vs-offload, chip count; calibrated against the
+    measured v5e kernel rates recorded in this repo's benches."""
+    from ktransformers_tpu.models.registry import (
+        REGISTRY, V5E_HBM_GB, estimate_bytes,
+    )
+
+    if preset not in REGISTRY:
+        raise click.ClickException(
+            f"unknown model {preset!r}; see `kt models list`"
+        )
+    e = REGISTRY[preset]
+    qk, mk = quant or e.quant, moe_quant or e.moe_quant
+    spec = e.spec()
+    est = estimate_bytes(spec, qk, mk)
+    # measured on-chip rates (STATUS.md): gathered W4A8 MoE ~630 GB/s,
+    # dense int8 ~800 GB/s; decode is bandwidth-bound
+    eff_bw = 0.75 * 819e9
+    decode_tps = eff_bw / (est["active_gb_per_token"] * 1e9)
+    kv_per_tok = (
+        spec.attention.kv_lora_rank + spec.attention.qk_rope_head_dim
+        if spec.attention.kind == "mla"
+        else 2 * spec.attention.num_kv_heads * spec.attention.head_dim
+    ) * 2 * spec.num_layers  # bf16
+    free_gb = max(0.5, V5E_HBM_GB * 0.92 - est["total_gb"])
+    max_kv_tokens = int(free_gb * 1e9 / kv_per_tok)
+    plan = {
+        "model": preset,
+        "quant": qk,
+        "moe_quant": mk,
+        "weights_gb": est["total_gb"],
+        "mode": "resident" if est["fits_v5e"] else "host-offload or EP "
+        f"over >={est['min_v5e_chips']} chips",
+        "est_decode_tok_s_single": round(decode_tps, 1),
+        "kv_bytes_per_token": kv_per_tok,
+        "max_kv_tokens_on_chip": max_kv_tokens,
+        "serve": {
+            "page_size": 64,
+            "num_pages": max(64, max_kv_tokens // 64),
+            "max_batch_size": 8 if est["fits_v5e"] else 64,
+            "prefill_chunk": 256,
+        },
+    }
+    out = json.dumps(plan, indent=2)
+    print(out)
+    if output:
+        with open(output, "w") as f:
+            f.write(out)
+
+
 @cli.command("eval-ppl")
 @click.argument("model_path")
 @click.argument("text_file")
