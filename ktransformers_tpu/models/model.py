@@ -341,9 +341,20 @@ def _moe_mlp(p, spec: ModelSpec, x, aux: list | None = None,
 
     ctx = get_parallel_context()
     if ctx is not None and ctx.use_ep and ctx.ep_size > 1:
-        from ktransformers_tpu.parallel.ep import moe_forward_ep
+        from ktransformers_tpu.parallel.ep import (
+            moe_forward_ep,
+            moe_forward_ep_a2a,
+        )
 
-        y = moe_forward_ep(flat, p["experts"], topk_idx, topk_w, cfg, ctx.mesh)
+        if ctx.ep_impl == "a2a" and flat.shape[0] % ctx.ep_size == 0:
+            y = moe_forward_ep_a2a(
+                flat, p["experts"], topk_idx, topk_w, cfg, ctx.mesh,
+                pipeline_chunks=ctx.ep_pipeline_chunks,
+            )
+        else:
+            y = moe_forward_ep(
+                flat, p["experts"], topk_idx, topk_w, cfg, ctx.mesh
+            )
     else:
         y = moe_forward(flat, p["experts"], topk_idx, topk_w, cfg)
     if not n_fused and "shared" in p and p["shared"] is not None:

@@ -21,6 +21,14 @@ from ktransformers_tpu.parallel.mesh import AXIS_EP
 class ParallelContext:
     mesh: Mesh
     use_ep: bool = True
+    # "psum": masked-replicated compute + psum combine (decode-optimal:
+    # weights stay local, activations are replicated anyway).
+    # "a2a": token dispatch to the expert's shard (large-prefill-optimal:
+    # activation traffic ~T*d instead of full replication).
+    ep_impl: str = "psum"
+    # >1 = deferred-expert pipelining on the a2a path: chunk the dispatch
+    # so ICI transfers overlap expert GEMMs (parallel/ep.py)
+    ep_pipeline_chunks: int = 1
 
     @property
     def ep_size(self) -> int:
@@ -40,9 +48,13 @@ def get_parallel_context() -> ParallelContext | None:
 
 
 @contextlib.contextmanager
-def parallel_context(mesh: Mesh, use_ep: bool = True):
+def parallel_context(mesh: Mesh, use_ep: bool = True, ep_impl: str = "psum",
+                     ep_pipeline_chunks: int = 1):
     prev = _CURRENT
-    set_parallel_context(ParallelContext(mesh=mesh, use_ep=use_ep))
+    set_parallel_context(ParallelContext(
+        mesh=mesh, use_ep=use_ep, ep_impl=ep_impl,
+        ep_pipeline_chunks=ep_pipeline_chunks,
+    ))
     try:
         yield
     finally:

@@ -103,6 +103,7 @@ def moe_forward_ep_a2a(
     cfg: MoEConfig,
     mesh: Mesh,
     capacity_factor: float | None = None,
+    pipeline_chunks: int = 1,
 ) -> jnp.ndarray:
     """All-to-all expert parallelism: tokens are *dispatched* to the shard
     holding their expert, computed there, and combined back — the
@@ -116,6 +117,17 @@ def moe_forward_ep_a2a(
     weak item 8). Pass a factor explicitly for the classic bounded-buffer
     trade: C = ceil(T_local*k/ep * factor), overflow (token, slot) pairs
     drop (their combine weight contributes zero).
+
+    pipeline_chunks > 1 is the deferred-expert pipelining analog
+    (reference: kt-kernel/python/experts_base.py:347-455, allow_n_pending:
+    dispatch the next expert batch while the previous computes): the
+    capacity axis splits into chunks whose dispatch-a2a -> local GEMM ->
+    combine-a2a chains are mutually independent, so XLA's async
+    collectives (all-to-all-start/done) run chunk i's ICI transfer while
+    chunk i-1's MXU work is in flight, instead of one serialized
+    dispatch/compute/combine barrier per layer. Results are identical to
+    pipeline_chunks=1 (same rows, same kernels — tested); only the
+    schedule changes.
     """
     ep_size = mesh.shape[AXIS_EP]
     if ep_size == 1:
@@ -129,6 +141,7 @@ def moe_forward_ep_a2a(
         cap = t_local * k  # exact: no destination can receive more
     else:
         cap = max(8, int(-(-t_local * k // ep_size) * capacity_factor))
+    cap = -(-cap // pipeline_chunks) * pipeline_chunks  # chunk-divisible
 
     def local_fn(x_l, w_local, idx_l, tw_l):
         # logical -> physical remap + mask BEFORE routing to shards (same
@@ -165,36 +178,49 @@ def moe_forward_ep_a2a(
             sorted_dest, rank
         ].set(local_expert[order].astype(jnp.int32))
 
-        # dispatch
-        recv_x = jax.lax.all_to_all(
-            send_x, AXIS_EP, split_axis=0, concat_axis=0, tiled=True
+        # dispatch -> compute -> combine, split into `pipeline_chunks`
+        # independent chains along the capacity axis so XLA's async
+        # collectives overlap chunk i's a2a with chunk i-1's GEMM
+        # (deferred-expert analog; one chunk == the r1 serialized path)
+        cc = cap // pipeline_chunks
+        back_chunks = []
+        for ci in range(pipeline_chunks):
+            sl = slice(ci * cc, (ci + 1) * cc)
+            recv_x = jax.lax.all_to_all(
+                send_x[:, sl], AXIS_EP, split_axis=0, concat_axis=0,
+                tiled=True,
+            )
+            recv_eid = jax.lax.all_to_all(
+                send_eid[:, sl], AXIS_EP, split_axis=0, concat_axis=0,
+                tiled=True,
+            )
+            rows = recv_x.reshape(s_count * cc, d)
+            eids = recv_eid.reshape(s_count * cc)
+            valid = eids >= 0
+            ids_safe = jnp.clip(eids, 0, e_local - 1)
+            ones = jnp.where(valid, 1.0, 0.0)[:, None].astype(jnp.float32)
+            y_rows = moe_forward(
+                rows,
+                w_local,
+                ids_safe[:, None],
+                ones,
+                cfg,
+            )  # [S*cc, d]
+            back_chunks.append(
+                jax.lax.all_to_all(
+                    y_rows.reshape(s_count, cc, d),
+                    AXIS_EP,
+                    split_axis=0,
+                    concat_axis=0,
+                    tiled=True,
+                )
+            )
+        # [S, C, d] indexed by (dest shard, rank)
+        back = (
+            back_chunks[0]
+            if pipeline_chunks == 1
+            else jnp.concatenate(back_chunks, axis=1)
         )
-        recv_eid = jax.lax.all_to_all(
-            send_eid, AXIS_EP, split_axis=0, concat_axis=0, tiled=True
-        )
-
-        # compute local experts on received rows
-        rows = recv_x.reshape(s_count * cap, d)
-        eids = recv_eid.reshape(s_count * cap)
-        valid = eids >= 0
-        ids_safe = jnp.clip(eids, 0, e_local - 1)
-        ones = jnp.where(valid, 1.0, 0.0)[:, None].astype(jnp.float32)
-        y_rows = moe_forward(
-            rows,
-            w_local,
-            ids_safe[:, None],
-            ones,
-            cfg,
-        )  # [S*C, d]
-
-        # combine: send results back to source shards
-        back = jax.lax.all_to_all(
-            y_rows.reshape(s_count, cap, d),
-            AXIS_EP,
-            split_axis=0,
-            concat_axis=0,
-            tiled=True,
-        )  # [S, C, d] indexed by (dest shard, rank)
 
         # per original flat slot: where did it land?
         dest_of_flat = dest

@@ -99,6 +99,37 @@ def test_full_model_sharded_matches_unsharded():
     )
 
 
+def test_full_model_a2a_pipelined_matches_unsharded():
+    """Whole-model forward with the a2a EP impl + deferred-expert
+    pipelining selected via the parallel context == single-device."""
+    spec = spec_from_hf_config(dict(TINY_DS))
+    params = init_params(spec, seed=0, quant="bf16")
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, 96, (2, 8)), jnp.int32)
+
+    cache = KVCache.create(spec, 2, 16, dtype=jnp.float32)
+    ref_logits, _ = forward(params, spec, tokens, cache,
+                            compute_dtype=jnp.float32)
+
+    mesh = make_mesh(dp=1, ep=4, tp=2)
+    p_sh = jax.tree.map(
+        lambda x, s: jax.device_put(x, s),
+        params,
+        param_shardings(params, spec, mesh),
+    )
+    cache2 = KVCache.create(spec, 2, 16, dtype=jnp.float32)
+    with mesh, parallel_context(mesh, ep_impl="a2a", ep_pipeline_chunks=2):
+        fn = jax.jit(
+            lambda p, t, c: forward(p, spec, t, c, compute_dtype=jnp.float32)
+        )
+        logits, _ = fn(p_sh, tokens, cache2)
+        logits.block_until_ready()
+
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_ep_with_prefix_of_experts_on_each_shard(rng):
     """Sanity: expert routing correctness when tokens hit experts on every
     shard (forces cross-shard psum to matter)."""
@@ -178,6 +209,33 @@ def test_moe_forward_ep_a2a_exact(rng):
     mesh = make_mesh(dp=1, ep=4, tp=2)
     y = moe_forward_ep_a2a(x, w, idx, wts, cfg, mesh, capacity_factor=8.0)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_moe_forward_ep_a2a_pipelined_exact(rng):
+    """Deferred-expert pipelining (chunked a2a/GEMM overlap,
+    reference experts_base.py:347-455 analog) must be a pure schedule
+    change: exact vs the unchunked path and the single-device result,
+    including with a drop-free default capacity and odd chunk splits."""
+    from ktransformers_tpu.parallel.ep import moe_forward_ep_a2a
+
+    e, d, f, k, t = 16, 64, 96, 4, 32
+    gu = jnp.asarray(rng.standard_normal((e, d, 2 * f)).astype(np.float32) * 0.05)
+    dn = jnp.asarray(rng.standard_normal((e, f, d)).astype(np.float32) * 0.05)
+    w = MoEWeights(gate_up=quantize(gu, "bf16"), down=quantize(dn, "bf16"))
+    x = jnp.asarray(rng.standard_normal((t, d)).astype(np.float32))
+    logits = jnp.asarray(rng.standard_normal((t, e)).astype(np.float32))
+    idx, wts = route(logits, GateConfig(num_experts=e, top_k=k, norm_topk_prob=True))
+    cfg = MoEConfig()
+    ref = moe_forward(x, w, idx, wts, cfg)
+    mesh = make_mesh(dp=1, ep=4, tp=2)
+    base = moe_forward_ep_a2a(x, w, idx, wts, cfg, mesh)
+    for chunks in (2, 3, 4):
+        y = moe_forward_ep_a2a(x, w, idx, wts, cfg, mesh,
+                               pipeline_chunks=chunks)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(base),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
 
 
 def test_moe_forward_ep_a2a_drops_overflow(rng):
