@@ -89,9 +89,13 @@ def chat(model_path, quant, moe_quant, config_path, placement_yaml,
 @click.option("--num-pages", default=2048, show_default=True)
 @click.option("--page-size", default=64, show_default=True)
 @click.option("--max-pages-per-query", default=64, show_default=True)
+@click.option("--offload/--no-offload", default=False,
+              help="bigger-than-HBM mode: routed experts compute in host "
+              "RAM (offload/paged_engine.py); attention/router/shared "
+              "experts stay on-chip")
 def serve(model_path, quant, moe_quant, config_path, placement_yaml,
           tokenizer_path, host, port, max_batch_size, prefill_chunk,
-          num_pages, page_size, max_pages_per_query):
+          num_pages, page_size, max_pages_per_query, offload):
     """OpenAI-compatible server (balance_serve analog)."""
     from ktransformers_tpu.engine.local_chat import load_tokenizer
     from ktransformers_tpu.serving.engine import ServeEngine
@@ -101,7 +105,14 @@ def serve(model_path, quant, moe_quant, config_path, placement_yaml,
     spec, params = _load(
         model_path, quant, moe_quant, config_path, placement_yaml
     )
-    engine = ServeEngine(
+    engine_cls = ServeEngine
+    if offload:
+        from ktransformers_tpu.offload.paged_engine import (
+            HostOffloadServeEngine,
+        )
+
+        engine_cls = HostOffloadServeEngine
+    engine = engine_cls(
         params,
         spec,
         SchedulerConfig(

@@ -67,6 +67,45 @@ class _State:
     w_host: np.ndarray        # [B*S, k]
 
 
+def pack_activations(flat, idx, w, transfer_dtype):
+    """One readback instead of three: [T, H + 3k] in transfer_dtype.
+    idx is split hi/lo base-128 so expert ids stay exact in bf16."""
+    if transfer_dtype is None:
+        return flat, idx, w
+    td = transfer_dtype
+    cols = [
+        flat.astype(td),
+        (idx // 128).astype(td),
+        (idx % 128).astype(td),
+        w.astype(td),
+    ]
+    return jnp.concatenate(cols, axis=1)
+
+
+def run_host_moe(host_layer, packed, hidden: int, k: int, transfer_dtype):
+    """Decode a packed activation block on host and run the C++ expert
+    FFN; returns [T, H] in transfer_dtype (or f32 when None)."""
+    if transfer_dtype is None:
+        flat, ids, w = packed
+        x = np.asarray(flat).astype(np.float32)
+        ids = np.asarray(ids)
+        w = np.asarray(w).astype(np.float32)
+    else:
+        a = np.asarray(packed).astype(np.float32)
+        x = a[:, :hidden]
+        ids = (
+            a[:, hidden : hidden + k].astype(np.int32) * 128
+            + a[:, hidden + k : hidden + 2 * k].astype(np.int32)
+        )
+        w = a[:, hidden + 2 * k :]
+    y = host_layer.forward(x, ids, w)
+    if transfer_dtype is not None:
+        import ml_dtypes
+
+        y = y.astype(ml_dtypes.bfloat16)
+    return y
+
+
 class HostOffloadGenerator:
     """Batch generation with host-resident routed experts.
 
@@ -148,18 +187,7 @@ class HostOffloadGenerator:
         return res2, shared_y.reshape(b, s, d), flat, topk_idx, topk_w, bufs
 
     def _pack(self, flat, idx, w):
-        """One readback instead of three: [T, H + 3k] in transfer_dtype.
-        idx is split hi/lo base-128 so expert ids stay exact in bf16."""
-        td = self.transfer_dtype
-        if td is None:
-            return flat, idx, w
-        cols = [
-            flat.astype(td),
-            (idx // 128).astype(td),
-            (idx % 128).astype(td),
-            w.astype(td),
-        ]
-        return jnp.concatenate(cols, axis=1)
+        return pack_activations(flat, idx, w, self.transfer_dtype)
 
     def _seg_first(self, s: int):
         """embed + dense prefix layers + first MoE layer's head."""
@@ -246,27 +274,10 @@ class HostOffloadGenerator:
     # -- host expert hop ----------------------------------------------------
 
     def _host_moe(self, li: int, packed) -> np.ndarray:
-        if self.transfer_dtype is None:
-            flat, ids, w = packed
-            x = np.asarray(flat).astype(np.float32)
-            ids = np.asarray(ids)
-            w = np.asarray(w).astype(np.float32)
-        else:
-            a = np.asarray(packed).astype(np.float32)
-            h = self.spec.hidden_size
-            k = self.spec.moe.gate.top_k
-            x = a[:, :h]
-            ids = (
-                a[:, h : h + k].astype(np.int32) * 128
-                + a[:, h + k : h + 2 * k].astype(np.int32)
-            )
-            w = a[:, h + 2 * k :]
-        y = self.host[li].forward(x, ids, w)
-        if self.transfer_dtype is not None:
-            import ml_dtypes
-
-            y = y.astype(ml_dtypes.bfloat16)
-        return y
+        return run_host_moe(
+            self.host[li], packed, self.spec.hidden_size,
+            self.spec.moe.gate.top_k, self.transfer_dtype,
+        )
 
     # -- forward over one chunk --------------------------------------------
 

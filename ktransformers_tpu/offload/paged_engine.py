@@ -1,0 +1,298 @@
+"""Continuous-batching serving for bigger-than-HBM models.
+
+The reference serves its 671B/1T headline models through balance_serve
+with routed experts on the CPU (kt-kernel/python/experts_base.py:377-485
++ archive/csrc/balance_serve scheduler) — offload and continuous batching
+compose. Round-2's HostOffloadGenerator proved the TPU offload design
+(device attention + host C++ expert FFN, per-layer jitted segments) but
+only for fixed batches; this module puts the same per-layer segment loop
+behind the ServeEngine scheduler, so bigger-than-HBM models get mixed
+prefill+decode steps, paged KV with prefix reuse, preemption, and the
+OpenAI server — the full serving surface.
+
+Design: HostOffloadServeEngine subclasses ServeEngine and swaps the one
+thing that differs — how a scheduler batch executes. Resident models run
+one jitted whole-model step; offloaded models run L+2 jitted segments
+(paged attention / router / shared expert on device) with the routed
+expert FFN computed in host RAM between them (offload/host_moe.py). The
+host hop forces a sync per layer, so the decode pipeline depth is 1; the
+scheduler, page accounting, sampling, prefix cache and HTTP layers are
+inherited unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ktransformers_tpu.cache.paged import PagedKVCache
+from ktransformers_tpu.models.model import _dense_mlp
+from ktransformers_tpu.models.paged import _gqa_paged, _mla_paged
+from ktransformers_tpu.models.spec import ModelSpec
+from ktransformers_tpu.offload.host_engine import (
+    pack_activations,
+    run_host_moe,
+    split_params_for_offload,
+)
+from ktransformers_tpu.ops.gate import route
+from ktransformers_tpu.ops.linear import linear
+from ktransformers_tpu.ops.norm import rms_norm
+from ktransformers_tpu.serving.engine import ServeEngine
+from ktransformers_tpu.serving.scheduler import Query, SchedulerConfig
+
+
+class HostOffloadServeEngine(ServeEngine):
+    def __init__(
+        self,
+        params,
+        spec: ModelSpec,
+        cfg: SchedulerConfig = SchedulerConfig(),
+        host_layers=None,  # {layer_idx: HostMoELayer}; None = split now
+        transfer_dtype=jnp.bfloat16,  # activation dtype across the tunnel
+        **kw,
+    ):
+        if host_layers is None:
+            params, host_layers = split_params_for_offload(params, spec)
+        self.host = host_layers
+        moe_lis = sorted(host_layers)
+        n = spec.num_layers
+        assert moe_lis == list(range(moe_lis[0], n)), (
+            "host offload supports dense-prefix + uniform MoE tails only"
+        )
+        self.first_moe = moe_lis[0]
+        self.transfer_dtype = transfer_dtype
+        assert kw.get("sparse_budget") is None, (
+            "sparse attention + host offload is not wired yet"
+        )
+        super().__init__(params, spec, cfg, **kw)
+        # every segment boundary is a host sync — nothing to pipeline
+        self.decode_pipeline_depth = 1
+
+    # -- jitted segments (cached per shape in self._steps) -------------------
+
+    def _attn_paged(self, lp, spec, xn, bufs, tables, lengths, rope_cs,
+                    valid):
+        fn = _mla_paged if spec.attention.kind == "mla" else _gqa_paged
+        out, bufs, _ = fn(
+            lp["attn"], spec, xn, bufs, tables, lengths, rope_cs,
+            self.kv.page_size, valid, None, None,
+        )
+        return out, bufs
+
+    def _layer_head(self, lp, x, bufs, tables, lengths, rope_cs, valid):
+        """paged attention + residual + post-norm + router + shared expert
+        of one MoE layer; the routed FFN happens on host afterwards."""
+        spec = self.spec
+        res = x
+        xn = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
+        attn_out, bufs = self._attn_paged(
+            lp, spec, xn, bufs, tables, lengths, rope_cs, valid
+        )
+        x = res + attn_out
+        res2 = x
+        xn2 = rms_norm(x, lp["post_attn_norm"], spec.rms_norm_eps)
+        moe = lp["moe"]
+        b, s, d = xn2.shape
+        flat = xn2.reshape(b * s, d)
+        logits = flat.astype(jnp.float32) @ moe["router_w"].astype(
+            jnp.float32
+        ).T
+        topk_idx, topk_w = route(
+            logits, spec.moe.gate, moe.get("router_bias_corr")
+        )
+        shared_y = jnp.zeros_like(flat)
+        if moe.get("shared") is not None:
+            shared_y = _dense_mlp(moe["shared"], spec, flat)
+            if spec.moe.shared_expert_gate:
+                g = jax.nn.sigmoid(
+                    flat.astype(jnp.float32)
+                    @ moe["shared_gate"].astype(jnp.float32).T
+                )
+                shared_y = shared_y * g.astype(shared_y.dtype)
+        packed = pack_activations(flat, topk_idx, topk_w,
+                                  self.transfer_dtype)
+        return res2, shared_y.reshape(b, s, d), packed, bufs
+
+    def _rope_cs(self, lengths, s):
+        cos_t, sin_t = self.rope_tables
+        pos = lengths[:, None] + jnp.arange(s)[None, :]
+        return cos_t[pos], sin_t[pos]
+
+    def _seg_first(self, b: int, s: int):
+        key = ("off_first", b, s)
+        if key not in self._steps:
+            spec, cdt = self.spec, self.compute_dtype
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def fn(params, tokens, bufs, tables, lengths, valid):
+                rope_cs = self._rope_cs(lengths, tokens.shape[1])
+                x = params["embed"][tokens].astype(cdt)
+                new_bufs = []
+                for li in range(self.first_moe):
+                    lp = params["layers"][li]
+                    res = x
+                    xn = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
+                    a, b2 = self._attn_paged(
+                        lp, spec, xn, bufs[li], tables, lengths, rope_cs,
+                        valid,
+                    )
+                    new_bufs.append(b2)
+                    x = res + a
+                    res = x
+                    xn = rms_norm(x, lp["post_attn_norm"], spec.rms_norm_eps)
+                    x = res + _dense_mlp(lp["mlp"], spec, xn)
+                lp = params["layers"][self.first_moe]
+                res2, sh, packed, b2 = self._layer_head(
+                    lp, x, bufs[self.first_moe], tables, lengths, rope_cs,
+                    valid,
+                )
+                new_bufs.append(b2)
+                return res2, sh, packed, new_bufs
+
+            self._steps[key] = partial(fn, self.params)
+        return self._steps[key]
+
+    def _seg_mid(self, b: int, s: int):
+        key = ("off_mid", b, s)
+        if key not in self._steps:
+
+            @partial(jax.jit, donate_argnums=(4,))
+            def fn(lp, res, shared_y, expert_y, bufs, tables, lengths,
+                   valid):
+                rope_cs = self._rope_cs(lengths, s)
+                y = expert_y.reshape(res.shape).astype(res.dtype) + shared_y
+                return self._layer_head(
+                    lp, res + y, bufs, tables, lengths, rope_cs, valid
+                )
+
+            self._steps[key] = fn
+        return self._steps[key]
+
+    def _seg_final(self, b: int, s: int):
+        key = ("off_final", b, s)
+        if key not in self._steps:
+            spec = self.spec
+
+            @jax.jit
+            def fn(params, res, shared_y, expert_y, valid):
+                y = expert_y.reshape(res.shape).astype(res.dtype) + shared_y
+                x = res + y
+                x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
+                if valid is not None:
+                    x = x[jnp.arange(x.shape[0]),
+                          jnp.maximum(valid - 1, 0)][:, None]
+                else:
+                    x = x[:, -1:]
+                lm = params.get("lm_head")
+                if lm is None:
+                    logits = x @ params["embed"].astype(x.dtype).T
+                else:
+                    logits = linear(x, lm)
+                return logits.astype(jnp.float32)  # [B, 1, V]
+
+            self._steps[key] = partial(fn, self.params)
+        return self._steps[key]
+
+    # -- segment-loop forward ------------------------------------------------
+
+    def _run_forward(self, tokens, tables, lengths, valid):
+        """Full layer stack over one batch: device segments + host expert
+        hops. Updates self.kv in place; returns logits [B, 1, V]."""
+        b, s = tokens.shape
+        spec = self.spec
+        bufs = list(zip(self.kv.bufs_a, self.kv.bufs_b))
+        res, sh, packed, new_bufs = self._seg_first(b, s)(
+            tokens, bufs[: self.first_moe + 1], tables, lengths, valid
+        )
+        k = spec.moe.gate.top_k
+        expert_y = run_host_moe(
+            self.host[self.first_moe], packed, spec.hidden_size, k,
+            self.transfer_dtype,
+        )
+        mid = self._seg_mid(b, s)
+        for li in range(self.first_moe + 1, spec.num_layers):
+            res, sh, packed, b2 = mid(
+                self.params["layers"][li], res, sh, expert_y,
+                bufs[li], tables, lengths, valid,
+            )
+            new_bufs.append(b2)
+            expert_y = run_host_moe(
+                self.host[li], packed, spec.hidden_size, k,
+                self.transfer_dtype,
+            )
+        logits = self._seg_final(b, s)(res, sh, expert_y, valid)
+        self.kv = PagedKVCache(
+            bufs_a=[a for a, _ in new_bufs],
+            bufs_b=[bb for _, bb in new_bufs],
+            page_size=self.kv.page_size,
+        )
+        return logits
+
+    # -- executor overrides --------------------------------------------------
+
+    def _dispatch_prefill(self, q: Query, chunk: list[int]):
+        bucket = self._bucket(len(chunk))
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, : len(chunk)] = chunk
+        return self._run_forward(
+            jnp.asarray(tokens),
+            jnp.asarray(self._pad_table(q.pages))[None],
+            jnp.asarray([q.prefill_pos], jnp.int32),
+            jnp.asarray([len(chunk)], jnp.int32),
+        )
+
+    def _dispatch_decode(self, qs: list[Query]) -> None:
+        penalized = any(q.sampling.needs_counts for q in qs)
+        st = self._build_decode_state(qs, penalized)
+        lengths = st["lengths"]
+        logits = self._run_forward(
+            st["tokens"][:, None], st["tables"], lengths, None
+        )[:, 0]
+        sampler = self._offload_sampler(
+            self.cfg.max_batch_size, penalized
+        )
+        self._key, sub = jax.random.split(self._key)
+        if penalized:
+            toks, self._counts = sampler(
+                logits, sub, st["temps"], st["top_ks"], st["top_ps"],
+                st["reps"], st["press"], st["freqs"],
+                self._counts, self._pmask, st["active"],
+            )
+        else:
+            toks = sampler(logits, sub, st["temps"], st["top_ks"],
+                           st["top_ps"])
+        self._inflight.append(([(q, q.slot) for q in qs], toks, None))
+
+    def _offload_sampler(self, b: int, penalized: bool):
+        name = ("off_sample", b, penalized)
+        if name not in self._steps:
+            from ktransformers_tpu.engine.sampler import sample_batched
+
+            if penalized:
+
+                @jax.jit
+                def fn(logits, key, temps, top_ks, top_ps, reps, press,
+                       freqs, counts, pmask, active):
+                    toks = sample_batched(
+                        logits, key, temps, top_ks=top_ks, top_ps=top_ps,
+                        rep_pens=reps, pres_pens=press, freq_pens=freqs,
+                        token_counts=counts, prompt_mask=pmask,
+                    )
+                    counts = counts.at[jnp.arange(b), toks].add(
+                        active.astype(jnp.int32)
+                    )
+                    return toks, counts
+
+            else:
+
+                @jax.jit
+                def fn(logits, key, temps, top_ks, top_ps):
+                    return sample_batched(
+                        logits, key, temps, top_ks=top_ks, top_ps=top_ps
+                    )
+
+            self._steps[name] = fn
+        return self._steps[name]
