@@ -80,33 +80,72 @@ def chat(model_path, quant, moe_quant, config_path, placement_yaml,
 
 
 @cli.command()
-@click.argument("model_path")
+@click.argument("model_path", required=False)
 @model_options
-@click.option("--host", default="0.0.0.0", show_default=True)
-@click.option("--port", default=8192, show_default=True)
-@click.option("--max-batch-size", default=8, show_default=True)
-@click.option("--prefill-chunk", default=256, show_default=True)
-@click.option("--num-pages", default=2048, show_default=True)
-@click.option("--page-size", default=64, show_default=True)
-@click.option("--max-pages-per-query", default=64, show_default=True)
-@click.option("--offload/--no-offload", default=False,
+@click.option("--config-file", default=None,
+              help="YAML/JSON ServerConfig (serving/config.py); CLI flags "
+              "override file values")
+@click.option("--host", default=None)
+@click.option("--port", default=None, type=int)
+@click.option("--api-key", default=None,
+              help="require Authorization: Bearer <key> on /v1 and /api")
+@click.option("--model-name", default=None)
+@click.option("--max-batch-size", default=None, type=int)
+@click.option("--prefill-chunk", default=None, type=int)
+@click.option("--num-pages", default=None, type=int)
+@click.option("--page-size", default=None, type=int)
+@click.option("--max-pages-per-query", default=None, type=int)
+@click.option("--sparse-budget", default=None, type=int,
+              help="Quest top-K-page decode attention (long context)")
+@click.option("--offload/--no-offload", default=None,
               help="bigger-than-HBM mode: routed experts compute in host "
               "RAM (offload/paged_engine.py); attention/router/shared "
               "experts stay on-chip")
+@click.option("--no-web", "mount_web", flag_value=False, default=None,
+              help="do not mount the chat UI at /")
 def serve(model_path, quant, moe_quant, config_path, placement_yaml,
-          tokenizer_path, host, port, max_batch_size, prefill_chunk,
-          num_pages, page_size, max_pages_per_query, offload):
-    """OpenAI-compatible server (balance_serve analog)."""
+          tokenizer_path, config_file, host, port, api_key, model_name,
+          max_batch_size, prefill_chunk, num_pages, page_size,
+          max_pages_per_query, sparse_budget, offload, mount_web):
+    """OpenAI-compatible server (balance_serve analog). All knobs also
+    load from --config-file (the reference's ~80-flag ConfigArgs role)."""
     from ktransformers_tpu.engine.local_chat import load_tokenizer
+    from ktransformers_tpu.serving.config import ServerConfig
     from ktransformers_tpu.serving.engine import ServeEngine
-    from ktransformers_tpu.serving.scheduler import SchedulerConfig
     from ktransformers_tpu.serving.server import serve as run_server
 
+    overrides = dict(
+        model_path=model_path, config_path=config_path,
+        tokenizer_path=tokenizer_path, placement_yaml=placement_yaml,
+        host=host, port=port, api_key=api_key, model_name=model_name,
+        max_batch_size=max_batch_size, prefill_chunk=prefill_chunk,
+        num_pages=num_pages, page_size=page_size,
+        max_pages_per_query=max_pages_per_query,
+        sparse_budget=sparse_budget, offload=offload, mount_web=mount_web,
+    )
+    # quant kinds come from model_options with non-None defaults; only
+    # treat them as overrides when a config file is NOT supplying them
+    if config_file:
+        sc = ServerConfig.from_file(config_file, **overrides)
+        if quant != "int8" or sc.quant is None:
+            sc.quant = quant
+        if moe_quant != "int4_g" or sc.moe_quant is None:
+            sc.moe_quant = moe_quant
+    else:
+        sc = ServerConfig(**{k: v for k, v in overrides.items()
+                             if v is not None},
+                          quant=quant, moe_quant=moe_quant)
+    if not sc.model_path:
+        raise click.ClickException(
+            "model path required (argument or config-file model_path)"
+        )
+
     spec, params = _load(
-        model_path, quant, moe_quant, config_path, placement_yaml
+        sc.model_path, sc.quant, sc.moe_quant, sc.config_path,
+        sc.placement_yaml,
     )
     engine_cls = ServeEngine
-    if offload:
+    if sc.offload:
         from ktransformers_tpu.offload.paged_engine import (
             HostOffloadServeEngine,
         )
@@ -115,16 +154,16 @@ def serve(model_path, quant, moe_quant, config_path, placement_yaml,
     engine = engine_cls(
         params,
         spec,
-        SchedulerConfig(
-            max_batch_size=max_batch_size,
-            prefill_chunk=prefill_chunk,
-            page_size=page_size,
-            max_pages_per_query=max_pages_per_query,
-        ),
-        num_pages=num_pages,
+        sc.scheduler_config(),
+        num_pages=sc.num_pages,
+        sparse_budget=sc.sparse_budget,
+        collect_routing=sc.collect_routing,
     )
-    tok = load_tokenizer(model_path, tokenizer_path)
-    run_server(engine, tok, host=host, port=port)
+    engine.decode_pipeline_depth = sc.decode_pipeline_depth
+    tok = load_tokenizer(sc.model_path, sc.tokenizer_path)
+    run_server(engine, tok, host=sc.host, port=sc.port,
+               model_name=sc.model_name, api_key=sc.api_key,
+               mount_web=sc.mount_web)
 
 
 @cli.command()

@@ -40,15 +40,28 @@ def _sse(data) -> bytes:
 
 
 class OpenAIServer:
-    def __init__(self, engine: ServeEngine, tokenizer=None, model_name="ktransformers-tpu"):
+    def __init__(self, engine: ServeEngine, tokenizer=None,
+                 model_name="ktransformers-tpu", api_key: str | None = None,
+                 mount_web: bool = True):
         self.engine = engine
         self.tok = tokenizer or SimpleTokenizer()
         self.model_name = model_name
-        self.app = web.Application()
+        self.api_key = api_key
+        middlewares = [self._auth_middleware] if api_key else []
+        self.app = web.Application(middlewares=middlewares)
+        from ktransformers_tpu.serving.assistants import (
+            AssistantStore,
+            register_routes,
+        )
+
+        self.assistants = AssistantStore(engine, self.tok, model_name)
+        register_routes(self.app, self.assistants)
+        if mount_web:
+            self.app.add_routes(
+                [web.get("/", self.webui), web.get("/web", self.webui)]
+            )
         self.app.add_routes(
             [
-                web.get("/", self.webui),
-                web.get("/web", self.webui),
                 web.get("/health", self.health),
                 web.get("/v1/models", self.models),
                 web.get("/metrics", self.metrics),
@@ -61,6 +74,20 @@ class OpenAIServer:
         )
 
     # -- helpers -----------------------------------------------------------
+
+    @web.middleware
+    async def _auth_middleware(self, request, handler):
+        """Bearer-token auth on the API surface (reference --api_key).
+        Health, metrics, and the chat page stay open."""
+        if request.path.startswith("/v1") or request.path.startswith("/api"):
+            auth = request.headers.get("Authorization", "")
+            if auth != f"Bearer {self.api_key}":
+                return web.json_response(
+                    {"error": {"message": "invalid api key",
+                               "type": "authentication_error"}},
+                    status=401,
+                )
+        return await handler(request)
 
     def _prompt_ids(self, body: dict) -> list[int]:
         if "messages" in body:
@@ -299,8 +326,10 @@ class OpenAIServer:
         return web.json_response(payload)
 
 
-def serve(engine: ServeEngine, tokenizer=None, host="0.0.0.0", port=8192):
+def serve(engine: ServeEngine, tokenizer=None, host="0.0.0.0", port=8192,
+          model_name="ktransformers-tpu", api_key=None, mount_web=True):
     """Blocking entry: start the engine thread + HTTP server."""
     engine.start()
-    srv = OpenAIServer(engine, tokenizer)
+    srv = OpenAIServer(engine, tokenizer, model_name=model_name,
+                       api_key=api_key, mount_web=mount_web)
     web.run_app(srv.app, host=host, port=port)
