@@ -82,7 +82,14 @@ class ServeEngine:
             if enable_prefix_cache
             else None
         )
-        self.scheduler = Scheduler(cfg, self.alloc, self.prefix)
+        # per-query export (VERDICT r1 §5 row 76): one JSON line per
+        # finished query — the reference logs these SLO fields per query
+        # in sched/metrics; here it's an append-only JSONL file
+        self._request_log_path = os.environ.get("KT_REQUEST_LOG")
+        self.scheduler = Scheduler(
+            cfg, self.alloc, self.prefix,
+            on_finish=self._log_request if self._request_log_path else None,
+        )
         self.compute_dtype = compute_dtype
         self.rope_tables = precompute_rope_tables(spec.rope)
         self._steps = {}
@@ -556,6 +563,31 @@ class ServeEngine:
     def submit(self, prompt, **kw) -> Query:
         with self._lock:
             return self.scheduler.add_query(list(prompt), **kw)
+
+    def cancel(self, q: Query) -> None:
+        """Abort a query (client disconnect / assistants run cancel). An
+        in-flight pipelined step that still references it resolves
+        harmlessly — _resolve_decode skips non-DECODE queries."""
+        with self._lock:
+            self.scheduler.cancel(q)
+
+    def _log_request(self, q: Query) -> None:
+        import json
+
+        rec = {
+            "id": q.id,
+            "prompt_tokens": len(q.prompt),
+            "output_tokens": len(q.output_ids),
+            "matched_prefix_tokens": q.matched_len,
+            "ttft_s": round(q.ttft, 4) if q.ttft is not None else None,
+            "tbt_s": round(q.tbt, 5) if q.tbt is not None else None,
+            "finish_reason": q.finish_reason,
+            "preemptions": q.preemptions,
+            "wall_s": round((q.finished_at or 0) - q.created, 3),
+            "ts": time.time(),
+        }
+        with open(self._request_log_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     def generate_sync(self, prompt, **kw) -> list[int]:
         """Blocking single-query helper (tests / CLI)."""

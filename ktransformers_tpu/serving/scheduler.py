@@ -142,10 +142,13 @@ class Scheduler:
         cfg: SchedulerConfig,
         allocator: PageAllocator,
         prefix_cache: PrefixCache | None = None,
+        on_finish=None,  # callback(q) after a query completes — the
+        # per-query metrics export hook (engine's request log)
     ):
         self.cfg = cfg
         self.alloc = allocator
         self.prefix = prefix_cache
+        self.on_finish = on_finish
         self.waiting: list[Query] = []
         self.running: list[Query] = []
         self._ids = itertools.count()
@@ -313,6 +316,8 @@ class Scheduler:
         self.alloc.release(q.pages)
         q.pages = []
         self.finished.append(q)
+        if self.on_finish is not None:
+            self.on_finish(q)
 
     def cancel(self, q: Query) -> None:
         if q.state == DONE:
@@ -323,6 +328,13 @@ class Scheduler:
 
     def has_work(self) -> bool:
         return bool(self.waiting or self.running)
+
+    @staticmethod
+    def _pct(vals: list[float], p: float) -> float:
+        if not vals:
+            return 0.0
+        s = sorted(vals)
+        return s[min(len(s) - 1, int(p * len(s)))]
 
     def metrics(self) -> dict:
         done = [q for q in self.finished if q.ttft is not None]
@@ -348,6 +360,9 @@ class Scheduler:
             "mean_ttft_s": (
                 sum(q.ttft for q in done) / len(done) if done else 0.0
             ),
+            "p95_ttft_s": self._pct([q.ttft for q in done], 0.95),
+            "p95_tbt_s": self._pct([q.tbt for q in with_tbt], 0.95),
+            "preemptions": sum(q.preemptions for q in self.finished),
             **(
                 {"prefix_" + k: v for k, v in self.prefix.stats().items()}
                 if self.prefix

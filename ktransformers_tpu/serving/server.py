@@ -242,6 +242,11 @@ class OpenAIServer:
                 tok = await loop.run_in_executor(None, q.out_queue.get)
                 if tok is None:
                     break
+                if request.transport is None or request.transport.is_closing():
+                    # client went away mid-stream: free the query's slot
+                    # and pages instead of decoding to max_tokens
+                    self.engine.cancel(q)
+                    return resp
                 delta_text = self.tok.decode([tok])
                 if chat:
                     chunk = {

@@ -300,6 +300,71 @@ def test_serving_honors_topk_and_penalties():
     assert len(set(qb.output_ids)) == len(qb.output_ids)
 
 
+def test_cancel_mid_decode_frees_and_continues():
+    """engine.cancel() (client disconnect / assistants run-cancel analog):
+    the cancelled query releases its slot+pages; a concurrent query's
+    output is unaffected and matches single-user generation."""
+    spec, params = _spec_params(TINY_DS)
+    gen = Generator(params, spec, max_len=96, batch=1,
+                    cache_dtype=jnp.float32, compute_dtype=jnp.float32)
+    p1, p2 = list(range(7)), list(range(20, 30))
+    expected = gen.generate([p2], GenerateConfig(max_new_tokens=8))[0]
+
+    eng = ServeEngine(
+        params, spec,
+        SchedulerConfig(max_batch_size=2, prefill_chunk=8, page_size=8,
+                        max_pages_per_query=8),
+        num_pages=64, cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+    )
+    free0 = eng.alloc.free_count
+    q1 = eng.submit(p1, max_new_tokens=32)
+    q2 = eng.submit(p2, max_new_tokens=8)
+    while len(q1.output_ids) < 3:
+        eng.step()
+    eng.cancel(q1)
+    assert q1.state == "done" and q1.finish_reason == "cancelled"
+    assert q1.slot is None and q1.pages == []
+    for _ in range(200):
+        if not eng.step() and q2.state == "done":
+            break
+    assert list(q2.output_ids) == expected
+    # queue sentinel delivered so HTTP collectors unblock
+    drained = []
+    while not q1.out_queue.empty():
+        drained.append(q1.out_queue.get_nowait())
+    assert drained[-1] is None
+    # all pages returned (prefix cache may retain some with refcount 0 —
+    # trim forces them out)
+    if eng.prefix is not None:
+        eng.prefix.trim(10**6)
+    assert eng.alloc.free_count == free0
+
+
+def test_request_log_export(tmp_path, monkeypatch):
+    """KT_REQUEST_LOG writes one JSON line per finished query with the
+    SLO fields (per-query metrics export, reference sched/metrics role)."""
+    import json
+
+    log = tmp_path / "requests.jsonl"
+    monkeypatch.setenv("KT_REQUEST_LOG", str(log))
+    spec, params = _spec_params(TINY_DS)
+    eng = ServeEngine(
+        params, spec,
+        SchedulerConfig(max_batch_size=2, prefill_chunk=8, page_size=8,
+                        max_pages_per_query=8),
+        num_pages=64, cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+    )
+    eng.generate_sync(list(range(9)), max_new_tokens=4)
+    eng.generate_sync(list(range(30, 36)), max_new_tokens=3)
+    recs = [json.loads(l) for l in log.read_text().splitlines()]
+    assert len(recs) == 2
+    assert recs[0]["output_tokens"] == 4 and recs[1]["output_tokens"] == 3
+    assert recs[0]["finish_reason"] == "length"
+    assert recs[0]["ttft_s"] is not None
+    m = eng.metrics()
+    assert "p95_ttft_s" in m and "preemptions" in m
+
+
 def test_three_tier_prefix_cache(tmp_path):
     """Evicted prefix pages spill to host/disk and are restored on the next
     matching query, reproducing identical output (kvc2 3-layer semantics)."""
