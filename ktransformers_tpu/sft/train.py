@@ -65,10 +65,18 @@ class Trainer:
         spec: ModelSpec,
         cfg: TrainConfig = TrainConfig(),
         compute_dtype=jnp.float32,
+        mesh=None,  # jax.sharding.Mesh: distributed training. Batches
+        # shard over `dp`; optimizer moments shard over `dp` too (the
+        # ZeRO-1 role: each data-parallel rank owns a slice of the
+        # optimizer state, GSPMD inserts the reduce-scatter/all-gather
+        # pair — reference: the dist-training gap in python/sft/).
+        # Base-param ep/tp shardings compose via parallel/shardings.py +
+        # parallel_context, exactly as in inference.
     ):
         self.spec = spec
         self.cfg = cfg
         self.compute_dtype = compute_dtype
+        self.mesh = mesh
         self.lora, self.base = split_lora(params_with_lora)
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
@@ -82,11 +90,41 @@ class Trainer:
         self.opt_state = self.tx.init(
             jax.tree.map(lambda x: x, self.lora, is_leaf=lambda x: x is None)
         )
+        if mesh is not None:
+            self.opt_state = jax.tree.map(
+                lambda x: jax.device_put(x, self._zero1_sharding(x)),
+                self.opt_state,
+            )
         self._step = None
+
+    def _zero1_sharding(self, x):
+        """dp-shard the leading axis of an optimizer moment when it
+        divides; scalars/odd shapes replicate."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ktransformers_tpu.parallel.mesh import AXIS_DP
+
+        dp = self.mesh.shape.get(AXIS_DP, 1)
+        if (
+            hasattr(x, "ndim") and x.ndim >= 1 and dp > 1
+            and x.shape[0] % dp == 0
+        ):
+            return NamedSharding(
+                self.mesh, P(AXIS_DP, *([None] * (x.ndim - 1)))
+            )
+        return NamedSharding(self.mesh, P())
+
+    def _batch_sharding(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ktransformers_tpu.parallel.mesh import AXIS_DP
+
+        return NamedSharding(self.mesh, P(AXIS_DP, None))
 
     def _build_step(self):
         spec, cdt, tx = self.spec, self.compute_dtype, self.tx
         remat = self.cfg.remat
+        mesh = self.mesh
 
         @jax.jit
         def step(lora, base, opt_state, input_ids, labels):
@@ -96,6 +134,15 @@ class Trainer:
 
             loss, grads = jax.value_and_grad(lf)(lora)
             updates, opt_state = tx.update(grads, opt_state, lora)
+            if mesh is not None:
+                # keep the moments dp-sharded through the update (else
+                # GSPMD may drift them to replicated after a few steps)
+                opt_state = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(
+                        x, self._zero1_sharding(x)
+                    ),
+                    opt_state,
+                )
             lora = optax.apply_updates(lora, updates)
             return loss, lora, opt_state
 
@@ -104,10 +151,14 @@ class Trainer:
     def train_step(self, input_ids, labels) -> float:
         if self._step is None:
             self._step = self._build_step()
+        input_ids = jnp.asarray(input_ids, jnp.int32)
+        labels = jnp.asarray(labels, jnp.int32)
+        if self.mesh is not None:
+            sh = self._batch_sharding()
+            input_ids = jax.device_put(input_ids, sh)
+            labels = jax.device_put(labels, sh)
         loss, self.lora, self.opt_state = self._step(
-            self.lora, self.base, self.opt_state,
-            jnp.asarray(input_ids, jnp.int32),
-            jnp.asarray(labels, jnp.int32),
+            self.lora, self.base, self.opt_state, input_ids, labels,
         )
         return float(loss)
 

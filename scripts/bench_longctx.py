@@ -92,8 +92,11 @@ def main():
 
         from functools import partial
 
-        @partial(jax.jit, donate_argnums=(1,), static_argnames=("b",))
-        def step(tok, kv, length, b=budget):
+        # params/pt/length are ARGUMENTS, not closures: closed-over arrays
+        # ship inside the HLO to the remote compile service (CLAUDE.md) —
+        # a 9.77 GB params closure made this compile hang at >50 GB RSS
+        @partial(jax.jit, donate_argnums=(2,), static_argnames=("b",))
+        def step(params, tok, kv, pt, length, b=budget):
             logits, kv = forward_paged(
                 params, spec, tok, kv, pt, length, sparse_budget=b,
             )
@@ -101,12 +104,12 @@ def main():
 
         tok = jnp.zeros((1, 1), jnp.int32)
         t0 = time.perf_counter()
-        tok, kv = step(tok, kv, length)
+        tok, kv = step(params, tok, kv, pt, length)
         jax.block_until_ready(tok)
         print(f"{mode} compile {time.perf_counter()-t0:.1f}s", file=sys.stderr)
         t0 = time.perf_counter()
         for _ in range(args.steps):
-            tok, kv = step(tok.reshape(1, 1), kv, length)
+            tok, kv = step(params, tok.reshape(1, 1), kv, pt, length)
         jax.block_until_ready(tok)
         dt = (time.perf_counter() - t0) / args.steps
         results[mode] = round(1.0 / dt, 2)
