@@ -72,7 +72,15 @@ def main():
     log("devices:", jax.devices())
 
     t0 = time.perf_counter()
-    params = init_params_synthetic(spec, quant="int8", moe_quant="int4_g")
+    # NEGATIVE RESULT (measured, do not retry blindly): quant="int4_g"
+    # group_size=64 for dense/attn/lm_head gives 214 tok/s vs int8's 270 —
+    # group 64 (needed because the dense MLP's K=10944 is not a multiple
+    # of 128) doubles scale bytes AND the in-kernel group-loop count, and
+    # the prefill int4 kernel's scale planes blow the 16 MB VMEM scope at
+    # ng=171. int8 dense + int4_g experts stays the shipped config.
+    quant = os.environ.get("KT_BENCH_QUANT", "int8")
+    moe_quant = os.environ.get("KT_BENCH_MOE_QUANT", "int4_g")
+    params = init_params_synthetic(spec, quant=quant, moe_quant=moe_quant)
     # NOTE: ops/fuse_shared.fuse_shared_experts measured -4% here (the
     # gather re-reads shared blocks per row; the dense matmuls read them
     # once per batch) — kept as an opt-in transform, not used in bench.
@@ -169,6 +177,7 @@ def main():
     for fname, key in (
         ("BENCH_OFFLOAD.json", "offload"),
         ("BENCH_LONGCTX.json", "longctx"),
+        ("BENCH_SERVING.json", "serving"),
     ):
         try:
             with open(os.path.join(here, fname)) as f:

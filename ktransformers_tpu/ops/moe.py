@@ -54,6 +54,16 @@ def set_pallas_gather(fn) -> None:
     _PALLAS_GATHER = fn
 
 
+_PALLAS_FFN = None
+
+
+def set_pallas_ffn(fn) -> None:
+    """Fused decode expert-FFN kernel (gate_up -> GLU -> down in one
+    launch); fn returns None when the weights/activation are ineligible."""
+    global _PALLAS_FFN
+    _PALLAS_FFN = fn
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class MoEWeights:
@@ -280,6 +290,21 @@ def _moe_forward_gather(
         la = jnp.einsum(eq, inp_f, af)
         return h + jnp.einsum("ter,tern->ten", la, bf).astype(h.dtype)
 
+    if _PALLAS_FFN is not None and weights.lora is None:
+        t, k = ids.shape
+        kdim = x.shape[-1]
+        x_rows = jnp.broadcast_to(x[:, None, :], (t, k, kdim)).reshape(
+            t * k, kdim
+        )
+        y = _PALLAS_FFN(
+            x_rows, weights.gate_up, weights.down, ids.reshape(t * k),
+            cfg.activation,
+        )
+        if y is not None:
+            y = y.reshape(t, k, -1)
+            return jnp.sum(
+                y * w[:, :, None].astype(y.dtype), axis=1
+            ).astype(x.dtype)
     h = gathered_matmul(x, weights.gate_up, ids)  # [t,k,2F]
     h = lora_add(h, x, "gate_up")
     a = glu_activate(h[..., :inter], h[..., inter:], cfg.activation)

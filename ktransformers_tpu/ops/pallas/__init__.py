@@ -46,9 +46,27 @@ def enable() -> None:
     def _mla_decode(qn, qp, ckv, kpe, lengths, scale):
         return mla_decode_attention(qn, qp, ckv, kpe, lengths, scale)
 
+    from ktransformers_tpu.ops.pallas.w4a8_matmul import (
+        ffn_fits,
+        gathered_w4a8_ffn,
+    )
+
+    def _ffn(x_rows, gate_up, down, ids, act_cfg):
+        if gate_up.kind not in PALLAS_KINDS or down.kind not in PALLAS_KINDS:
+            return None
+        if x_rows.shape[0] > 128:
+            # decode-size kernel: its whole-expert blocks re-fetch per row;
+            # big batches belong to the sorted grouped path
+            return None
+        if not ffn_fits(gate_up, down, act_cfg.kind, act_cfg.swiglu_limit):
+            return None
+        return gathered_w4a8_ffn(x_rows, gate_up, down, ids,
+                                 act=act_cfg.kind)
+
     linear.set_pallas_qmatmul(_qmatmul)
     moe.set_pallas_gather(_gather)
     moe.set_pallas_gmm(_gmm)
+    moe.set_pallas_ffn(_ffn)
     attention.set_pallas_mla_decode(_mla_decode)
 
     from ktransformers_tpu.models import paged as paged_model

@@ -160,6 +160,181 @@ def gathered_w4a8_matmul(
     return y[:r].astype(out_dtype)
 
 
+def _glu(g, u, act: str):
+    g = g.astype(jnp.float32)
+    u = u.astype(jnp.float32)
+    if act == "silu":
+        return g * (1.0 / (1.0 + jnp.exp(-g))) * u
+    if act == "relu":
+        return jnp.maximum(g, 0.0) * u
+    if act == "gelu":
+        return 0.5 * g * (1.0 + jax.lax.erf(g / 2.0**0.5)) * u
+    raise ValueError(act)
+
+
+def _quant_rows(v):
+    """Per-row int8 quantization of a [M, gs2] slice (w4a8_prep's `q`)."""
+    amax = jnp.maximum(jnp.max(jnp.abs(v), -1), 1e-8)
+    s = amax / 127.0
+    codes = jnp.clip(jnp.round(v / s[:, None]), -127, 127).astype(jnp.int8)
+    return codes, s
+
+
+def _ffn_w4a8_kernel(ids_ref, qa_ref, qb_ref, sa_ref, sb_ref, t_ref,
+                     xs_ref, *rest, ng1, gs2_1, gz1, ng2, gs2_2, gz2,
+                     inter, act):
+    """Whole expert FFN for one routed row: gate_up int8-MXU dots -> GLU
+    -> in-kernel activation re-quant -> down int8-MXU dots. One kernel
+    launch instead of two plus the XLA glue between them (the act quant of
+    h and the swiglu): at decode batch sizes each launch has ~5 us of
+    fixed cost and the glue another ~5 us/layer, so fusing is worth
+    ~0.3 ms/step on the 27-layer bench model."""
+    rest = list(rest)
+    gu_w = rest.pop(0)
+    gu_s = rest.pop(0)
+    gu_z = rest.pop(0) if gz1 else None
+    dn_w = rest.pop(0)
+    dn_s = rest.pop(0)
+    dn_z = rest.pop(0) if gz2 else None
+    o_ref = rest.pop(0)
+    r = pl.program_id(0)
+
+    h = _w4a8_group_acc(
+        qa_ref[:], qb_ref[:], sa_ref[:], sb_ref[:], t_ref[:], gu_w[0],
+        gu_s[0], gu_z[0] if gz1 else None, xs_ref[:], ng1, gs2_1,
+    )  # [r8, 2*inter] f32
+    a = _glu(h[:, :inter], h[:, inter:], act)  # [r8, inter] f32
+
+    # down matmul with the activation re-quant folded INTO the group loop
+    # (w4a8_prep semantics per group): no materialized [r8, inter/2] code
+    # planes or concats — the temps stay [r8, gs2_2], which is what keeps
+    # the kernel inside the 16 MB scoped-VMEM limit at serving batch sizes
+    m = a.shape[0]
+    kdim_out = dn_w.shape[-1]
+    gs = 2 * gs2_2
+    braw_all = dn_w[0]
+    u_all = (braw_all.astype(jnp.int32) & 0xF).astype(jnp.int8)
+    y = jnp.zeros((m, kdim_out), jnp.float32)
+    for g in range(ng2):
+        seg = a[:, g * gs : (g + 1) * gs]
+        lo, hi = seg[:, :gs2_2], seg[:, gs2_2:]
+        ca, sa2 = _quant_rows(lo - hi / 16.0)
+        cb, sb2 = _quant_rows(hi / 16.0)
+        wl = slice(g * gs2_2, (g + 1) * gs2_2)
+        pa = jnp.dot(ca, u_all[wl], preferred_element_type=jnp.int32)
+        pb = jnp.dot(cb, braw_all[wl], preferred_element_type=jnp.int32)
+        val = (
+            pa.astype(jnp.float32) * sa2[:, None]
+            + pb.astype(jnp.float32) * sb2[:, None]
+            - 8.0 * jnp.sum(lo, -1)[:, None]
+        )
+        if gz2:
+            val = val - jnp.sum(lo + hi, -1)[:, None] * dn_z[0][g][None, :]
+        y += val * dn_s[0][g][None, :]
+
+    @pl.when(r == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0)
+    o_ref[:] += jnp.where(row_ids == r, y, 0.0)
+
+
+# VMEM budget for holding one expert's gate_up + down blocks double-
+# buffered alongside the activation planes
+_FFN_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def ffn_fits(gate_up: QTensor, down: QTensor, act_kind: str,
+             swiglu_limit) -> bool:
+    """Static eligibility for the fused FFN kernel: both mats act_quant
+    int4 kinds, a supported GLU, and whole-expert blocks within VMEM."""
+    if not (gate_up.act_quant and down.act_quant):
+        return False
+    if act_kind not in ("silu", "relu", "gelu") or swiglu_limit is not None:
+        return False
+    e, k2, n2x = gate_up.data.shape
+    _, i2, kdim = down.data.shape
+    if 2 * (k2 * n2x + i2 * kdim) > _FFN_VMEM_BUDGET:
+        return False
+    gs2 = down.group_size or 2 * i2
+    return (2 * i2) % gs2 == 0
+
+
+@functools.partial(jax.jit, static_argnames=("act", "interpret"))
+def gathered_w4a8_ffn(
+    x_rows: jnp.ndarray,  # [R, K] float, one row per (token, slot)
+    gate_up: QTensor,  # act_quant int4 kind, [E, K/2, 2*inter]
+    down: QTensor,  # act_quant int4 kind, [E, inter/2, K]
+    ids: jnp.ndarray,  # [R] int32 expert per row
+    act: str = "silu",
+    interpret: bool = False,
+):
+    """Fused decode-MoE expert FFN. Returns [R, K] x.dtype."""
+    r, kdim = x_rows.shape
+    e = gate_up.data.shape[0]
+    n2x = gate_up.out_features  # 2*inter
+    inter = n2x // 2
+    out_dtype = x_rows.dtype
+    k2 = kdim // 2
+    i2 = inter // 2
+    gs1 = gate_up.group_size or kdim
+    ng1 = kdim // gs1
+    gs_dn = down.group_size or inter
+    ng2 = inter // gs_dn
+
+    r8 = max(8, ((r + 7) // 8) * 8)
+    if r8 != r:
+        x_rows = jnp.pad(x_rows, ((0, r8 - r), (0, 0)))
+    qa, qb, sa, sb, t, xsum = w4a8_prep(x_rows, kdim, gate_up.group_size)
+
+    gz1 = gate_up.zeros is not None
+    gz2 = down.zeros is not None
+    ins = [ids, qa, qb, sa, sb, t, xsum,
+           _as_i8(gate_up.data), gate_up.scales.reshape(e, ng1, n2x)]
+    in_specs = [
+        pl.BlockSpec((r8, k2), lambda i, ids: (0, 0)),
+        pl.BlockSpec((r8, k2), lambda i, ids: (0, 0)),
+        pl.BlockSpec((r8, ng1), lambda i, ids: (0, 0)),
+        pl.BlockSpec((r8, ng1), lambda i, ids: (0, 0)),
+        pl.BlockSpec((r8, ng1), lambda i, ids: (0, 0)),
+        pl.BlockSpec((r8, ng1), lambda i, ids: (0, 0)),
+        pl.BlockSpec((1, k2, n2x), lambda i, ids: (ids[i], 0, 0)),
+        pl.BlockSpec((1, ng1, n2x), lambda i, ids: (ids[i], 0, 0)),
+    ]
+    if gz1:
+        ins.append(gate_up.zeros.reshape(e, ng1, n2x))
+        in_specs.append(
+            pl.BlockSpec((1, ng1, n2x), lambda i, ids: (ids[i], 0, 0))
+        )
+    ins += [_as_i8(down.data), down.scales.reshape(e, ng2, kdim)]
+    in_specs += [
+        pl.BlockSpec((1, i2, kdim), lambda i, ids: (ids[i], 0, 0)),
+        pl.BlockSpec((1, ng2, kdim), lambda i, ids: (ids[i], 0, 0)),
+    ]
+    if gz2:
+        ins.append(down.zeros.reshape(e, ng2, kdim))
+        in_specs.append(
+            pl.BlockSpec((1, ng2, kdim), lambda i, ids: (ids[i], 0, 0))
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((r8, kdim), lambda i, ids: (0, 0)),
+    )
+    y = pl.pallas_call(
+        functools.partial(
+            _ffn_w4a8_kernel, ng1=ng1, gs2_1=gs1 // 2, gz1=gz1,
+            ng2=ng2, gs2_2=gs_dn // 2, gz2=gz2, inter=inter, act=act,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r8, kdim), jnp.float32),
+        interpret=interpret,
+    )(*ins)
+    return y[:r].astype(out_dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def dense_w4a8_matmul(
     x2: jnp.ndarray,  # [M, K] float (intended for small decode M)

@@ -60,9 +60,20 @@ class ServeEngine:
         self.spec = spec
         self.cfg = cfg
         self.sparse_budget = sparse_budget
+        # hybrid models (qwen3-next): GatedDeltaNet layers carry O(1)
+        # recurrent state per slot instead of pages; their state cannot be
+        # reconstructed from KV pages, so prefix reuse and host/disk spill
+        # are off for them
+        self._hybrid = any(
+            spec.layer_kind(li) == "linear" for li in range(spec.num_layers)
+        )
+        if self._hybrid:
+            assert spill_tier is None, "hybrid models cannot spill state"
+            enable_prefix_cache = False
         self.kv = PagedKVCache.create(
             spec, num_pages, cfg.page_size, dtype=cache_dtype,
             summaries=sparse_budget is not None,
+            linear_slots=cfg.max_batch_size,
         )
         # page 0 = trash page for padding-row writes (see PageAllocator)
         self._stale_summary_pages: list[int] = []
@@ -171,7 +182,7 @@ class ServeEngine:
             spec, rope, cdt = self.spec, self.rope_tables, self.compute_dtype
 
             @partial(jax.jit, donate_argnums=(2,))
-            def step(params, tokens, kv, page_table, length, valid):
+            def step(params, tokens, kv, page_table, length, valid, slot):
                 return forward_paged(
                     params,
                     spec,
@@ -183,6 +194,7 @@ class ServeEngine:
                     compute_dtype=cdt,
                     logits_last_only=True,
                     valid=valid,
+                    slots=slot,
                 )
 
             self._steps[name] = partial(step, self.params)
@@ -222,6 +234,10 @@ class ServeEngine:
                         logits_last_only=True,
                         collect_routing=self.collect_routing,
                         sparse_budget=self.sparse_budget,
+                        # hybrid models: inactive padding rows must not
+                        # advance their slot's GatedDeltaNet state
+                        valid=active.astype(jnp.int32)
+                        if self._hybrid else None,
                     )
                     logits, kv = out[0], out[1]
                     routing = out[2] if self.collect_routing else jnp.zeros(())
@@ -250,6 +266,10 @@ class ServeEngine:
                         logits_last_only=True,
                         collect_routing=self.collect_routing,
                         sparse_budget=self.sparse_budget,
+                        # hybrid models: inactive padding rows must not
+                        # advance their slot's GatedDeltaNet state
+                        valid=active.astype(jnp.int32)
+                        if self._hybrid else None,
                     )
                     logits, kv = out[0], out[1]
                     routing = out[2] if self.collect_routing else jnp.zeros(())
@@ -306,9 +326,22 @@ class ServeEngine:
             sample(logits, sub, sc, token_counts=counts, prompt_mask=pmask)[0]
         )
 
+    def _reset_linear_state(self, slot: int) -> None:
+        """Zero a slot's GatedDeltaNet states before its (re)prefill —
+        recurrent state, unlike KV pages, is reused by slot index."""
+        new_a = list(self.kv.bufs_a)
+        new_b = list(self.kv.bufs_b)
+        for li in range(self.spec.num_layers):
+            if self.spec.layer_kind(li) == "linear":
+                new_a[li] = new_a[li].at[slot].set(0)
+                new_b[li] = new_b[li].at[slot].set(0)
+        self.kv = dataclasses.replace(self.kv, bufs_a=new_a, bufs_b=new_b)
+
     def _dispatch_prefill(self, q: Query, chunk: list[int]):
         """Async-dispatch one bucketed prefill chunk; returns the logits
         future ([1, 1, V], taken at the last VALID position)."""
+        if self._hybrid and q.prefill_pos == 0:
+            self._reset_linear_state(q.slot)
         bucket = self._bucket(len(chunk))
         tokens = np.zeros((1, bucket), np.int32)
         tokens[0, : len(chunk)] = chunk
@@ -319,6 +352,7 @@ class ServeEngine:
             jnp.asarray(self._pad_table(q.pages))[None],
             jnp.asarray([q.prefill_pos], jnp.int32),
             jnp.asarray([len(chunk)], jnp.int32),
+            jnp.asarray([q.slot], jnp.int32),
         )
         return logits
 
@@ -420,8 +454,16 @@ class ServeEngine:
         sig = self._decode_signature(qs, penalized)
         if sig != self._decode_sig:
             self._drain_decode()
+            # the drain delivers pending tokens, which may FINISH (or
+            # preempt) members of qs — dispatching for them afterwards
+            # would snapshot a freed slot and waste a step
+            qs = [q for q in qs if q.state == DECODE]
+            if not qs:
+                self._decode_sig = None
+                return
+            penalized = any(q.sampling.needs_counts for q in qs)
             self._dstate = self._build_decode_state(qs, penalized)
-            self._decode_sig = sig
+            self._decode_sig = self._decode_signature(qs, penalized)
         st = self._dstate
         step = self._decode_step(self.cfg.max_batch_size, penalized)
         if penalized:

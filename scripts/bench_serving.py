@@ -103,18 +103,20 @@ def main():
                   file=sys.stderr)
     out_toks = sum(len(q.output_ids) for q in queries)
     total_toks = out_toks + args.concurrency * args.prompt_len
-    print(
-        json.dumps(
-            {
-                "concurrency": args.concurrency,
-                "output_tok_s": round(out_toks / wall, 2),
-                "total_tok_s": round(total_toks / wall, 2),
-                "mean_ttft_s": round(m["mean_ttft_s"], 3),
-                "mean_tbt_s": round(m["mean_tbt_s"], 4),
-                "wall_s": round(wall, 2),
-            }
-        )
-    )
+    result = {
+        "concurrency": args.concurrency,
+        "output_tok_s": round(out_toks / wall, 2),
+        "total_tok_s": round(total_toks / wall, 2),
+        "mean_ttft_s": round(m["mean_ttft_s"], 3),
+        "mean_tbt_s": round(m["mean_tbt_s"], 4),
+        "wall_s": round(wall, 2),
+    }
+    print(json.dumps(result))
+    if not args.tiny:
+        # recorded for bench.py to fold into the round metrics
+        with open(os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "BENCH_SERVING.json"), "w") as f:
+            json.dump(result, f)
 
 
 if __name__ == "__main__":

@@ -85,6 +85,54 @@ def test_gathered_w4a8_kernel(rng, kind):
     np.testing.assert_allclose(out / scale, ref / scale, atol=3e-2)
 
 
+@pytest.mark.parametrize("kind", KINDS)
+@pytest.mark.parametrize("act", ["silu", "relu", "gelu"])
+def test_fused_ffn_kernel(rng, kind, act):
+    """Fused gate_up -> GLU -> in-kernel re-quant -> down kernel vs the
+    two-call float reference (the whole expert FFN in one launch)."""
+    from ktransformers_tpu.ops.activations import ActivationConfig, glu_activate
+    from ktransformers_tpu.ops.pallas.w4a8_matmul import (
+        ffn_fits,
+        gathered_w4a8_ffn,
+    )
+
+    e, k, inter, r = 8, 256, 128, 6
+    gu = jnp.asarray(
+        rng.standard_normal((e, k, 2 * inter)).astype(np.float32) * 0.1
+    )
+    dn = jnp.asarray(
+        rng.standard_normal((e, inter, k)).astype(np.float32) * 0.1
+    )
+    qgu = repack_offset_lo(quantize(gu, kind, group_size=64))
+    qdn = repack_offset_lo(quantize(dn, kind, group_size=64))
+    assert ffn_fits(qgu, qdn, act, None)
+    x = jnp.asarray(rng.standard_normal((r, k)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    ids = jnp.asarray([3, 0, 5, 3, 7, 1], jnp.int32)
+
+    gud = np.asarray(dequantize(qgu, jnp.float32))
+    dnd = np.asarray(dequantize(qdn, jnp.float32))
+    cfg = ActivationConfig(kind=act)
+    ref = []
+    for i in range(r):
+        h = np.asarray(x[i].astype(jnp.float32)) @ gud[int(ids[i])]
+        a = np.asarray(glu_activate(
+            jnp.asarray(h[:inter]), jnp.asarray(h[inter:]), cfg
+        ))
+        ref.append(a @ dnd[int(ids[i])])
+    ref = np.stack(ref)
+
+    out = np.asarray(
+        gathered_w4a8_ffn(x, qgu, qdn, ids, act=act, interpret=True),
+        np.float32,
+    )
+    # two int8 activation-quant stages (x and h) vs the gathered kernel's
+    # one -> slightly wider tolerance
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out / scale, ref / scale, atol=6e-2)
+
+
 def test_quant_matmul_dispatches_w4a8(rng):
     """quant_matmul / gathered_quant_matmul route act_quant weights to the
     w4a8 kernels (small M) and stay correct through the bf16 body at
