@@ -42,6 +42,9 @@ class PagedKVCache:
     def create(
         spec: ModelSpec, num_pages: int, page_size: int = 64,
         dtype=jnp.bfloat16, summaries: bool = False,
+        linear_slots: int = 8,  # state rows for GatedDeltaNet layers of
+        # hybrid models (qwen3-next): their "cache" is O(1) per sequence
+        # and lives per SLOT, not in the page pool
     ) -> "PagedKVCache":
         a = spec.attention
         if a.kind == "mla":
@@ -52,9 +55,27 @@ class PagedKVCache:
             sa = sb = (num_pages, page_size, a.num_kv_heads, a.head_dim)
             ssum = (num_pages, a.num_kv_heads, a.head_dim)
         n = spec.num_layers
+        bufs_a, bufs_b = [], []
+        for li in range(n):
+            if spec.layer_kind(li) == "linear":
+                assert not summaries, (
+                    "sparse page summaries + hybrid linear layers: "
+                    "not supported together yet"
+                )
+                la = spec.linear_attn
+                bufs_a.append(jnp.zeros(
+                    (linear_slots, la.conv_kernel, la.conv_dim), dtype
+                ))
+                bufs_b.append(jnp.zeros(
+                    (linear_slots, la.num_v_heads, la.head_k_dim,
+                     la.head_v_dim), jnp.float32,
+                ))
+            else:
+                bufs_a.append(jnp.zeros(sa, dtype))
+                bufs_b.append(jnp.zeros(sb, dtype))
         return PagedKVCache(
-            bufs_a=[jnp.zeros(sa, dtype) for _ in range(n)],
-            bufs_b=[jnp.zeros(sb, dtype) for _ in range(n)],
+            bufs_a=bufs_a,
+            bufs_b=bufs_b,
             smin=[jnp.full(ssum, jnp.inf, jnp.float32) for _ in range(n)]
             if summaries else None,
             smax=[jnp.full(ssum, -jnp.inf, jnp.float32) for _ in range(n)]

@@ -96,10 +96,15 @@ def _gather_pages(buf, page_tables):
     return g.reshape(b, pmax * page, *g.shape[3:])
 
 
-def _attn_mask(lengths, q_len, kv_len):
+def _attn_mask(lengths, q_len, kv_len, window: int = 0):
     qpos = lengths[:, None, None] + jnp.arange(q_len)[None, :, None]
     kpos = jnp.arange(kv_len)[None, None, :]
-    return jnp.where(kpos <= qpos, 0.0, NEG_INF).astype(jnp.float32)
+    ok = kpos <= qpos
+    if window:
+        # sliding-window layers (smallthinker swa_layout): keys older
+        # than `window` positions are masked out
+        ok = ok & (kpos > qpos - window)
+    return jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
 
 
 def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
@@ -224,12 +229,19 @@ def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
 
 
 def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
-               valid=None, summ=None, sparse_budget=None):
+               valid=None, summ=None, sparse_budget=None, use_rope=True,
+               window=0):
     a = spec.attention
     b, s, _ = x.shape
     h, hkv, d = a.num_heads, a.num_kv_heads, a.head_dim
 
-    q = plinear(p, "q_proj", x, p.get("q_bias")).reshape(b, s, h, d)
+    gate = None
+    if a.gated_output:
+        # qwen3-next: q_proj emits [q | gate] interleaved per head
+        qg = plinear(p, "q_proj", x, p.get("q_bias")).reshape(b, s, h, 2 * d)
+        q, gate = qg[..., :d], qg[..., d:].reshape(b, s, h * d)
+    else:
+        q = plinear(p, "q_proj", x, p.get("q_bias")).reshape(b, s, h, d)
     k = plinear(p, "k_proj", x, p.get("k_bias")).reshape(b, s, hkv, d)
     v = plinear(p, "v_proj", x, p.get("v_bias")).reshape(b, s, hkv, d)
     if a.qk_norm:
@@ -240,7 +252,9 @@ def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
     q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)
     rot = a.rotary_dim
-    if rot and rot < d:
+    if not use_rope:
+        pass  # smallthinker nope layers: positions only via the mask
+    elif rot and rot < d:
         q = jnp.concatenate(
             [apply_rope(q[..., :rot], cos[:, None], sin[:, None]), q[..., rot:]],
             axis=-1,
@@ -270,34 +284,37 @@ def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
             pid = jnp.where(keep, pid, 0)
         new_summ = update_page_summaries(summ[0], summ[1], k, pid)
 
+    def finish(out):  # out [B, S, H*D]
+        if gate is not None:
+            g = jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
+            out = out * g
+        return (
+            plinear(p, "o_proj", out, p.get("o_bias")),
+            (buf_a, buf_b),
+            new_summ,
+        )
+
     scale = a.softmax_scale or d**-0.5
-    if s == 1 and sparse_budget is not None and new_summ is not None:
+    # sliding-window layers use the masked gather path: the pallas decode
+    # kernel and the Quest-sparse path walk the full prefix
+    if window == 0 and s == 1 and sparse_budget is not None \
+            and new_summ is not None:
         from ktransformers_tpu.ops.sparse_attention import sparse_gqa_decode
 
         out = sparse_gqa_decode(
             q[:, :, 0], buf_a, buf_b, new_summ[0], new_summ[1],
             page_tables, lengths + 1, page_size, sparse_budget, scale,
         )[:, None]
-        out = out.reshape(b, s, h * d)
-        return (
-            plinear(p, "o_proj", out, p.get("o_bias")),
-            (buf_a, buf_b),
-            new_summ,
-        )
-    if s == 1 and _PAGED_GQA_DECODE is not None:
+        return finish(out.reshape(b, s, h * d))
+    if window == 0 and s == 1 and _PAGED_GQA_DECODE is not None:
         out = _PAGED_GQA_DECODE(
             q[:, :, 0], buf_a, buf_b, page_tables, lengths + 1, scale
         )[:, None]  # [B, 1, H, D]
-        out = out.reshape(b, s, h * d)
-        return (
-            plinear(p, "o_proj", out, p.get("o_bias")),
-            (buf_a, buf_b),
-            new_summ,
-        )
+        return finish(out.reshape(b, s, h * d))
 
     k_all = _gather_pages(buf_a, page_tables)  # [B, Smax, Hkv, D]
     v_all = _gather_pages(buf_b, page_tables)
-    if k_all.shape[1] >= BLOCKWISE_KV_THRESHOLD:
+    if window == 0 and k_all.shape[1] >= BLOCKWISE_KV_THRESHOLD:
         qpos = lengths[:, None] + jnp.arange(s)[None, :]
         out = mha_blockwise(
             q,
@@ -307,7 +324,7 @@ def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
             scale=scale,
         )
     else:
-        mask = _attn_mask(lengths, s, k_all.shape[1])
+        mask = _attn_mask(lengths, s, k_all.shape[1], window)
         out = mha(
             q,
             k_all.transpose(0, 2, 1, 3),
@@ -315,12 +332,7 @@ def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
             scale=scale,
             mask=mask,
         )
-    out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
-    return (
-        plinear(p, "o_proj", out, p.get("o_bias")),
-        (buf_a, buf_b),
-        new_summ,
-    )
+    return finish(out.transpose(0, 2, 1, 3).reshape(b, s, h * d))
 
 
 def forward_paged(
@@ -341,6 +353,9 @@ def forward_paged(
     sparse_budget: int | None = None,  # decode-only: attend the top-K
     # pages by Quest bound instead of the full context (requires a cache
     # created with summaries=True; ops/sparse_attention.py)
+    slots: jnp.ndarray | None = None,  # [B] int32 state rows for hybrid
+    # models' GatedDeltaNet layers (engine decode rows are slot-indexed
+    # already; prefill chunks pass the query's slot). None = arange(B).
 ):
     """Returns (logits [B, 1 or S, V], updated PagedKVCache[, routing])."""
     b, s = tokens.shape
@@ -356,23 +371,52 @@ def forward_paged(
     routing_aux = [] if collect_routing else None
     new_a, new_b = [], []
     new_smin, new_smax = [], []
+    early = spec.moe is not None and spec.moe.early_router
     for li, lp in enumerate(params["layers"]):
         res = x
+        router_x = x if early else None  # pre-norm layer input
         xn = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
-        attn_fn = _mla_paged if mla else _gqa_paged
-        attn_out, (buf_a, buf_b), nsm = attn_fn(
-            lp["attn"],
-            spec,
-            xn,
-            (kv.bufs_a[li], kv.bufs_b[li]),
-            page_tables,
-            lengths,
-            rope_cs,
-            kv.page_size,
-            valid,
-            (kv.smin[li], kv.smax[li]) if kv.smin is not None else None,
-            sparse_budget,
-        )
+        if spec.layer_kind(li) == "linear":
+            # GatedDeltaNet layers: O(1) recurrent state per SLOT (no
+            # pages) — conv tail + delta-rule matrix, addressed by the
+            # batch rows' slot ids; padded rows (bucketed prefill)
+            # leave the state untouched via `valid`
+            from ktransformers_tpu.ops.linear_attention import (
+                gated_delta_net,
+            )
+
+            if slots is None:
+                slots = jnp.arange(b, dtype=jnp.int32)
+            conv, rec = kv.bufs_a[li], kv.bufs_b[li]
+            attn_out, new_cs, new_rs = gated_delta_net(
+                lp["attn"], spec.linear_attn, xn, conv[slots], rec[slots],
+                spec.rms_norm_eps, valid,
+            )
+            new_a.append(conv.at[slots].set(new_cs.astype(conv.dtype)))
+            new_b.append(rec.at[slots].set(new_rs))
+            x = res + attn_out
+            res = x
+            xn = rms_norm(x, lp["post_attn_norm"], spec.rms_norm_eps)
+            if "moe" in lp:
+                x = res + _moe_mlp(lp["moe"], spec, xn, aux=routing_aux,
+                                   router_x=router_x)
+            else:
+                x = res + _dense_mlp(lp["mlp"], spec, xn)
+            continue
+        summ = (kv.smin[li], kv.smax[li]) if kv.smin is not None else None
+        if mla:
+            attn_out, (buf_a, buf_b), nsm = _mla_paged(
+                lp["attn"], spec, xn, (kv.bufs_a[li], kv.bufs_b[li]),
+                page_tables, lengths, rope_cs, kv.page_size, valid, summ,
+                sparse_budget,
+            )
+        else:
+            attn_out, (buf_a, buf_b), nsm = _gqa_paged(
+                lp["attn"], spec, xn, (kv.bufs_a[li], kv.bufs_b[li]),
+                page_tables, lengths, rope_cs, kv.page_size, valid, summ,
+                sparse_budget, spec.layer_uses_rope(li),
+                spec.layer_window(li),
+            )
         new_a.append(buf_a)
         new_b.append(buf_b)
         if nsm is not None:
@@ -383,7 +427,8 @@ def forward_paged(
         res = x
         xn = rms_norm(x, lp["post_attn_norm"], spec.rms_norm_eps)
         if "moe" in lp:
-            x = res + _moe_mlp(lp["moe"], spec, xn, aux=routing_aux)
+            x = res + _moe_mlp(lp["moe"], spec, xn, aux=routing_aux,
+                               router_x=router_x)
         else:
             x = res + _dense_mlp(lp["mlp"], spec, xn)
 

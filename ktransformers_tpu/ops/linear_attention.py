@@ -53,27 +53,36 @@ def _l2norm(x, eps=1e-6):
     return x * jax.lax.rsqrt(jnp.sum(x * x, -1, keepdims=True) + eps)
 
 
-def causal_conv(x, weight, conv_state=None):
+def causal_conv(x, weight, conv_state=None, valid=None):
     """Depthwise causal conv + silu. x [B, S, C]; weight [C, K];
     conv_state [B, K, C] (the K inputs before this chunk) or None (zeros).
-    Returns (y [B, S, C], new_state [B, K, C])."""
+    valid [B] int32 (optional): rows t >= valid[b] are padding (bucketed
+    prefill chunks) — the new state holds the last K inputs BEFORE the
+    padding. Returns (y [B, S, C], new_state [B, K, C])."""
     b, s, c = x.shape
     k = weight.shape[1]
     if conv_state is None:
         conv_state = jnp.zeros((b, k, c), x.dtype)
-    ext = jnp.concatenate([conv_state[:, -(k - 1) :], x], 1)  # [B, S+K-1, C]
+    full = jnp.concatenate([conv_state, x], 1)  # [B, K+S, C]
+    ext = full[:, 1:]  # [B, S+K-1, C]
     y = jnp.zeros((b, s, c), jnp.float32)
     for j in range(k):
         y = y + ext[:, j : j + s].astype(jnp.float32) * weight[:, j].astype(
             jnp.float32
         )
-    new_state = jnp.concatenate([conv_state, x], 1)[:, -k:]
+    if valid is None:
+        new_state = full[:, -k:]
+    else:
+        # last K valid inputs: full position (valid[b] + j) == x[valid-K+j]
+        idx = valid[:, None] + jnp.arange(k)[None, :]  # [B, K]
+        new_state = jnp.take_along_axis(full, idx[:, :, None], axis=1)
     return jax.nn.silu(y).astype(x.dtype), new_state
 
 
-def gated_delta_scan(q, k, v, g, beta, state=None):
+def gated_delta_scan(q, k, v, g, beta, state=None, valid=None):
     """q,k [B, S, Hv, dk] (already repeated to v heads), v [B, S, Hv, dv],
-    g/beta [B, S, Hv]; state [B, Hv, dk, dv] f32 or None.
+    g/beta [B, S, Hv]; state [B, Hv, dk, dv] f32 or None; valid [B] int32
+    (optional): steps t >= valid[b] leave row b's state untouched.
     Returns (out [B, S, Hv, dv] f32, final state). Matches HF's
     torch_recurrent_gated_delta_rule with use_qk_l2norm_in_kernel=True."""
     b, s, h, dk = q.shape
@@ -86,20 +95,34 @@ def gated_delta_scan(q, k, v, g, beta, state=None):
     beta = beta.astype(jnp.float32)
     if state is None:
         state = jnp.zeros((b, h, dk, dv), jnp.float32)
+    mask = None
+    if valid is not None:
+        mask = (
+            jnp.arange(s)[None, :] < valid[:, None]
+        ).astype(jnp.float32)  # [B, S]
 
     def step(st, inp):
-        q_t, k_t, v_t, g_t, b_t = inp
-        st = st * jnp.exp(g_t)[:, :, None, None]
-        kv_mem = jnp.einsum("bhkv,bhk->bhv", st, k_t)
+        q_t, k_t, v_t, g_t, b_t, m_t = inp
+        new = st * jnp.exp(g_t)[:, :, None, None]
+        kv_mem = jnp.einsum("bhkv,bhk->bhv", new, k_t)
         delta = (v_t - kv_mem) * b_t[:, :, None]
-        st = st + k_t[..., None] * delta[:, :, None, :]
-        out = jnp.einsum("bhkv,bhk->bhv", st, q_t)
-        return st, out
+        new = new + k_t[..., None] * delta[:, :, None, :]
+        out = jnp.einsum("bhkv,bhk->bhv", new, q_t)
+        if m_t is not None:
+            new = jnp.where(m_t[:, None, None, None] > 0, new, st)
+        return new, out
 
     xs = tuple(
         jnp.moveaxis(a, 1, 0) for a in (q, k, v, g, beta)
     )  # time-major
-    state, outs = jax.lax.scan(step, state, xs)
+    if mask is None:
+        state, outs = jax.lax.scan(
+            lambda st, inp: step(st, inp + (None,)), state, xs
+        )
+    else:
+        state, outs = jax.lax.scan(
+            step, state, xs + (jnp.moveaxis(mask, 1, 0),)
+        )
     return jnp.moveaxis(outs, 0, 1), state
 
 
@@ -110,6 +133,8 @@ def gated_delta_net(
     conv_state,    # [B, K, conv_dim] or None
     rec_state,     # [B, Hv, dk, dv] f32 or None
     rms_eps: float = 1e-6,
+    valid=None,    # [B] int32: rows t >= valid[b] are padding (bucketed
+    # serving prefill chunks) — they leave both states untouched
 ):
     """Full GatedDeltaNet block: projections + conv + delta rule + gated
     norm + out projection. Returns (y [B, S, H], conv_state, rec_state)."""
@@ -121,6 +146,11 @@ def gated_delta_net(
     dk, dv = spec.head_k_dim, spec.head_v_dim
     r = hv // hk
 
+    if valid is not None:
+        # zero padded inputs so garbage can't reach the conv window
+        x = x * (jnp.arange(s)[None, :] < valid[:, None])[..., None].astype(
+            x.dtype
+        )
     qkvz = linear(x, p["in_proj_qkvz"])  # clean order [q | k | v | z]
     ba = linear(x, p["in_proj_ba"])      # [b | a]
     kq = spec.key_dim
@@ -130,7 +160,7 @@ def gated_delta_net(
     bgate = ba[..., :hv]
     a = ba[..., hv:]
 
-    qkv, new_conv = causal_conv(qkv, p["conv_w"], conv_state)
+    qkv, new_conv = causal_conv(qkv, p["conv_w"], conv_state, valid)
     q = qkv[..., :kq].reshape(b, s, hk, dk)
     k = qkv[..., kq : 2 * kq].reshape(b, s, hk, dk)
     v = qkv[..., 2 * kq :].reshape(b, s, hv, dv)
@@ -143,7 +173,7 @@ def gated_delta_net(
         q = jnp.repeat(q, r, axis=2)
         k = jnp.repeat(k, r, axis=2)
 
-    out, new_rec = gated_delta_scan(q, k, v, g, beta, rec_state)
+    out, new_rec = gated_delta_scan(q, k, v, g, beta, rec_state, valid)
 
     # gated RMS norm per v-head, then merge heads
     normed = rms_norm(out, p["norm_w"], rms_eps)

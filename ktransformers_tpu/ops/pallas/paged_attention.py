@@ -192,21 +192,27 @@ def mla_paged_decode(
 def _gqa_kernel(
     pt_ref,
     lens_ref,
-    q_ref,  # (1, 1, G, D)
-    *page_refs,  # ppb x k (1, page, 1, D), ppb x v, o_ref, scratches
+    q_ref,  # (1, H, D)
+    *page_refs,  # ppb x k (1, page, Hkv, D), ppb x v, o_ref, scratches
     scale: float,
     page: int,
     ppb: int,
     n_s: int,
+    hkv: int,
 ):
+    # one grid step processes ALL kv heads of a page block (static loop):
+    # Mosaic requires the trailing block dims to be full array dims, and
+    # per-head page blocks would re-fetch every page hkv times anyway
     o_ref = page_refs[2 * ppb]
     m_sc, l_sc, acc_sc = page_refs[2 * ppb + 1 :]
     k_refs = page_refs[:ppb]
     v_refs = page_refs[ppb : 2 * ppb]
 
     b = pl.program_id(0)
-    s = pl.program_id(2)
+    s = pl.program_id(1)
     length = lens_ref[b]
+    h = q_ref.shape[1]
+    g = h // hkv
 
     @pl.when(s == 0)
     def _():
@@ -216,43 +222,50 @@ def _gqa_kernel(
 
     @pl.when(s * ppb * page < length)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)  # [G, D]
         k = jnp.concatenate(
-            [r[0, :, 0] for r in k_refs], axis=0
-        ).astype(jnp.float32)  # [ppb*page, D]
+            [r[0] for r in k_refs], axis=0
+        ).astype(jnp.float32)  # [ppb*page, Hkv, D]
         v = jnp.concatenate(
-            [r[0, :, 0] for r in v_refs], axis=0
+            [r[0] for r in v_refs], axis=0
         ).astype(jnp.float32)
         base = s * ppb * page
         row_pos = base + jax.lax.broadcasted_iota(
-            jnp.int32, (k.shape[0], 1), 0
+            jnp.int32, (k.shape[0], 1, 1), 0
         )
-        row_valid = row_pos < length
-        k = jnp.where(row_valid, k, 0.0)
-        v = jnp.where(row_valid, v, 0.0)
-        scores = (
-            jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        k = jnp.where(row_pos < length, k, 0.0)
+        v = jnp.where(row_pos < length, v, 0.0)
+        for kh in range(hkv):
+            rows = slice(kh * g, (kh + 1) * g)
+            q = q_ref[0, rows].astype(jnp.float32)  # [G, D]
+            scores = (
+                jax.lax.dot_general(
+                    q, k[:, kh], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )  # [G, ppb*page]
+            kpos = base + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, 1
             )
-            * scale
-        )  # [G, ppb*page]
-        kpos = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(kpos < length, scores, NEG_INF)
+            scores = jnp.where(kpos < length, scores, NEG_INF)
 
-        m_prev = m_sc[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
-        p = jnp.exp(scores - m_new)
-        corr = jnp.exp(m_prev - m_new)
-        l_sc[:, :1] = l_sc[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
-        acc_sc[:] = acc_sc[:] * corr + jnp.dot(
-            p, v, preferred_element_type=jnp.float32
-        )
-        m_sc[:, :1] = m_new
+            m_prev = m_sc[rows, :1]
+            m_new = jnp.maximum(
+                m_prev, jnp.max(scores, axis=-1, keepdims=True)
+            )
+            p = jnp.exp(scores - m_new)
+            corr = jnp.exp(m_prev - m_new)
+            l_sc[rows, :1] = l_sc[rows, :1] * corr + jnp.sum(
+                p, axis=-1, keepdims=True
+            )
+            acc_sc[rows, :] = acc_sc[rows, :] * corr + jnp.dot(
+                p, v[:, kh], preferred_element_type=jnp.float32
+            )
+            m_sc[rows, :1] = m_new
 
     @pl.when(s == n_s - 1)
     def _():
-        o_ref[0, 0] = (
+        o_ref[0] = (
             acc_sc[:] / jnp.maximum(l_sc[:, :1], 1e-30)
         ).astype(o_ref.dtype)
 
@@ -278,41 +291,39 @@ def gqa_paged_decode(
     while pmax % ppb:
         ppb -= 1
     n_s = pmax // ppb
-    qg = q.reshape(b, hkv, g, d)
+    # q rows grouped kv-head-major so head kh's queries are rows
+    # [kh*g, (kh+1)*g)
+    qg = q.reshape(b, hkv, g, d).reshape(b, h, d)
 
     def page_spec(slot):
-        def index_map(i, kh, s, pt, lens):
+        def index_map(i, s, pt, lens):
             j = jnp.minimum(s * ppb + slot, _last_valid_slot(lens[i], page))
-            return (pt[i * pmax + j], 0, kh, 0)
+            return (pt[i * pmax + j], 0, 0, 0)
 
-        return pl.BlockSpec((1, page, 1, d), index_map)
+        return pl.BlockSpec((1, page, hkv, d), index_map)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, hkv, n_s),
+        grid=(b, n_s),
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, g, d), lambda i, kh, s, pt, lens: (i, kh, 0, 0)
-            ),
+            pl.BlockSpec((1, h, d), lambda i, s, pt, lens: (i, 0, 0)),
             *[page_spec(j) for j in range(ppb)],
             *[page_spec(j) for j in range(ppb)],
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, g, d), lambda i, kh, s, pt, lens: (i, kh, 0, 0)
-        ),
+        out_specs=pl.BlockSpec((1, h, d), lambda i, s, pt, lens: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((g, 128), jnp.float32),
-            pltpu.VMEM((g, 128), jnp.float32),
-            pltpu.VMEM((g, d), jnp.float32),
+            pltpu.VMEM((h, 128), jnp.float32),
+            pltpu.VMEM((h, 128), jnp.float32),
+            pltpu.VMEM((h, d), jnp.float32),
         ],
     )
     kernel = functools.partial(
-        _gqa_kernel, scale=scale, page=page, ppb=ppb, n_s=n_s
+        _gqa_kernel, scale=scale, page=page, ppb=ppb, n_s=n_s, hkv=hkv
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
         interpret=interpret,
     )(
         page_tables.reshape(-1).astype(jnp.int32),
@@ -321,4 +332,4 @@ def gqa_paged_decode(
         *([k_pages] * ppb),
         *([v_pages] * ppb),
     )
-    return out.reshape(b, h, d)
+    return out.reshape(b, hkv, g, d).reshape(b, h, d)

@@ -166,3 +166,37 @@ def test_smallthinker_decode_consistency():
         np.asarray(last[:, -1]), np.asarray(full[:, -1]),
         rtol=2e-4, atol=2e-4,
     )
+
+
+def test_smallthinker_paged_serving_matches_single_user():
+    """SmallThinker through the paged serving stack (per-layer SWA +
+    nope layers + early router in forward_paged) == single-user
+    Generator — the balance_serve coverage the reference has for this
+    family (archive/ktransformers/operators/balance_serve_attention.py)."""
+    import jax.numpy as jnp
+
+    from ktransformers_tpu.engine.generate import GenerateConfig, Generator
+    from ktransformers_tpu.serving.engine import ServeEngine
+    from ktransformers_tpu.serving.scheduler import SchedulerConfig
+
+    spec = spec_from_hf_config(dict(CFG))
+    params = init_params(spec, seed=0, quant="f32")
+    gen = Generator(params, spec, max_len=64, batch=1,
+                    cache_dtype=jnp.float32, compute_dtype=jnp.float32)
+    prompts = [list(range(9)), list(range(30, 42))]
+    expected = [
+        gen.generate([p], GenerateConfig(max_new_tokens=6))[0]
+        for p in prompts
+    ]
+    eng = ServeEngine(
+        params, spec,
+        SchedulerConfig(max_batch_size=2, prefill_chunk=8, page_size=4,
+                        max_pages_per_query=16),
+        num_pages=64, cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+    )
+    queries = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    for _ in range(300):
+        if not eng.step() and all(q.state == "done" for q in queries):
+            break
+    got = [list(q.output_ids) for q in queries]
+    assert got == expected, (got, expected)
