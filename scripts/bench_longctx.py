@@ -123,9 +123,20 @@ def main():
         "page_size": args.page,
     }
     print(json.dumps(out))
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH_LONGCTX.json"), "w") as f:
-        json.dump(out, f)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_LONGCTX.json")
+    merged = {}
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+        merged = prev if "dense_tok_s" not in prev else {
+            prev["metric"].split(" @ ")[1].split(" ")[0]: prev
+        }
+    except Exception:
+        pass
+    merged[f"{args.ctx // 1024}K"] = out
+    with open(path, "w") as f:
+        json.dump(merged, f)
 
 
 if __name__ == "__main__":
