@@ -281,18 +281,15 @@ class HostOffloadGenerator:
 
     # -- forward over one chunk --------------------------------------------
 
-    def forward_chunk(
-        self,
-        tokens: np.ndarray,  # [B, S] int32
-        cache: KVCache,
-        temperature: float = 0.0,
-        key=None,
-    ):
-        """Runs the full layer stack over S new tokens; returns
-        (next_token [B], logits [B, V], cache). The KV bufs advance by S."""
+    def _chunk_steps(self, tokens, cache: KVCache, temperature, key):
+        """Generator form of one forward chunk: after dispatching each
+        device segment it YIELDS (layer_idx, packed) — the host expert
+        input whose FFN the driver computes — and resumes with the expert
+        output via send(). Single-batch forward drives it inline;
+        forward_chunk_pipelined round-robins several microbatches so one
+        microbatch's host GEMM overlaps another's device segment (the
+        reference's CPU/GPU overlap, experts_base.py submit/sync)."""
         b, s = tokens.shape
-        if key is None:
-            key = jax.random.PRNGKey(0)
         lengths = cache.lengths
         bufs = list(zip(cache.bufs_a, cache.bufs_b))
         # numpy operands go straight into the jit calls: on this runtime an
@@ -302,7 +299,7 @@ class HostOffloadGenerator:
             self.params, tokens, bufs[: self.first_moe + 1],
             lengths, self.rope,
         )
-        expert_y = self._host_moe(self.first_moe, packed)
+        expert_y = yield (self.first_moe, packed)
         mid = self._seg_mid(s)
         for li in range(self.first_moe + 1, self.spec.num_layers):
             res, sh, packed, b2 = mid(
@@ -310,7 +307,7 @@ class HostOffloadGenerator:
                 bufs[li], lengths, rope_cs,
             )
             new_bufs.append(b2)
-            expert_y = self._host_moe(li, packed)
+            expert_y = yield (li, packed)
         tok, logits = self._seg_final(s)(
             self.params, res, sh, expert_y,
             jnp.float32(temperature), key,
@@ -322,6 +319,59 @@ class HostOffloadGenerator:
         )
         return tok, logits, cache
 
+    def forward_chunk(
+        self,
+        tokens: np.ndarray,  # [B, S] int32
+        cache: KVCache,
+        temperature: float = 0.0,
+        key=None,
+    ):
+        """Runs the full layer stack over S new tokens; returns
+        (next_token [B], logits [B, V], cache). The KV bufs advance by S."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        gen = self._chunk_steps(tokens, cache, temperature, key)
+        try:
+            li, packed = gen.send(None)
+            while True:
+                li, packed = gen.send(self._host_moe(li, packed))
+        except StopIteration as e:
+            return e.value
+
+    def forward_chunk_pipelined(
+        self,
+        tokens_list,  # list of [Bi, S] microbatches
+        caches,  # matching KVCaches
+        temperature: float = 0.0,
+        keys=None,
+    ):
+        """2-stage software pipeline over microbatches: while the host
+        computes microbatch i's routed experts, the device runs the other
+        microbatches' attention/shared segments (dispatched by their last
+        send()). Returns a list of (tok, logits, cache)."""
+        n = len(tokens_list)
+        if keys is None:
+            keys = [jax.random.PRNGKey(i) for i in range(n)]
+        gens = [
+            self._chunk_steps(t, c, temperature, k)
+            for t, c, k in zip(tokens_list, caches, keys)
+        ]
+        pending: list = [g.send(None) for g in gens]
+        results: list = [None] * n
+        live = list(range(n))
+        while live:
+            for i in list(live):
+                li, packed = pending[i]
+                # blocking readback + host GEMM for microbatch i; the
+                # other live microbatches' device segments are in flight
+                ey = self._host_moe(li, packed)
+                try:
+                    pending[i] = gens[i].send(ey)
+                except StopIteration as e:
+                    results[i] = e.value
+                    live.remove(i)
+        return results
+
     def generate(
         self,
         prompts: list[list[int]],
@@ -330,6 +380,14 @@ class HostOffloadGenerator:
         temperature: float = 0.0,
         seed: int = 0,
         progress=None,
+        microbatches: int = 1,  # >1: 2-stage pipeline — microbatch i's
+        # host expert GEMM overlaps the others' device segments. NOTE
+        # measured NEGATIVE at large batch on this host (28.1 -> 21.6
+        # tok/s, scripts/bench_offload.py --microbatches): big batches
+        # route to nearly every expert, so each microbatch re-reads the
+        # full expert bytes and the weight-bandwidth-bound host loses
+        # more than the overlap gains. Worthwhile only when the host
+        # GEMM is compute-bound.
     ) -> list[list[int]]:
         """Greedy/temperature batch generation. Prompts are left-aligned;
         per-row lengths tracked via the cache (rows shorter than the batch
@@ -338,30 +396,47 @@ class HostOffloadGenerator:
         assert len(prompts) <= self.batch
         lens = {len(p) for p in prompts}
         assert len(lens) == 1, "v1: equal prompt lengths"
+        m = microbatches
+        assert self.batch % m == 0, (self.batch, m)
+        bs = self.batch // m
         n = len(prompts)
         pad = [prompts[0]] * (self.batch - n)
         toks = np.asarray(list(prompts) + pad, np.int32)
-        cache = self.new_cache()
+        caches = [
+            KVCache.create(self.spec, bs, self.max_len,
+                           dtype=self.cache_dtype)
+            for _ in range(m)
+        ]
         key = jax.random.PRNGKey(seed)
         out = [[] for _ in range(n)]
+
+        def run(chunks, subkeys):
+            res = self.forward_chunk_pipelined(
+                chunks, caches, temperature, subkeys
+            )
+            for i, (tok_i, _, c_i) in enumerate(res):
+                caches[i] = c_i
+            return jnp.concatenate([r[0] for r in res], 0)
+
         # prefill in chunks
         pos = 0
         total = toks.shape[1]
         while pos < total:
             chunk = toks[:, pos : pos + prefill_chunk]
-            key, sub = jax.random.split(key)
-            tok, logits, cache = self.forward_chunk(
-                chunk, cache, temperature, sub
+            key, *subs = jax.random.split(key, m + 1)
+            tok = run(
+                [chunk[i * bs : (i + 1) * bs] for i in range(m)], subs
             )
             pos += chunk.shape[1]
             if progress:
                 progress(f"prefill {pos}/{total}")
         toks_dev = [tok]
-        keys = jax.random.split(key, max_new_tokens + 1)
         cur = tok
         for step in range(max_new_tokens - 1):
-            cur, _, cache = self.forward_chunk(
-                cur.reshape(-1, 1), cache, temperature, keys[step]
+            key, *subs = jax.random.split(key, m + 1)
+            cur = np.asarray(cur).reshape(-1, 1)
+            cur = run(
+                [cur[i * bs : (i + 1) * bs] for i in range(m)], subs
             )
             toks_dev.append(cur)
             if progress:

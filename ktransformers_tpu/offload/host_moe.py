@@ -34,6 +34,32 @@ _lib = None
 _tried = False
 
 
+def hugepage_empty(shape, dtype) -> np.ndarray:
+    """Uninitialized array backed by madvise(MADV_HUGEPAGE) anonymous
+    memory. First-touch on this VM's 4 KB fault path writes at ~40 MB/s;
+    with transparent hugepages it is ~28x faster — which dominates the
+    load time of 10s-of-GB host expert arrays. Falls back to np.empty
+    when mmap/madvise are unavailable (non-Linux, tiny sizes)."""
+    shape = (shape,) if isinstance(shape, int) else tuple(shape)
+    size = int(np.prod(shape)) * np.dtype(dtype).itemsize
+    if size < (1 << 21):  # below one hugepage: not worth the mmap
+        return np.empty(shape, dtype)
+    try:
+        import ctypes
+        import mmap as _mmap
+
+        buf = _mmap.mmap(-1, size)
+        addr = ctypes.addressof(ctypes.c_char.from_buffer(buf))
+        libc = ctypes.CDLL(None, use_errno=True)
+        madv_hugepage = 14  # linux MADV_HUGEPAGE
+        libc.madvise(
+            ctypes.c_void_p(addr), ctypes.c_size_t(size), madv_hugepage
+        )
+        return np.frombuffer(buf, dtype=dtype).reshape(shape)
+    except Exception:  # pragma: no cover - platform-dependent
+        return np.empty(shape, dtype)
+
+
 def _load():
     global _lib, _tried
     with _lock:

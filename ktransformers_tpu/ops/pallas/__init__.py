@@ -11,7 +11,7 @@ import jax
 
 _ENABLED = False
 
-PALLAS_KINDS = ("int8", "int4", "int4_g", "int4_gz")
+PALLAS_KINDS = ("int8", "int4", "int4_g", "int4_gz", "fp8")
 
 
 def enable() -> None:

@@ -59,6 +59,15 @@ def main():
     ap.add_argument("--prompt", type=int, default=32)
     ap.add_argument("--decode", type=int, default=12)
     ap.add_argument("--hidden", type=int, default=5120)
+    ap.add_argument("--microbatches", type=int, default=1,
+                    help="2 = overlap host expert GEMM with the other "
+                    "half's device segments. NEGATIVE RESULT on this "
+                    "host (measured: 28.1 -> 21.6 tok/s at batch 64): "
+                    "the host GEMM is weight-bandwidth-bound and big "
+                    "batches hit nearly every expert, so each microbatch "
+                    "re-reads the full expert bytes — the overlap win is "
+                    "smaller than the doubled host traffic. Useful only "
+                    "when the host is compute-bound (many cores).")
     args = ap.parse_args()
 
     import jax
@@ -127,7 +136,7 @@ def main():
 
     out = gen.generate(
         prompts, max_new_tokens=args.decode, prefill_chunk=args.prompt,
-        progress=progress,
+        progress=progress, microbatches=args.microbatches,
     )
     decode_steps = [dt for m, dt in times if m.startswith("decode")]
     # first decode step includes compilation; drop it
@@ -145,9 +154,12 @@ def main():
         "per_user_tok_s": round(1.0 / step_s, 3),
     }
     print(json.dumps(result))
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH_OFFLOAD.json"), "w") as f:
-        json.dump(result, f)
+    if result["hbm_ratio"] >= 1.5:
+        # only bigger-than-HBM runs are the headline artifact; small
+        # A/B configs must not clobber it
+        with open(os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "BENCH_OFFLOAD.json"), "w") as f:
+            json.dump(result, f)
 
 
 if __name__ == "__main__":

@@ -138,3 +138,25 @@ def test_offloaded_logits_match_forward():
         np.asarray(ref_logits[:, -1].astype(jnp.float32)),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_offload_microbatch_pipeline_matches():
+    """microbatches=2 (host GEMM of one half overlapped with the other
+    half's device segments) must reproduce the unpipelined outputs —
+    the pipeline is a pure schedule change."""
+    from ktransformers_tpu.offload.host_engine import (
+        HostOffloadGenerator,
+        split_params_for_offload,
+    )
+
+    spec, params = _setup()
+    prompts = [list(range(3, 13)), list(range(40, 50))]
+    dev_params, host_layers = split_params_for_offload(params, spec)
+    off = HostOffloadGenerator(
+        dev_params, spec, host_layers, max_len=64, batch=2,
+        cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+    )
+    want = off.generate(prompts, max_new_tokens=6, prefill_chunk=8)
+    got = off.generate(prompts, max_new_tokens=6, prefill_chunk=8,
+                       microbatches=2)
+    assert got == want

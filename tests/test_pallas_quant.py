@@ -67,7 +67,7 @@ def test_quant_matmul_odd_n(rng):
     np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
 
 
-@pytest.mark.parametrize("kind", ["int8", "int4_g"])
+@pytest.mark.parametrize("kind", ["int8", "int4_g", "fp8"])
 def test_grouped_quant_matmul_kernel(rng, kind):
     from ktransformers_tpu.ops.pallas.quant_matmul import grouped_quant_matmul
 
