@@ -357,7 +357,10 @@ def quant(model_path, out_dir, quant, moe_quant, config_path,
 @click.option("--quant", default=None, help="override dense quant kind")
 @click.option("--moe-quant", default=None, help="override expert kind")
 @click.option("--output", default=None, help="write the plan JSON here")
-def tune(preset, quant, moe_quant, output):
+@click.option("--emit-server-config", "server_config_out", default=None,
+              help="also write a ServerConfig file consumable by "
+              "`kt serve --config-file`")
+def tune(preset, quant, moe_quant, output, server_config_out):
     """Plan serving knobs for a model on this device (reference tuner
     analog: kt-kernel's kernel/config search, README.md:548-559).
 
@@ -409,6 +412,17 @@ def tune(preset, quant, moe_quant, output):
     if output:
         with open(output, "w") as f:
             f.write(out)
+    if server_config_out:
+        sc = {
+            "quant": qk,
+            "moe_quant": mk,
+            "offload": not est["fits_v5e"],
+            **plan["serve"],
+        }
+        with open(server_config_out, "w") as f:
+            f.write(json.dumps(sc, indent=2))
+        print(f"server config written to {server_config_out}",
+              file=sys.stderr)
 
 
 @cli.command("eval-ppl")

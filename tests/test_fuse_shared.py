@@ -40,9 +40,18 @@ def test_fused_shared_experts_exact():
 
 
 def test_fuse_falls_back_on_kind_mismatch():
+    from ktransformers_tpu.quant.formats import dequantize, quantize
+
     spec = spec_from_hf_config(dict(TINY_DS))
     params = init_params(spec, seed=0, quant="bf16", moe_quant="int4_g",
                          group_size=32)
+    # shared experts follow moe_quant since r2 — force a mismatch by
+    # re-kinding the shared tensors to bf16
+    for lp in params["layers"]:
+        if "moe" in lp and lp["moe"].get("shared") is not None:
+            sh = lp["moe"]["shared"]
+            for k in ("gate_up", "down"):
+                sh[k] = quantize(dequantize(sh[k], jnp.float32), "bf16")
     fused = fuse_shared_experts(params, spec)  # shared bf16 vs routed int4
     assert not any(
         "moe" in lp and lp["moe"]["experts"].n_shared_fused

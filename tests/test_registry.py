@@ -82,6 +82,20 @@ def test_cli_models_and_tune():
     assert "host-offload" in plan["mode"]
 
 
+def test_tune_emits_server_config(tmp_path):
+    """tune --emit-server-config composes with kt serve --config-file."""
+    from ktransformers_tpu.serving.config import ServerConfig
+
+    out = str(tmp_path / "server.json")
+    r = CliRunner().invoke(
+        cli, ["tune", "--model", "deepseek-r1", "--emit-server-config", out]
+    )
+    assert r.exit_code == 0, r.output
+    sc = ServerConfig.from_file(out)
+    assert sc.offload is True
+    assert sc.num_pages >= 64 and sc.max_batch_size >= 1
+
+
 def test_cli_quant(tmp_path):
     from tests.test_cli_checkpoint import _make_hf_dir
 
