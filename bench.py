@@ -178,6 +178,7 @@ def main():
         ("BENCH_OFFLOAD.json", "offload"),
         ("BENCH_LONGCTX.json", "longctx"),
         ("BENCH_SERVING.json", "serving"),
+        ("BENCH_SPECULATIVE.json", "speculative"),
     ):
         try:
             with open(os.path.join(here, fname)) as f:
