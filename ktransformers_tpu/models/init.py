@@ -206,12 +206,14 @@ def _mlp_or_moe(spec, li, q, rand, quant, moe_quant, skip_experts=False):
             moe["router_bias_corr"] = jnp.zeros((m.num_experts,), jnp.float32)
         if m.shared_expert_intermediate_size:
             fs = m.shared_expert_intermediate_size
-            # shared experts follow the EXPERT kind (reference q4km packs
-            # shared_experts' ffn tensors at Q4_K like the routed ones);
-            # int4 shared halves their decode read bytes
+            # shared experts use the DENSE kind. NEGATIVE RESULT (r2): at
+            # moe_quant=int4_g they route through the dense W4A8 kernels,
+            # which lose to int8 streams at decode M (274.9 -> 205.8
+            # tok/s on the bench model), and at 2x routed-expert size the
+            # fused FFN kernel's VMEM budget excludes them.
             moe["shared"] = {
-                "gate_up": q((d, 2 * fs), moe_quant),
-                "down": q((fs, d), moe_quant),
+                "gate_up": q((d, 2 * fs), quant),
+                "down": q((fs, d), quant),
             }
             if m.shared_expert_gate:
                 moe["shared_gate"] = rand((1, d), 1.0 / np.sqrt(d))
@@ -319,10 +321,10 @@ def init_params(
                 moe["router_bias_corr"] = jnp.zeros((m.num_experts,), jnp.float32)
             if m.shared_expert_intermediate_size:
                 fs = m.shared_expert_intermediate_size
-                # shared experts follow the expert kind (see init_params)
+                # dense kind for shared experts (see init_params note)
                 moe["shared"] = {
-                    "gate_up": _q(rng, (d, 2 * fs), moe_quant, group_size),
-                    "down": _q(rng, (fs, d), moe_quant, group_size),
+                    "gate_up": _q(rng, (d, 2 * fs), quant, group_size),
+                    "down": _q(rng, (fs, d), quant, group_size),
                 }
                 if m.shared_expert_gate:
                     moe["shared_gate"] = _rand(rng, (1, d))

@@ -283,18 +283,18 @@ def build_params(
                     is not None
                     else f"{mlp_pre}.shared_expert"
                 )
-                # shared experts follow the EXPERT kind (the reference's
-                # q4km GGUFs pack shared_experts ffn tensors at Q4_K like
-                # the routed experts)
+                # shared experts use the dense kind (int4 shared measured
+                # 274.9 -> 205.8 tok/s through the dense W4A8 path;
+                # models/init.py note)
                 moe["shared"] = {
                     "gate_up": qx_fused(
                         f"{base}.gate_proj.weight", f"{base}.up_proj.weight",
                         f"{base}.gate_up_proj",
-                        f"layers.{li}.moe.shared", moe_quant,
+                        f"layers.{li}.moe.shared", quant,
                     ),
                     "down": qx(
                         f"{base}.down_proj.weight",
-                        f"layers.{li}.moe.shared", moe_quant,
+                        f"layers.{li}.moe.shared", quant,
                     ),
                 }
                 if m.shared_expert_gate:
