@@ -49,7 +49,7 @@ class Generator:
         from ktransformers_tpu.ops import pallas as pallas_ops
         from ktransformers_tpu.utils.device_prep import prepare_params
 
-        params = prepare_params(params, pallas_ops.maybe_enable())
+        params = prepare_params(params, pallas_ops.maybe_enable(), spec)
         self.params = params
         self.spec = spec
         self.max_len = max_len

@@ -155,22 +155,61 @@ def _write_cache(buf: jnp.ndarray, new: jnp.ndarray, offset: jnp.ndarray):
     return jax.vmap(one)(buf, new, offset)
 
 
+def mla_qkv_proj(p, spec: ModelSpec, x):
+    """MLA q/kv projections; consumes the fused "qkv_a" weight when the
+    engine-init pass merged q(_a) + kv_a into one matmul (one kernel launch
+    + one shared activation-quant instead of two; utils/device_prep.py
+    fuse_qkv_projections). Returns (q [B,S,H*(nope+dr)], ckv_kpe [B,S,R+Dr])."""
+    a = spec.attention
+    if "qkv_a" in p:
+        qw = a.q_lora_rank or a.num_heads * (
+            a.qk_nope_head_dim + a.qk_rope_head_dim
+        )
+        both = plinear(p, "qkv_a", x, p.get("qkv_a_bias"))
+        q, ckv_kpe = both[..., :qw], both[..., qw:]
+    else:
+        if a.q_lora_rank:
+            q = plinear(p, "q_a", x, p.get("q_a_bias"))
+        else:
+            q = plinear(p, "q_proj", x)
+        ckv_kpe = plinear(p, "kv_a", x, p.get("kv_a_bias"))
+    if a.q_lora_rank:
+        q = rms_norm(q, p["q_a_norm"], spec.rms_norm_eps)
+        q = plinear(p, "q_b", q)
+    return q, ckv_kpe
+
+
+def gqa_qkv_proj(p, spec: ModelSpec, x):
+    """GQA q/k/v projections, fused-"qkv"-aware (see mla_qkv_proj).
+    Returns flat (q [B,S,Hq*D or Hq*2D], k [B,S,Hkv*D], v [B,S,Hkv*D])."""
+    a = spec.attention
+    h, hkv, d = a.num_heads, a.num_kv_heads, a.head_dim
+    qw = h * (2 * d if a.gated_output else d)
+    kw = hkv * d
+    if "qkv" in p:
+        qkv = plinear(p, "qkv", x, p.get("qkv_bias"))
+        return (
+            qkv[..., :qw],
+            qkv[..., qw : qw + kw],
+            qkv[..., qw + kw :],
+        )
+    return (
+        plinear(p, "q_proj", x, p.get("q_bias")),
+        plinear(p, "k_proj", x, p.get("k_bias")),
+        plinear(p, "v_proj", x, p.get("v_bias")),
+    )
+
+
 def _mla_attention(p, spec: ModelSpec, x, layer_cache, pos_offset, rope_cs):
     a = spec.attention
     b, s, _ = x.shape
     h = a.num_heads
     nope, dr, r = a.qk_nope_head_dim, a.qk_rope_head_dim, a.kv_lora_rank
 
-    if a.q_lora_rank:
-        q = plinear(p, "q_a", x, p.get("q_a_bias"))
-        q = rms_norm(q, p["q_a_norm"], spec.rms_norm_eps)
-        q = plinear(p, "q_b", q)
-    else:
-        q = plinear(p, "q_proj", x)
+    q, ckv_kpe = mla_qkv_proj(p, spec, x)
     q = q.reshape(b, s, h, nope + dr)
     q_nope, q_pe = q[..., :nope], q[..., nope:]
 
-    ckv_kpe = plinear(p, "kv_a", x, p.get("kv_a_bias"))  # [B,S,R+Dr]
     ckv = rms_norm(ckv_kpe[..., :r], p["kv_a_norm"], spec.rms_norm_eps)
     k_pe = ckv_kpe[..., r:]
 
@@ -228,16 +267,15 @@ def _gqa_attention(p, spec: ModelSpec, x, layer_cache, pos_offset, rope_cs,
     h, hkv, d = a.num_heads, a.num_kv_heads, a.head_dim
 
     gate = None
+    q_flat, k_flat, v_flat = gqa_qkv_proj(p, spec, x)
     if a.gated_output:
         # qwen3-next: q_proj emits [q | gate] interleaved per head
-        qg = plinear(p, "q_proj", x, p.get("q_bias")).reshape(
-            b, s, h, 2 * d
-        )
+        qg = q_flat.reshape(b, s, h, 2 * d)
         q, gate = qg[..., :d], qg[..., d:].reshape(b, s, h * d)
     else:
-        q = plinear(p, "q_proj", x, p.get("q_bias")).reshape(b, s, h, d)
-    k = plinear(p, "k_proj", x, p.get("k_bias")).reshape(b, s, hkv, d)
-    v = plinear(p, "v_proj", x, p.get("v_bias")).reshape(b, s, hkv, d)
+        q = q_flat.reshape(b, s, h, d)
+    k = k_flat.reshape(b, s, hkv, d)
+    v = v_flat.reshape(b, s, hkv, d)
 
     if a.qk_norm:
         q = rms_norm(q, p["q_norm"], spec.rms_norm_eps)

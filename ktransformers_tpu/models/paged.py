@@ -19,7 +19,12 @@ import jax
 import jax.numpy as jnp
 
 from ktransformers_tpu.cache.paged import PagedKVCache
-from ktransformers_tpu.models.model import NEG_INF, a_interleaved
+from ktransformers_tpu.models.model import (
+    NEG_INF,
+    a_interleaved,
+    gqa_qkv_proj,
+    mla_qkv_proj,
+)
 from ktransformers_tpu.models.spec import ModelSpec
 from ktransformers_tpu.ops.attention import (
     BLOCKWISE_KV_THRESHOLD,
@@ -114,16 +119,10 @@ def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
     h = a.num_heads
     nope, dr, r = a.qk_nope_head_dim, a.qk_rope_head_dim, a.kv_lora_rank
 
-    if a.q_lora_rank:
-        q = plinear(p, "q_a", x, p.get("q_a_bias"))
-        q = rms_norm(q, p["q_a_norm"], spec.rms_norm_eps)
-        q = plinear(p, "q_b", q)
-    else:
-        q = plinear(p, "q_proj", x)
+    q, ckv_kpe = mla_qkv_proj(p, spec, x)
     q = q.reshape(b, s, h, nope + dr)
     q_nope, q_pe = q[..., :nope], q[..., nope:]
 
-    ckv_kpe = plinear(p, "kv_a", x, p.get("kv_a_bias"))
     ckv = rms_norm(ckv_kpe[..., :r], p["kv_a_norm"], spec.rms_norm_eps)
     k_pe = ckv_kpe[..., r:]
 
@@ -236,14 +235,15 @@ def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
     h, hkv, d = a.num_heads, a.num_kv_heads, a.head_dim
 
     gate = None
+    q_flat, k_flat, v_flat = gqa_qkv_proj(p, spec, x)
     if a.gated_output:
         # qwen3-next: q_proj emits [q | gate] interleaved per head
-        qg = plinear(p, "q_proj", x, p.get("q_bias")).reshape(b, s, h, 2 * d)
+        qg = q_flat.reshape(b, s, h, 2 * d)
         q, gate = qg[..., :d], qg[..., d:].reshape(b, s, h * d)
     else:
-        q = plinear(p, "q_proj", x, p.get("q_bias")).reshape(b, s, h, d)
-    k = plinear(p, "k_proj", x, p.get("k_bias")).reshape(b, s, hkv, d)
-    v = plinear(p, "v_proj", x, p.get("v_bias")).reshape(b, s, hkv, d)
+        q = q_flat.reshape(b, s, h, d)
+    k = k_flat.reshape(b, s, hkv, d)
+    v = v_flat.reshape(b, s, hkv, d)
     if a.qk_norm:
         q = rms_norm(q, p["q_norm"], spec.rms_norm_eps)
         k = rms_norm(k, p["k_norm"], spec.rms_norm_eps)

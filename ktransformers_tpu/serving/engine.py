@@ -55,7 +55,7 @@ class ServeEngine:
         from ktransformers_tpu.ops import pallas as pallas_ops
         from ktransformers_tpu.utils.device_prep import prepare_params
 
-        params = prepare_params(params, pallas_ops.maybe_enable())
+        params = prepare_params(params, pallas_ops.maybe_enable(), spec)
         self.params = params
         self.spec = spec
         self.cfg = cfg
