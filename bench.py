@@ -128,7 +128,10 @@ def main():
     log(f"decode: {decode_tps:.2f} tok/s")
 
     # --- prefill (best effort within the time budget; the remote compile
-    # service occasionally takes minutes) ---
+    # service occasionally takes minutes). Single-shot timings lie under
+    # async dispatch + the tunnel (CLAUDE.md; VERDICT r2 weak item 1), so
+    # chain iterations through a data dependency: each round's tokens
+    # depend on the previous round's logits, forcing serial execution.
     prefill_tps = None
     if time.perf_counter() - t_start < 240:
         try:
@@ -138,15 +141,24 @@ def main():
             jax.block_until_ready(last_logits)
             prefill_compile_s = time.perf_counter() - t0
 
-            cache = gen.new_cache()
+            @jax.jit
+            def _chain(tokens, last_logits):
+                nxt = jnp.argmax(last_logits, -1).astype(jnp.int32)
+                return tokens.at[:, 0].set(nxt)
+
+            n_pre = 12
+            tokens = _chain(tokens, last_logits)  # warm the chain program
+            jax.block_until_ready(tokens)
             t0 = time.perf_counter()
-            last_logits, cache = gen.prefill(cache, tokens)
+            for _ in range(n_pre):
+                last_logits, _ = gen.prefill(gen.new_cache(), tokens)
+                tokens = _chain(tokens, last_logits)
             jax.block_until_ready(last_logits)
-            prefill_s = time.perf_counter() - t0
+            prefill_s = (time.perf_counter() - t0) / n_pre
             prefill_tps = prompt_len / prefill_s
             log(
-                f"prefill: {prefill_tps:.1f} tok/s "
-                f"(compile {prefill_compile_s:.1f}s)"
+                f"prefill: {prefill_tps:.1f} tok/s over {n_pre} chained "
+                f"iterations (compile {prefill_compile_s:.1f}s)"
             )
         except Exception as e:  # pragma: no cover
             log(f"prefill bench failed: {e}")

@@ -155,6 +155,19 @@ def _write_cache(buf: jnp.ndarray, new: jnp.ndarray, offset: jnp.ndarray):
     return jax.vmap(one)(buf, new, offset)
 
 
+def _assert_no_orphan_lora(p, legacy_names, fused_key):
+    """A LoRA adapter attached AFTER qkv fusion under an unfused key (e.g.
+    'q_proj_lora') would silently never apply — plinear only consults
+    '<fused_key>_lora'. Fail loudly instead (ADVICE r2)."""
+    orphans = [n + "_lora" for n in legacy_names if (n + "_lora") in p]
+    if orphans:
+        raise ValueError(
+            f"LoRA adapters {orphans} are attached under pre-fusion keys but "
+            f"the layer uses the fused '{fused_key}' projection; attach the "
+            f"adapter as '{fused_key}_lora' or disable KT_FUSE_QKV"
+        )
+
+
 def mla_qkv_proj(p, spec: ModelSpec, x):
     """MLA q/kv projections; consumes the fused "qkv_a" weight when the
     engine-init pass merged q(_a) + kv_a into one matmul (one kernel launch
@@ -162,6 +175,7 @@ def mla_qkv_proj(p, spec: ModelSpec, x):
     fuse_qkv_projections). Returns (q [B,S,H*(nope+dr)], ckv_kpe [B,S,R+Dr])."""
     a = spec.attention
     if "qkv_a" in p:
+        _assert_no_orphan_lora(p, ("q_a", "q_proj", "kv_a"), "qkv_a")
         qw = a.q_lora_rank or a.num_heads * (
             a.qk_nope_head_dim + a.qk_rope_head_dim
         )
@@ -187,6 +201,7 @@ def gqa_qkv_proj(p, spec: ModelSpec, x):
     qw = h * (2 * d if a.gated_output else d)
     kw = hkv * d
     if "qkv" in p:
+        _assert_no_orphan_lora(p, ("q_proj", "k_proj", "v_proj"), "qkv")
         qkv = plinear(p, "qkv", x, p.get("qkv_bias"))
         return (
             qkv[..., :qw],

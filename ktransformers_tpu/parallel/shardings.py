@@ -62,7 +62,18 @@ def param_shardings(params, spec: ModelSpec, mesh: Mesh):
         attn = {}
         if a.kind == "mla":
             for k in attn_p:
-                if k == "kv_a":
+                if k == "qkv_a":
+                    # fused q(_a)+kv_a (device_prep.fuse_qkv_projections):
+                    # with q_lora both parts were replicated; without it the
+                    # q half was head-sharded — shard N over tp in that case
+                    # (ADVICE r2: don't silently fall back to replicated)
+                    attn[k] = q(
+                        attn_p[k],
+                        P(None, None) if a.q_lora_rank else P(None, "tp"),
+                    )
+                elif k == "qkv_a_bias":
+                    attn[k] = P(None) if a.q_lora_rank else P("tp")
+                elif k == "kv_a":
                     attn[k] = q(attn_p[k], P(None, None))  # small; replicate
                 elif k in ("q_proj", "q_b"):
                     attn[k] = q(attn_p[k], P(None, "tp"))  # heads over tp
@@ -80,11 +91,11 @@ def param_shardings(params, spec: ModelSpec, mesh: Mesh):
                     attn[k] = REPL
         else:
             for k in attn_p:
-                if k in ("q_proj", "k_proj", "v_proj"):
+                if k in ("q_proj", "k_proj", "v_proj", "qkv"):
                     attn[k] = q(attn_p[k], P(None, "tp"))
                 elif k == "o_proj":
                     attn[k] = q(attn_p[k], P("tp", None))
-                elif k in ("q_bias", "k_bias", "v_bias"):
+                elif k in ("q_bias", "k_bias", "v_bias", "qkv_bias"):
                     attn[k] = P("tp")
                 elif isinstance(attn_p[k], QTensor):
                     attn[k] = q(attn_p[k], P(None, None))

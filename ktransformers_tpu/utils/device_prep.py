@@ -58,6 +58,10 @@ def _concat_out(parts):
             or t.data.shape[:-1] != f.data.shape[:-1]
             or (t.scales is None) != (f.scales is None)
             or (t.zeros is None) != (f.zeros is None)
+            # mixed scale/zero dtypes would silently type-promote under
+            # concatenate, changing what the fused kernel sees (ADVICE r2)
+            or (t.scales is not None and t.scales.dtype != f.scales.dtype)
+            or (t.zeros is not None and t.zeros.dtype != f.zeros.dtype)
         ):
             return None
     import dataclasses

@@ -102,6 +102,38 @@ def test_prefix_cache_match_and_evict():
     assert evicted == 2 and a.free_count == 8
 
 
+def test_prefix_cache_lru_eviction_order():
+    """The heap-based trim must evict the least-recently-used leaf first
+    and cascade into a parent once its last child is gone."""
+    a = PageAllocator(8)
+    pc = PrefixCache(a, page_size=2)
+    # two chains sharing no prefix: A = [0,1],[2,3]  B = [9,8],[7,6]
+    pa = a.alloc(2)
+    pc.insert([0, 1, 2, 3], pa)
+    a.release(pa)
+    pb = a.alloc(2)
+    pc.insert([9, 8, 7, 6], pb)
+    a.release(pb)
+    assert a.free_count == 4
+    # touch chain A so B becomes LRU
+    _, got = pc.lookup([0, 1, 2, 3])
+    a.release(got)
+
+    # free 5 pages -> evicts exactly one leaf: B's deepest node
+    pc.trim(5)
+    assert a.free_count == 5
+    m_b, got_b = pc.lookup([9, 8, 7, 6])
+    assert m_b == 2  # only B's first page survives
+    a.release(got_b)
+    m_a, got_a = pc.lookup([0, 1, 2, 3])
+    assert m_a == 4  # chain A untouched
+    a.release(got_a)
+
+    # full trim cascades into re-leafed parents and empties the tree
+    pc.trim(8)
+    assert a.free_count == 8 and pc.stats()["nodes"] == 0
+
+
 def test_serving_matches_single_user():
     """Continuous batching with interleaved queries must give the same
     greedy outputs as the single-user Generator — the correctness invariant
