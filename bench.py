@@ -72,13 +72,13 @@ def main():
     log("devices:", jax.devices())
 
     t0 = time.perf_counter()
-    # NEGATIVE RESULT (measured, do not retry blindly): quant="int4_g"
-    # group_size=64 for dense/attn/lm_head gives 214 tok/s vs int8's 270 —
-    # group 64 (needed because the dense MLP's K=10944 is not a multiple
-    # of 128) doubles scale bytes AND the in-kernel group-loop count, and
-    # the prefill int4 kernel's scale planes blow the 16 MB VMEM scope at
-    # ng=171. int8 dense + int4_g experts stays the shipped config.
-    quant = os.environ.get("KT_BENCH_QUANT", "int8")
+    # Round-3 config change: dense/attn/lm_head now default int4_g. The r2
+    # negative result (int4_g dense 214 vs int8 270 tok/s) was the
+    # bf16-dequant VPU kernel; the all-M W4A8 path (int8-MXU dots on packed
+    # bytes, per-group decode temps) streams int4 at full rate: measured
+    # 302-310 tok/s vs int8's 274, and the K=10944 VMEM bust is gone
+    # (effective_group_size now picks 96 for the dense MLP).
+    quant = os.environ.get("KT_BENCH_QUANT", "int4_g")
     moe_quant = os.environ.get("KT_BENCH_MOE_QUANT", "int4_g")
     params = init_params_synthetic(spec, quant=quant, moe_quant=moe_quant)
     # NOTE: ops/fuse_shared.fuse_shared_experts measured -4% here (the
@@ -126,6 +126,11 @@ def main():
     decode_s = time.perf_counter() - t0
     decode_tps = n_steps / decode_s
     log(f"decode: {decode_tps:.2f} tok/s")
+    # NEGATIVE RESULT (measured r3, do not retry blindly): a k-step
+    # lax.scan decode program (_decode_steps) amortizes dispatch on normal
+    # runtimes but hits the axon program-size dispatch cliff here: k=2
+    # unrolled = 387 ms/dispatch (vs 3.7 ms single-step); scan unroll=1
+    # iterates host-side at ~36 ms/step. Keep single-step dispatches.
 
     # --- prefill (best effort within the time budget; the remote compile
     # service occasionally takes minutes). Single-shot timings lie under
@@ -135,6 +140,7 @@ def main():
     prefill_tps = None
     if time.perf_counter() - t_start < 240:
         try:
+            gen._prefill_chunk = prompt_len  # one dispatch per prefill
             cache = gen.new_cache()
             t0 = time.perf_counter()
             last_logits, cache = gen.prefill(cache, tokens)
@@ -147,11 +153,17 @@ def main():
                 return tokens.at[:, 0].set(nxt)
 
             n_pre = 12
+            # pre-create the caches OUTSIDE the timed loop: KVCache.create
+            # is 54 zeros dispatches, and at ~1-2 ms of axon host time per
+            # dispatch that dominated the measurement (r3: 3.6k vs 18.5k
+            # tok/s run-to-run depending on host run-ahead)
+            caches = [gen.new_cache() for _ in range(n_pre)]
+            jax.block_until_ready(caches)
             tokens = _chain(tokens, last_logits)  # warm the chain program
             jax.block_until_ready(tokens)
             t0 = time.perf_counter()
-            for _ in range(n_pre):
-                last_logits, _ = gen.prefill(gen.new_cache(), tokens)
+            for i in range(n_pre):
+                last_logits, _ = gen.prefill(caches[i], tokens)
                 tokens = _chain(tokens, last_logits)
             jax.block_until_ready(last_logits)
             prefill_s = (time.perf_counter() - t0) / n_pre

@@ -112,6 +112,49 @@ class Generator:
             self._steps[key_] = lambda *a, _s=step: _s(self.params, *a)
         return self._steps[key_]
 
+    def _decode_steps(self, sampling: SamplingConfig, k: int):
+        """k fused decode steps in ONE jitted program (lax.scan over the
+        step body, cache as carry): the host dispatches once and reads back
+        k tokens. On the axon runtime a dispatch costs ~2 ms of host/tunnel
+        work, so single-step decode is dispatch-bound once the device step
+        drops under that; the scan amortizes it k-fold. Exact same math and
+        PRNG sequence as k calls of _decode_step (reference analog: CUDA
+        graph replay batching, cuda_graph_runner.py).
+
+        Returns fn(tok [B], cache, key) -> (toks [B, k], cache, key)."""
+        key_ = ("decode_multi", sampling, k)
+        if key_ not in self._steps:
+            spec = self.spec
+            rope_tables = self.rope_tables
+            compute_dtype = self.compute_dtype
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def steps(params, tok, cache, key):
+                def body(carry, _):
+                    tok, cache, key = carry
+                    logits, cache = forward(
+                        params,
+                        spec,
+                        tok[:, None],
+                        cache,
+                        rope_tables=rope_tables,
+                        compute_dtype=compute_dtype,
+                    )
+                    key, sub = jax.random.split(key)
+                    nxt = sample(logits[:, -1], sub, sampling)
+                    return (nxt, cache, key), nxt
+
+                # unroll=k: on the axon runtime a lax.scan/while body that
+                # contains custom calls iterates HOST-side (~36 ms/step,
+                # measured round 3); the unrolled program stays on-device
+                (tok, cache, key), toks = jax.lax.scan(
+                    body, (tok, cache, key), None, length=k, unroll=k
+                )
+                return jnp.swapaxes(toks, 0, 1), cache, key
+
+            self._steps[key_] = lambda *a, _s=steps: _s(self.params, *a)
+        return self._steps[key_]
+
     def _decode_step_penalized(self, sampling: SamplingConfig):
         """Decode step variant carrying [B, V] generated-token counts and a
         prompt-occurrence mask on device (penaltylib analog: repetition
@@ -219,7 +262,24 @@ class Generator:
         import os
 
         depth = max(1, int(os.environ.get("KT_GENERATE_PIPELINE", "8")))
-        pending = [tok]
+        # Multi-token dispatches (KT_DECODE_CHUNK, opt-in): each dispatch
+        # runs `chunk` decode steps in one program (_decode_steps), so
+        # per-dispatch host cost amortizes chunk-fold on top of the depth-D
+        # readback pipeline. DEFAULT 1: on the axon runtime programs past a
+        # size cliff (~10 MB HLO) dispatch at 100-400 ms regardless of
+        # device time (measured round 3: full-model k=2 scan 387 ms/call vs
+        # 3.7 ms single-step), so chunking only helps small models or
+        # non-tunneled runtimes. Penalized sampling keeps chunk=1 (its
+        # counts update is a distinct step signature).
+        chunk = (
+            1
+            if use_counts
+            else max(1, int(os.environ.get("KT_DECODE_CHUNK", "1")))
+        )
+        decode_multi = (
+            self._decode_steps(cfg.sampling, chunk) if chunk > 1 else None
+        )
+        pending = [tok[:, None]]  # chunks of [B, k] device tokens
         dispatched = 1  # tokens produced on device (incl. prefill sample)
         resolved = 0
         while resolved < cfg.max_new_tokens:
@@ -232,32 +292,41 @@ class Generator:
                     nxt, cache, key, counts = decode(
                         tok[:, None], cache, key, counts, prompt_mask
                     )
+                    toks = nxt[:, None]
+                elif chunk > 1:
+                    toks, cache, key = decode_multi(tok, cache, key)
+                    nxt = toks[:, -1]
                 else:
                     nxt, cache, key = decode(tok[:, None], cache, key)
+                    toks = nxt[:, None]
                 tok = nxt
                 try:
                     # start the device->host copy now: by the time this
-                    # token's blocking resolve comes around the bytes have
+                    # chunk's blocking resolve comes around the bytes have
                     # landed (the serving engine's pipelining trick)
-                    nxt.copy_to_host_async()
+                    toks.copy_to_host_async()
                 except Exception:  # pragma: no cover - backend-dependent
                     pass
-                pending.append(nxt)
-                dispatched += 1
+                pending.append(toks)
+                dispatched += toks.shape[1]
             if not pending:
                 break  # every row finished; drop speculative leftovers
-            tok_np = np.asarray(pending.pop(0))
-            resolved += 1
-            for bi in range(b):
-                if not finished[bi]:
-                    out[bi].append(int(tok_np[bi]))
-                    if (
-                        cfg.eos_token_id is not None
-                        and tok_np[bi] == cfg.eos_token_id
-                    ):
-                        finished[bi] = True
-            if on_token is not None:
-                on_token(tok_np)
+            chunk_np = np.asarray(pending.pop(0))
+            for ci in range(chunk_np.shape[1]):
+                if resolved >= cfg.max_new_tokens or finished.all():
+                    break
+                tok_np = chunk_np[:, ci]
+                resolved += 1
+                for bi in range(b):
+                    if not finished[bi]:
+                        out[bi].append(int(tok_np[bi]))
+                        if (
+                            cfg.eos_token_id is not None
+                            and tok_np[bi] == cfg.eos_token_id
+                        ):
+                            finished[bi] = True
+                if on_token is not None:
+                    on_token(tok_np)
             if finished.all():
                 break
         return out

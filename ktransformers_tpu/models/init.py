@@ -68,14 +68,19 @@ def init_params_synthetic(
                 scales = jnp.full((*lead, 1, n), scale, jnp.float32)
                 return QTensor(data, scales, None, kind="int4", group_size=0)
             if kind == "int4_g":
+                from ktransformers_tpu.quant.formats import (
+                    effective_group_size,
+                )
+
+                g = effective_group_size(k_dim, group_size)
                 data = jax.random.randint(
                     nk(), (*lead, k_dim // 2, n), 0, 256, jnp.uint8
                 )
                 scales = jnp.full(
-                    (*lead, k_dim // group_size, n), scale, jnp.float32
+                    (*lead, k_dim // g, n), scale, jnp.float32
                 )
                 return QTensor(
-                    data, scales, None, kind="int4_g", group_size=group_size
+                    data, scales, None, kind="int4_g", group_size=g
                 )
             if kind == "fp8":
                 data = (

@@ -72,8 +72,9 @@ def qmatmul(x: jnp.ndarray, w: QTensor, *, impl: str = "auto") -> jnp.ndarray:
         if w.kind.endswith("_gz"):
             # y -= sum_g (sum_k x) * z[g, n] * s[g, n]
             xsum = jnp.sum(xr.astype(jnp.float32), axis=-1)  # [t, G]
-            part = part - xsum[..., None] * w.zeros[None]
-        y = jnp.sum(part * w.scales[None], axis=1)
+            part = part - xsum[..., None] * w.zeros[: k // g][None]
+        # scales may be sublane-padded past the true group count
+        y = jnp.sum(part * w.scales[: k // g][None], axis=1)
         return y.reshape(*lead, n).astype(x.dtype)
 
     # Fallback: dense dequant.

@@ -216,11 +216,11 @@ def gathered_matmul(x: jnp.ndarray, w: QTensor, ids: jnp.ndarray) -> jnp.ndarray
         xg = xf.reshape(t, kk // g, g)
         part = jnp.einsum("tGg,teGgn->teGn", xg, qg)
         xsum = jnp.sum(xg, axis=-1)[:, None]  # [t,1,G]
-    scales = w.scales[ids]  # [t,k,G,n]
+    scales = w.scales[ids][..., : kk // g, :]  # [t,k,G,n]; may be padded
     if w.kind in ("mxfp4", "mxfp8"):
         scales = jnp.exp2(scales.astype(jnp.float32) - 127.0)
     if w.kind.endswith("_gz"):
-        part = part - xsum[..., None] * w.zeros[ids]
+        part = part - xsum[..., None] * w.zeros[ids][..., : kk // g, :]
     y = jnp.sum(part * scales, axis=2)
     return y.astype(x.dtype)
 

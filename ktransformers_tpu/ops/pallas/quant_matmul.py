@@ -100,11 +100,13 @@ def _int4_matblock(xl, xh, w_blk, s_ref, z_ref, n_groups, gs2, has_zeros, s_idx,
     k2, bn = w_blk.shape
     lo, hi = _unpack_nibbles(w_blk[:], offset_lo)
     s = s_ref[s_idx] if s_idx else s_ref[:]
+    s = s[:n_groups]  # scale blocks may be sublane-padded past the true ng
     s_exp = _expand_group_rows(s, n_groups, gs2, k2, bn)
     lo = lo.astype(jnp.float32)
     hi = hi.astype(jnp.float32)
     if has_zeros:
         z = z_ref[s_idx] if s_idx else z_ref[:]
+        z = z[:n_groups]
         z_exp = _expand_group_rows(z, n_groups, gs2, k2, bn)
         lo = lo - z_exp
         hi = hi - z_exp
@@ -150,7 +152,11 @@ def quant_matmul(x: jnp.ndarray, w: QTensor, interpret: bool = False):
     n = w.out_features
     out_dtype = x.dtype
 
-    if w.kind in INT4_KINDS and w.act_quant and m <= 16:
+    if w.kind in INT4_KINDS and w.act_quant:
+        # all M: decode (M=1..16) AND prefill — the W4A8 kernel streams
+        # packed int4 at int8-MXU rates with bounded per-group decode
+        # temps, where the bf16-dequant VPU kernel busts scoped VMEM at
+        # prefill K (r3; VERDICT item 2's int8-activation prefill)
         from ktransformers_tpu.ops.pallas.w4a8_matmul import dense_w4a8_matmul
 
         y = dense_w4a8_matmul(x2, w, interpret=interpret)
@@ -183,18 +189,19 @@ def quant_matmul(x: jnp.ndarray, w: QTensor, interpret: bool = False):
         bm = _pick_bm(m, kdim, bn, 0.5)
         grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
         xl, xh = split_x_for_int4(x2, kdim, w.group_size)
-        scales = w.scales.reshape(n_groups, n)
+        scales = w.scales.reshape(-1, n)  # ng rows, possibly sublane-padded
+        ngp = scales.shape[0]
         has_zeros = w.zeros is not None
         ins = [xl, xh, w.data, scales]
         in_specs = [
             pl.BlockSpec((bm, k2), lambda i, j: (i, 0)),
             pl.BlockSpec((bm, k2), lambda i, j: (i, 0)),
             pl.BlockSpec((k2, bn), lambda i, j: (0, j)),
-            pl.BlockSpec((n_groups, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((ngp, bn), lambda i, j: (0, j)),
         ]
         if has_zeros:
-            ins.append(w.zeros.reshape(n_groups, n))
-            in_specs.append(pl.BlockSpec((n_groups, bn), lambda i, j: (0, j)))
+            ins.append(w.zeros.reshape(-1, n))
+            in_specs.append(pl.BlockSpec((ngp, bn), lambda i, j: (0, j)))
         y = pl.pallas_call(
             functools.partial(
                 _int4_kernel,
@@ -315,19 +322,20 @@ def gathered_quant_matmul(
         n_groups = kdim // gs
         bn = _pick_bn(n, k2)
         xl, xh = split_x_for_int4(x_rows, kdim, w.group_size)
-        scales = w.scales.reshape(e, n_groups, n)
+        scales = w.scales.reshape(e, -1, n)  # possibly sublane-padded
+        ngp = scales.shape[1]
         has_zeros = w.zeros is not None
         ins = [ids, xl, xh, w.data, scales]
         in_specs = [
             pl.BlockSpec((r8, k2), lambda j, i, ids: (0, 0)),
             pl.BlockSpec((r8, k2), lambda j, i, ids: (0, 0)),
             pl.BlockSpec((1, k2, bn), lambda j, i, ids: (ids[i], 0, j)),
-            pl.BlockSpec((1, n_groups, bn), lambda j, i, ids: (ids[i], 0, j)),
+            pl.BlockSpec((1, ngp, bn), lambda j, i, ids: (ids[i], 0, j)),
         ]
         if has_zeros:
-            ins.append(w.zeros.reshape(e, n_groups, n))
+            ins.append(w.zeros.reshape(e, -1, n))
             in_specs.append(
-                pl.BlockSpec((1, n_groups, bn), lambda j, i, ids: (ids[i], 0, j))
+                pl.BlockSpec((1, ngp, bn), lambda j, i, ids: (ids[i], 0, j))
             )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -465,19 +473,20 @@ def grouped_quant_matmul(
         n_groups = kdim // gsz
         bn = _pick_bn(n, k2)
         xl, xh = split_x_for_int4(x_padded, kdim, w.group_size)
-        scales = w.scales.reshape(e, n_groups, n)
+        scales = w.scales.reshape(e, -1, n)  # possibly sublane-padded
+        ngp = scales.shape[1]
         has_zeros = w.zeros is not None
         ins = [tile_group, xl, xh, w.data, scales]
         in_specs = [
             pl.BlockSpec((bm, k2), lambda i, j, tg: (i, 0)),
             pl.BlockSpec((bm, k2), lambda i, j, tg: (i, 0)),
             pl.BlockSpec((1, k2, bn), lambda i, j, tg: (tg[i], 0, j)),
-            pl.BlockSpec((1, n_groups, bn), lambda i, j, tg: (tg[i], 0, j)),
+            pl.BlockSpec((1, ngp, bn), lambda i, j, tg: (tg[i], 0, j)),
         ]
         if has_zeros:
-            ins.append(w.zeros.reshape(e, n_groups, n))
+            ins.append(w.zeros.reshape(e, -1, n))
             in_specs.append(
-                pl.BlockSpec((1, n_groups, bn), lambda i, j, tg: (tg[i], 0, j))
+                pl.BlockSpec((1, ngp, bn), lambda i, j, tg: (tg[i], 0, j))
             )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

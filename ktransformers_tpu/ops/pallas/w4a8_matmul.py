@@ -86,12 +86,32 @@ def _gather_w4a8_kernel(ids_ref, qa_ref, qb_ref, sa_ref, sb_ref, t_ref,
 
 def _dense_w4a8_kernel(qa_ref, qb_ref, sa_ref, sb_ref, t_ref, xs_ref,
                        w_ref, s_ref, *rest, n_groups, gs2, has_zeros):
+    """Dense kernel with the byte-decode done PER GROUP SLICE: the whole-
+    block `u = braw & 15` temp of _w4a8_group_acc is [K/2, bn] int32+int8,
+    which busts the 16 MB scoped-VMEM stack at prefill K (e.g. K=10944,
+    k2=5472: 11 MB of int32 alone). Per-group temps stay [gs2, bn]."""
     z_ref = rest[0] if has_zeros else None
     o_ref = rest[-1]
-    o_ref[:] = _w4a8_group_acc(
-        qa_ref[:], qb_ref[:], sa_ref[:], sb_ref[:], t_ref[:], w_ref[:],
-        s_ref[:], z_ref[:] if has_zeros else None, xs_ref[:], n_groups, gs2,
-    )
+    qa, qb = qa_ref[:], qb_ref[:]
+    sa, sb, t, xsum = sa_ref[:], sb_ref[:], t_ref[:], xs_ref[:]
+    m = qa.shape[0]
+    bn = w_ref.shape[-1]
+    acc = jnp.zeros((m, bn), jnp.float32)
+    for g in range(n_groups):
+        wl = slice(g * gs2, (g + 1) * gs2)
+        braw = w_ref[wl]
+        u = (braw.astype(jnp.int32) & 0xF).astype(jnp.int8)
+        pa = jnp.dot(qa[:, wl], u, preferred_element_type=jnp.int32)
+        pb = jnp.dot(qb[:, wl], braw, preferred_element_type=jnp.int32)
+        val = (
+            pa.astype(jnp.float32) * sa[:, g][:, None]
+            + pb.astype(jnp.float32) * sb[:, g][:, None]
+            - t[:, g][:, None]
+        )
+        if has_zeros:
+            val = val - xsum[:, g][:, None] * z_ref[g][None, :]
+        acc += val * s_ref[g][None, :]
+    o_ref[:] = acc
 
 
 def _as_i8(data: jnp.ndarray) -> jnp.ndarray:
@@ -125,7 +145,8 @@ def gathered_w4a8_matmul(
         x_rows = jnp.pad(x_rows, ((0, r8 - r), (0, 0)))
     qa, qb, sa, sb, t, xsum = w4a8_prep(x_rows, kdim, w.group_size)
 
-    scales = w.scales.reshape(e, ng, n)
+    scales = w.scales.reshape(e, -1, n)  # ng rows, possibly sublane-padded
+    ngp = scales.shape[1]
     has_zeros = w.zeros is not None
     ins = [ids, qa, qb, sa, sb, t, xsum, _as_i8(w.data), scales]
     in_specs = [
@@ -136,12 +157,12 @@ def gathered_w4a8_matmul(
         pl.BlockSpec((r8, ng), lambda j, i, ids: (0, 0)),
         pl.BlockSpec((r8, ng), lambda j, i, ids: (0, 0)),
         pl.BlockSpec((1, k2, bn), lambda j, i, ids: (ids[i], 0, j)),
-        pl.BlockSpec((1, ng, bn), lambda j, i, ids: (ids[i], 0, j)),
+        pl.BlockSpec((1, ngp, bn), lambda j, i, ids: (ids[i], 0, j)),
     ]
     if has_zeros:
-        ins.append(w.zeros.reshape(e, ng, n))
+        ins.append(w.zeros.reshape(e, -1, n))
         in_specs.append(
-            pl.BlockSpec((1, ng, bn), lambda j, i, ids: (ids[i], 0, j))
+            pl.BlockSpec((1, ngp, bn), lambda j, i, ids: (ids[i], 0, j))
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -290,8 +311,10 @@ def gathered_w4a8_ffn(
 
     gz1 = gate_up.zeros is not None
     gz2 = down.zeros is not None
-    ins = [ids, qa, qb, sa, sb, t, xsum,
-           _as_i8(gate_up.data), gate_up.scales.reshape(e, ng1, n2x)]
+    gu_s = gate_up.scales.reshape(e, -1, n2x)  # possibly sublane-padded
+    dn_s = down.scales.reshape(e, -1, kdim)
+    ng1p, ng2p = gu_s.shape[1], dn_s.shape[1]
+    ins = [ids, qa, qb, sa, sb, t, xsum, _as_i8(gate_up.data), gu_s]
     in_specs = [
         pl.BlockSpec((r8, k2), lambda i, ids: (0, 0)),
         pl.BlockSpec((r8, k2), lambda i, ids: (0, 0)),
@@ -300,22 +323,22 @@ def gathered_w4a8_ffn(
         pl.BlockSpec((r8, ng1), lambda i, ids: (0, 0)),
         pl.BlockSpec((r8, ng1), lambda i, ids: (0, 0)),
         pl.BlockSpec((1, k2, n2x), lambda i, ids: (ids[i], 0, 0)),
-        pl.BlockSpec((1, ng1, n2x), lambda i, ids: (ids[i], 0, 0)),
+        pl.BlockSpec((1, ng1p, n2x), lambda i, ids: (ids[i], 0, 0)),
     ]
     if gz1:
-        ins.append(gate_up.zeros.reshape(e, ng1, n2x))
+        ins.append(gate_up.zeros.reshape(e, -1, n2x))
         in_specs.append(
-            pl.BlockSpec((1, ng1, n2x), lambda i, ids: (ids[i], 0, 0))
+            pl.BlockSpec((1, ng1p, n2x), lambda i, ids: (ids[i], 0, 0))
         )
-    ins += [_as_i8(down.data), down.scales.reshape(e, ng2, kdim)]
+    ins += [_as_i8(down.data), dn_s]
     in_specs += [
         pl.BlockSpec((1, i2, kdim), lambda i, ids: (ids[i], 0, 0)),
-        pl.BlockSpec((1, ng2, kdim), lambda i, ids: (ids[i], 0, 0)),
+        pl.BlockSpec((1, ng2p, kdim), lambda i, ids: (ids[i], 0, 0)),
     ]
     if gz2:
-        ins.append(down.zeros.reshape(e, ng2, kdim))
+        ins.append(down.zeros.reshape(e, -1, kdim))
         in_specs.append(
-            pl.BlockSpec((1, ng2, kdim), lambda i, ids: (ids[i], 0, 0))
+            pl.BlockSpec((1, ng2p, kdim), lambda i, ids: (ids[i], 0, 0))
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -335,14 +358,35 @@ def gathered_w4a8_ffn(
     return y[:r].astype(out_dtype)
 
 
+def _pick_bm_w4a8(m8: int, k2: int, bn: int, ng: int) -> int:
+    """M tile under the scoped-VMEM stack: double-buffered qa/qb planes,
+    the w block + per-group decode temps, activation scales, f32 out."""
+    bm = min(m8, 512)
+    while bm > 8:
+        need = (
+            2 * 2 * bm * k2          # qa, qb int8, double-buffered
+            + 2 * bn * k2            # w block int8, double-buffered
+            + 4 * 4 * bm * ng        # sa/sb/t/xsum f32
+            + bm * bn * 4            # out f32
+            + bn * k2                # per-group decode temps (bounded)
+        )
+        if need <= _FFN_VMEM_BUDGET:
+            break
+        bm //= 2
+    return bm
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def dense_w4a8_matmul(
-    x2: jnp.ndarray,  # [M, K] float (intended for small decode M)
+    x2: jnp.ndarray,  # [M, K] float — decode M=1 through prefill M=512+
     w: QTensor,  # act_quant int4 kind, [K/2, N]
     interpret: bool = False,
 ):
-    """Dense linear on the int8 MXU (shared experts / dense int4 layers at
-    decode batch sizes). Returns [M, N] x.dtype."""
+    """Dense linear on the int8 MXU. The W4A8 PREFILL path as well as the
+    decode one (VERDICT r2 item 2): weights stream as packed int4 bytes at
+    int8-MXU rates for any M; the bf16-dequant VPU kernel
+    (quant_matmul._int4_kernel) needs [K/2, bn] f32 unpack temps that bust
+    scoped VMEM at prefill K. Returns [M, N] x.dtype."""
     m, kdim = x2.shape
     n = w.out_features
     out_dtype = x2.dtype
@@ -357,29 +401,41 @@ def dense_w4a8_matmul(
         x2 = jnp.pad(x2, ((0, m8 - m), (0, 0)))
     qa, qb, sa, sb, t, xsum = w4a8_prep(x2, kdim, w.group_size)
 
-    scales = w.scales.reshape(ng, n)
+    bm = _pick_bm_w4a8(m8, k2, bn, ng)
+    if m8 % bm:
+        pad = bm - m8 % bm
+        qa = jnp.pad(qa, ((0, pad), (0, 0)))
+        qb = jnp.pad(qb, ((0, pad), (0, 0)))
+        sa = jnp.pad(sa, ((0, pad), (0, 0)))
+        sb = jnp.pad(sb, ((0, pad), (0, 0)))
+        t = jnp.pad(t, ((0, pad), (0, 0)))
+        xsum = jnp.pad(xsum, ((0, pad), (0, 0)))
+        m8 += pad
+
+    scales = w.scales.reshape(-1, n)  # ng rows, possibly sublane-padded
+    ngp = scales.shape[0]
     has_zeros = w.zeros is not None
     ins = [qa, qb, sa, sb, t, xsum, _as_i8(w.data), scales]
     in_specs = [
-        pl.BlockSpec((m8, k2), lambda j: (0, 0)),
-        pl.BlockSpec((m8, k2), lambda j: (0, 0)),
-        pl.BlockSpec((m8, ng), lambda j: (0, 0)),
-        pl.BlockSpec((m8, ng), lambda j: (0, 0)),
-        pl.BlockSpec((m8, ng), lambda j: (0, 0)),
-        pl.BlockSpec((m8, ng), lambda j: (0, 0)),
-        pl.BlockSpec((k2, bn), lambda j: (0, j)),
-        pl.BlockSpec((ng, bn), lambda j: (0, j)),
+        pl.BlockSpec((bm, k2), lambda i, j: (i, 0)),
+        pl.BlockSpec((bm, k2), lambda i, j: (i, 0)),
+        pl.BlockSpec((bm, ng), lambda i, j: (i, 0)),
+        pl.BlockSpec((bm, ng), lambda i, j: (i, 0)),
+        pl.BlockSpec((bm, ng), lambda i, j: (i, 0)),
+        pl.BlockSpec((bm, ng), lambda i, j: (i, 0)),
+        pl.BlockSpec((k2, bn), lambda i, j: (0, j)),
+        pl.BlockSpec((ngp, bn), lambda i, j: (0, j)),
     ]
     if has_zeros:
-        ins.append(w.zeros.reshape(ng, n))
-        in_specs.append(pl.BlockSpec((ng, bn), lambda j: (0, j)))
+        ins.append(w.zeros.reshape(-1, n))
+        in_specs.append(pl.BlockSpec((ngp, bn), lambda i, j: (0, j)))
     y = pl.pallas_call(
         functools.partial(
             _dense_w4a8_kernel, n_groups=ng, gs2=gs2, has_zeros=has_zeros
         ),
-        grid=(pl.cdiv(n, bn),),
+        grid=(m8 // bm, pl.cdiv(n, bn)),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((m8, bn), lambda j: (0, j)),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m8, n), jnp.float32),
         interpret=interpret,
     )(*ins)

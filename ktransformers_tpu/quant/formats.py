@@ -193,8 +193,16 @@ def _group_reshape(w: jnp.ndarray, group_size: int) -> jnp.ndarray:
 
 def effective_group_size(k: int, group_size: int) -> int:
     """Largest even divisor of K that is <= the requested group size (small
-    layers in tests / tiny models get clamped groups)."""
-    g = min(group_size, k)
+    layers in tests / tiny models get clamped groups). Prefers divisors
+    that are multiples of 16 so the group-split half (g/2) stays
+    sublane-aligned for the Pallas kernels (e.g. K=10944 -> 96, not 114)."""
+    g0 = min(group_size, k)
+    g = g0
+    while g >= 16 and (k % g != 0 or g % 16 != 0):
+        g -= 1
+    if g >= 16:
+        return g
+    g = g0
     while g > 2 and (k % g != 0 or g % 2 != 0):
         g -= 1
     return max(g, 2)
@@ -320,6 +328,43 @@ def raw_int4_data(qt: QTensor) -> jnp.ndarray:
     return qt.data
 
 
+GROUP_KINDS = ("int4_g", "int4_gz", "int8_g", "int8_gz")
+
+
+def pad_scale_sublanes(qt: QTensor, multiple: int = 8) -> QTensor:
+    """Pad the group axis of group-kind scales/zeros ([..., ng, N]) to a
+    sublane multiple with zero rows.
+
+    Why: on TPU, XLA lays out f32 [E, ng, N] with ng % 8 != 0 in a
+    transposed (padding-free) layout, and then re-copies the WHOLE scale
+    tensor to the row-major layout the Pallas kernels constrain — inside
+    every decode step (measured: 26 x 9.1 us/step on the bench model,
+    scripts/profile_decode3.py round 3). With ng padded to 8 the default
+    layout already matches and the per-step copy disappears. The kernels
+    and dequantize() slice back to the true ng; padded rows are never read.
+    """
+    if qt.kind not in GROUP_KINDS or qt.scales is None or qt.scales.ndim < 2:
+        return qt
+    ng = qt.scales.shape[-2]
+    if ng % multiple == 0:
+        return qt
+    pad = multiple - ng % multiple
+    widths = [(0, 0)] * (qt.scales.ndim - 2) + [(0, pad), (0, 0)]
+    import dataclasses
+
+    return dataclasses.replace(
+        qt,
+        scales=jnp.pad(qt.scales, widths),
+        zeros=None if qt.zeros is None else jnp.pad(qt.zeros, widths),
+    )
+
+
+def true_group_count(qt: QTensor) -> int:
+    """Number of REAL scale groups along K (scales may be sublane-padded)."""
+    k = qt.in_features
+    return k // (qt.group_size or k)
+
+
 def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Reconstruct a dense float tensor [..., K, N]."""
     if qt.kind == "bf16" or qt.scales is None:
@@ -335,9 +380,10 @@ def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
         else:
             q = qt.data.astype(jnp.float32)
         g = _group_reshape(q, qt.group_size)
-        scales = qt.scales[..., :, None, :]
+        kg = g.shape[-3]  # scales may be sublane-padded past the true ng
+        scales = qt.scales[..., :kg, :][..., :, None, :]
         if qt.kind.endswith("_gz"):
-            g = g - qt.zeros[..., :, None, :]
+            g = g - qt.zeros[..., :kg, :][..., :, None, :]
         out = g * scales
         *lead, kg, gs, n = out.shape
         return out.reshape(*lead, kg * gs, n).astype(dtype)

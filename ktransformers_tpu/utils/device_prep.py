@@ -150,12 +150,126 @@ def fuse_qkv_projections(params, spec):
     return params
 
 
+def normalize_layouts(tree):
+    """Rematerialize every array leaf whose device layout is not the default
+    major-to-minor order.
+
+    Motivation (round-3 HLO audit, scripts/dump_decode_hlo.py): the init
+    programs leave exactly two param families in transposed layouts —
+    kv_a.data s8[D,R+Dr]{0,1} and experts.down.scales f32[E,K/G,N]{2,0,1}.
+    The Pallas custom calls require default layouts, so XLA re-copies those
+    tensors (~180 MB, ~0.4 ms) inside EVERY decode step. One forced-layout
+    copy at init removes the per-step traffic.
+
+    NEGATIVE RESULT on axon (measured round 3, default therefore OFF): an
+    array carrying an explicit Format costs ~30 ms of host work PER JIT CALL
+    on this backend (4 pinned kv_a arrays alone took the 4-layer decode step
+    2.0 -> 122 ms/step; the full bench model 274 -> 10.7 tok/s), dwarfing
+    the ~0.2 ms/step the relayout saves. A Pallas-identity launder does not
+    work either: XLA re-picks the transposed layout for the program OUTPUT
+    and converts back. Keep this as an opt-in (KT_NORMALIZE_LAYOUTS=1) for
+    non-axon runtimes; the per-step copies are instead attacked by fusing
+    the small matmuls so the staging disappears with the launches."""
+    import jax
+    from jax.experimental.layout import Format, Layout
+
+    leaves, treedef = jax.tree.flatten(tree)
+    bad = []
+    _default = {}
+    for i, x in enumerate(leaves):
+        if not isinstance(x, jax.Array) or x.ndim == 0:
+            continue
+        try:
+            mtm = x.format.layout.major_to_minor
+        except Exception:
+            continue
+        # the platform default is shape/dtype-dependent on this backend
+        # (e.g. f32 [64,11,2048] defaults to (1,0,2)); compare against a
+        # freshly-created array of the same shape/dtype
+        key = (x.shape, str(x.dtype))
+        if key not in _default:
+            probe = jnp.zeros(x.shape, x.dtype)
+            _default[key] = probe.format.layout.major_to_minor
+            probe.delete()
+        if mtm != _default[key]:
+            bad.append(i)
+    if not bad:
+        return tree
+
+    import numpy as np
+
+    if os.environ.get("KT_NORMALIZE_VIA_HOST", "1") != "0":
+        # Host round-trip: an upload always lands in the default layout and
+        # carries NO explicit Format (so none of the per-call axon penalty
+        # below). One-time cost = bad-leaf bytes over the tunnel.
+        for i in bad:
+            x = leaves[i]
+            host = np.asarray(x)
+            x.delete()
+            leaves[i] = jax.device_put(host)
+        return jax.tree.unflatten(treedef, leaves)
+
+    groups: dict = {}
+    for i in bad:
+        x = leaves[i]
+        groups.setdefault((x.shape, str(x.dtype)), []).append(i)
+    for idxs in groups.values():
+        arrs = [leaves[i] for i in idxs]
+        outs = tuple(
+            Format(Layout(tuple(range(a.ndim))), a.sharding) for a in arrs
+        )
+        fixed = jax.jit(
+            lambda *xs: xs,
+            out_shardings=outs,
+            donate_argnums=tuple(range(len(arrs))),
+        )(*arrs)
+        for i, y in zip(idxs, fixed):
+            leaves[i] = y
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def bf16_absorbed_mats(params):
+    """Cast the absorbed-MLA projection mats w_uk/w_uv to bf16.
+
+    They are produced f32 by the loaders (the absorbed einsum upcasts to
+    f32 anyway), so storing them f32 doubles their decode-step HBM reads:
+    2 x 4.2 MB per layer on the bench model = 218 MB/step = ~0.27 ms of
+    pure bandwidth. bf16 storage halves that; the einsum still accumulates
+    in f32."""
+    for lp in params.get("layers", []):
+        attn = lp.get("attn")
+        if not isinstance(attn, dict):
+            continue
+        for k in ("w_uk", "w_uv"):
+            v = attn.get(k)
+            if v is not None and hasattr(v, "dtype") and v.dtype == jnp.float32:
+                attn[k] = v.astype(jnp.bfloat16)
+    return params
+
+
 def prepare_params(params, pallas_active: bool, spec=None):
     """Engine-init param transforms; no-op off-TPU."""
     if not pallas_active:
         return params
+    if os.environ.get("KT_BF16_ABSORB", "1") != "0":
+        params = bf16_absorbed_mats(params)
     if spec is not None and os.environ.get("KT_FUSE_QKV", "0") == "1":
         params = fuse_qkv_projections(params, spec)
     if os.environ.get("KT_W4A8", "1") != "0":
         params = enable_w4a8(params, donate=True)
+    if os.environ.get("KT_PAD_SCALES", "1") != "0":
+        # sublane-pad group scales so their default layout matches the
+        # Pallas row-major constraint (kills the 26 x 9.1 us/step relayout
+        # copies of experts.down.scales; quant/formats.pad_scale_sublanes)
+        import jax as _jax
+
+        from ktransformers_tpu.quant.formats import pad_scale_sublanes
+
+        params = _jax.tree.map(
+            lambda x: pad_scale_sublanes(x) if isinstance(x, QTensor) else x,
+            params,
+            is_leaf=lambda x: isinstance(x, QTensor),
+        )
+    if os.environ.get("KT_NORMALIZE_LAYOUTS", "0") == "1":
+        params = normalize_layouts(params)
     return params

@@ -117,3 +117,83 @@ def test_mla_decode_kernel(rng):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+def test_padded_scales_parity(rng):
+    """Sublane-padded scales (quant/formats.pad_scale_sublanes) must give
+    bit-identical results through every consumer: dequantize, the XLA
+    linear path, the Pallas dense/gathered kernels, and the w4a8 kernels.
+    K=384 / group 128 -> ng=3, padded to 8."""
+    from ktransformers_tpu.ops.linear import qmatmul
+    from ktransformers_tpu.ops.pallas.w4a8_matmul import (
+        dense_w4a8_matmul,
+        gathered_w4a8_ffn,
+        gathered_w4a8_matmul,
+    )
+    from ktransformers_tpu.quant.formats import pad_scale_sublanes
+    from ktransformers_tpu.quant.w4a8 import repack_offset_lo
+
+    e, k, n, r = 4, 384, 256, 5
+    w = jnp.asarray(rng.standard_normal((e, k, n)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((r, k)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    ids = jnp.asarray([1, 3, 0, 2, 1], jnp.int32)
+
+    for kind in ("int4_g", "int4_gz", "int8_g"):
+        qt = quantize(w, kind, group_size=128)
+        qp = pad_scale_sublanes(qt)
+        assert qp.scales.shape[-2] == 8 and qt.scales.shape[-2] == 3
+        np.testing.assert_array_equal(
+            np.asarray(dequantize(qt, jnp.float32)),
+            np.asarray(dequantize(qp, jnp.float32)),
+        )
+        # XLA linear path (per-expert slice)
+        np.testing.assert_array_equal(
+            np.asarray(qmatmul(x, _slice_expert(qt, 1), impl="xla")),
+            np.asarray(qmatmul(x, _slice_expert(qp, 1), impl="xla")),
+        )
+        if kind.startswith("int4"):
+            np.testing.assert_array_equal(
+                np.asarray(gathered_quant_matmul(x, qt, ids, interpret=True)),
+                np.asarray(gathered_quant_matmul(x, qp, ids, interpret=True)),
+            )
+            # w4a8 kernels
+            qa = repack_offset_lo(qt)
+            qap = pad_scale_sublanes(qa)
+            np.testing.assert_array_equal(
+                np.asarray(gathered_w4a8_matmul(x, qa, ids, interpret=True)),
+                np.asarray(gathered_w4a8_matmul(x, qap, ids, interpret=True)),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(
+                    dense_w4a8_matmul(x, _slice_expert(qa, 2), interpret=True)
+                ),
+                np.asarray(
+                    dense_w4a8_matmul(x, _slice_expert(qap, 2), interpret=True)
+                ),
+            )
+
+    # fused FFN kernel with padded scales on both mats (down: K=n -> ng=2->8)
+    gu = repack_offset_lo(quantize(w, "int4_g", group_size=128))
+    dn_w = jnp.asarray(
+        rng.standard_normal((e, n // 2, k)).astype(np.float32) * 0.1
+    )
+    dn = repack_offset_lo(quantize(dn_w, "int4_g", group_size=64))
+    out_ref = gathered_w4a8_ffn(x, gu, dn, ids, act="silu", interpret=True)
+    out_pad = gathered_w4a8_ffn(
+        x, pad_scale_sublanes(gu), pad_scale_sublanes(dn), ids,
+        act="silu", interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out_ref), np.asarray(out_pad))
+
+
+def _slice_expert(qt, i):
+    import dataclasses
+
+    return dataclasses.replace(
+        qt,
+        data=qt.data[i],
+        scales=None if qt.scales is None else qt.scales[i],
+        zeros=None if qt.zeros is None else qt.zeros[i],
+    )
