@@ -215,13 +215,52 @@ def gqa_qkv_proj(p, spec: ModelSpec, x):
     )
 
 
-def _mla_attention(p, spec: ModelSpec, x, layer_cache, pos_offset, rope_cs):
+def _mla_attention(p, spec: ModelSpec, x, layer_cache, pos_offset, rope_cs,
+                   rope_rot=None):
     a = spec.attention
     b, s, _ = x.shape
     h = a.num_heads
     nope, dr, r = a.qk_nope_head_dim, a.qk_rope_head_dim, a.kv_lora_rank
 
     q, ckv_kpe = mla_qkv_proj(p, spec, x)
+
+    from ktransformers_tpu.ops.attention import mla_fused_hook
+
+    fused = mla_fused_hook()
+    if s == 1 and rope_rot is not None and fused is not None:
+        # fused decode attention: kv norm + both ropes (rotation matmul) +
+        # flash over the cache + the current token in one launch; the
+        # cache write overlaps (independent of the attention output)
+        scale = a.softmax_scale or (
+            (nope + dr) ** -0.5 * rope_attention_scale(spec.rope)
+        )
+        qh = q.reshape(b, h, nope + dr)
+        qn_eff = jnp.einsum(
+            "bhn,hnr->bhr",
+            qh[..., :nope].astype(jnp.float32),
+            p["w_uk"].astype(jnp.float32),
+        ).astype(x.dtype)
+        ctx, ckv_new, kpe_new = fused(
+            qn_eff,
+            qh[..., nope:],
+            ckv_kpe,
+            p["kv_a_norm"],
+            rope_rot,
+            layer_cache[0],
+            layer_cache[1],
+            pos_offset,
+            scale,
+            spec.rms_norm_eps,
+        )
+        ckv_buf = _write_cache(layer_cache[0], ckv_new, pos_offset)
+        kpe_buf = _write_cache(layer_cache[1], kpe_new, pos_offset)
+        out = jnp.einsum(
+            "bhr,hrv->bhv",
+            ctx.astype(jnp.float32),
+            p["w_uv"].astype(jnp.float32),
+        ).astype(x.dtype)
+        out = out.reshape(b, 1, h * a.v_head_dim)
+        return plinear(p, "o_proj", out, p.get("o_bias")), (ckv_buf, kpe_buf)
     q = q.reshape(b, s, h, nope + dr)
     q_nope, q_pe = q[..., :nope], q[..., nope:]
 
@@ -454,7 +493,8 @@ def _moe_mlp(p, spec: ModelSpec, x, aux: list | None = None,
 
 def decoder_layer(lp, spec: ModelSpec, x, layer_cache, lengths, rope_cs,
                   kind: str = "full", use_rope: bool = True,
-                  window: int = 0, aux: list | None = None):
+                  window: int = 0, aux: list | None = None,
+                  rope_rot=None):
     """One decoder layer (attention + MLP/MoE with residuals); returns
     (x, new_buf_a, new_buf_b). Module-level so both the sequential
     forward() and the pipeline-parallel executor (parallel/pp.py) run the
@@ -476,7 +516,8 @@ def decoder_layer(lp, spec: ModelSpec, x, layer_cache, lengths, rope_cs,
     else:
         attn_out, (buf_a, buf_b) = (
             _mla_attention(
-                lp["attn"], spec, xn, layer_cache, lengths, rope_cs
+                lp["attn"], spec, xn, layer_cache, lengths, rope_cs,
+                rope_rot,
             )
             if mla
             else _gqa_attention(
@@ -520,14 +561,27 @@ def forward(
     pos = cache.lengths[:, None] + jnp.arange(s)[None, :]  # [B,S]
     rope_cs = (cos_t[pos], sin_t[pos])
 
+    # decode-only: one rope rotation matrix per step, shared by every
+    # layer's fused attention kernel (ops/rope.rope_rotation_matrix)
+    rope_rot = None
+    if s == 1 and spec.attention.kind == "mla":
+        from ktransformers_tpu.ops.attention import mla_fused_hook
+
+        if mla_fused_hook() is not None:
+            from ktransformers_tpu.ops.rope import rope_rotation_matrix
+
+            rope_rot = rope_rotation_matrix(
+                rope_cs[0][:, 0], rope_cs[1][:, 0], spec.rope.interleaved
+            )
+
     new_a = []
     new_b = []
 
     def layer_body(lp, x, layer_cache, lengths, rope_cs, kind="full",
-                   use_rope=True, window=0):
+                   use_rope=True, window=0, rope_rot=None):
         return decoder_layer(
             lp, spec, x, layer_cache, lengths, rope_cs, kind, use_rope,
-            window,
+            window, rope_rot=rope_rot,
         )
 
     for li, lp in enumerate(params["layers"]):
@@ -539,6 +593,7 @@ def forward(
         x, buf_a, buf_b = fn(
             lp, x, (cache.bufs_a[li], cache.bufs_b[li]), cache.lengths,
             rope_cs, kind, spec.layer_uses_rope(li), spec.layer_window(li),
+            rope_rot,
         )
         new_a.append(buf_a)
         new_b.append(buf_b)

@@ -26,10 +26,23 @@ NEG_INF = -1e30
 # Pallas fused MLA decode kernel, registered by ops.pallas.enable().
 _PALLAS_MLA_DECODE = None
 
+# Whole-attention fused decode kernel (norm + rope + absorb einsums +
+# flash + current token in ONE launch, ops/pallas/mla_decode.mla_decode_fused)
+_PALLAS_MLA_FUSED = None
+
 
 def set_pallas_mla_decode(fn) -> None:
     global _PALLAS_MLA_DECODE
     _PALLAS_MLA_DECODE = fn
+
+
+def set_pallas_mla_fused(fn) -> None:
+    global _PALLAS_MLA_FUSED
+    _PALLAS_MLA_FUSED = fn
+
+
+def mla_fused_hook():
+    return _PALLAS_MLA_FUSED
 
 
 def mla_decode(q_nope_eff, q_pe, ckv, kpe, lengths, *, scale):

@@ -41,10 +41,20 @@ def enable() -> None:
         return grouped_quant_matmul(x_sorted, w, group_sizes)
 
     from ktransformers_tpu.ops import attention
-    from ktransformers_tpu.ops.pallas.mla_decode import mla_decode_attention
+    from ktransformers_tpu.ops.pallas.mla_decode import (
+        mla_decode_attention,
+        mla_decode_fused,
+    )
 
     def _mla_decode(qn, qp, ckv, kpe, lengths, scale):
         return mla_decode_attention(qn, qp, ckv, kpe, lengths, scale)
+
+    def _mla_fused(qn_eff, qp_raw, ckv_kpe, gamma, rot, ckv, kpe,
+                   lengths, scale, eps):
+        return mla_decode_fused(
+            qn_eff, qp_raw, ckv_kpe, gamma, rot, ckv, kpe, lengths,
+            scale=scale, eps=eps,
+        )
 
     from ktransformers_tpu.ops.pallas.w4a8_matmul import (
         ffn_fits,
@@ -68,6 +78,10 @@ def enable() -> None:
     moe.set_pallas_gmm(_gmm)
     moe.set_pallas_ffn(_ffn)
     attention.set_pallas_mla_decode(_mla_decode)
+    import os as _os
+
+    if _os.environ.get("KT_MLA_FUSED", "1") != "0":
+        attention.set_pallas_mla_fused(_mla_fused)
 
     from ktransformers_tpu.models import paged as paged_model
     from ktransformers_tpu.ops.pallas.paged_attention import (

@@ -154,3 +154,31 @@ def gather_rope(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Gather per-position cos/sin rows: positions [...]-> [..., dim//2]."""
     return cos[positions], sin[positions]
+
+
+def rope_rotation_matrix(cos, sin, interleaved: bool):
+    """Exact rope rotation as a dense [dr, dr] matrix: x_roped = x @ R.
+
+    cos/sin: [..., dr/2]. Built ONCE per decode step (position-dependent,
+    layer-independent) so a fused attention kernel can apply rope as one
+    tiny MXU dot — value-equal to apply_rope (the off-diagonal zeros add
+    exactly in f32). Used by ops/pallas/mla_decode.mla_decode_fused."""
+    d2 = cos.shape[-1]
+    lead = cos.shape[:-1]
+    c = cos.astype(jnp.float32)
+    s = sin.astype(jnp.float32)
+    eye = jnp.eye(d2, dtype=jnp.float32)
+    cd = c[..., None, :] * eye  # [..., d2, d2]: diag(c) per lead index
+    sd = s[..., None, :] * eye
+    # half-split layout: out[:d2] = x[:d2] c - x[d2:] s
+    #                    out[d2:] = x[:d2] s + x[d2:] c
+    top = jnp.concatenate([cd, sd], axis=-1)
+    bot = jnp.concatenate([-sd, cd], axis=-1)
+    rot = jnp.concatenate([top, bot], axis=-2)  # [..., dr, dr]
+    if interleaved:
+        # interleaved pairs (2i, 2i+1): p[i] = interleaved position of half
+        # index i; R_int[a, b] = R_half[p^-1(a), p^-1(b)]
+        p = jnp.concatenate([jnp.arange(d2) * 2, jnp.arange(d2) * 2 + 1])
+        inv = jnp.argsort(p)
+        rot = rot[..., inv, :][..., :, inv]
+    return rot.reshape(*lead, 2 * d2, 2 * d2)

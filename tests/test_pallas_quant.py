@@ -197,3 +197,80 @@ def _slice_expert(qt, i):
         scales=None if qt.scales is None else qt.scales[i],
         zeros=None if qt.zeros is None else qt.zeros[i],
     )
+
+
+def test_mla_decode_fused_parity(rng):
+    """mla_decode_fused (norm + rope-rotation + absorb + flash + current
+    token, one launch) must match the unfused op chain."""
+    import jax
+    import jax.numpy as jnp
+
+    from ktransformers_tpu.ops.attention import mla_absorbed
+    from ktransformers_tpu.ops.norm import rms_norm
+    from ktransformers_tpu.ops.pallas.mla_decode import mla_decode_fused
+    from ktransformers_tpu.ops.rope import apply_rope, rope_rotation_matrix
+
+    b, h, nope, dr, r, v = 2, 4, 32, 16, 64, 32
+    smax, length = 64, 37
+    eps, scale = 1e-6, (nope + dr) ** -0.5
+    f = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+
+    q_raw = f(b, h, nope + dr)
+    ckv_kpe = f(b, 1, r + dr)
+    gamma = f(r) * 0.1 + 1.0
+    cos = f(b, dr // 2)
+    sin = f(b, dr // 2)
+    ckv_buf = f(b, smax, r)
+    kpe_buf = f(b, smax, dr)
+    w_uk = f(h, nope, r) * 0.1
+    w_uv = f(h, r, v) * 0.1
+    lengths = jnp.asarray([length, 11], jnp.int32)
+
+    for interleaved in (True, False):
+        rot = rope_rotation_matrix(cos, sin, interleaved)
+        qn_eff_in = jnp.einsum("bhn,hnr->bhr", q_raw[..., :nope], w_uk)
+        ctx_out, ckv_new, kpe_new = mla_decode_fused(
+            qn_eff_in, q_raw[..., nope:], ckv_kpe, gamma, rot,
+            ckv_buf, kpe_buf, lengths,
+            scale=scale, eps=eps, block_s=32, interpret=True,
+        )
+        out = jnp.einsum("bhr,hrv->bhv", ctx_out, w_uv)
+
+        # unfused reference chain
+        qn = q_raw[..., :nope]
+        qp = apply_rope(
+            q_raw[..., None, nope:], cos[:, None, None], sin[:, None, None],
+            interleaved=interleaved,
+        )[..., 0, :]  # [b, h, dr]
+        ckv_ref = rms_norm(ckv_kpe[..., :r], gamma, eps)
+        kpe_ref = apply_rope(
+            ckv_kpe[..., r:], cos[:, None], sin[:, None],
+            interleaved=interleaved,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ckv_new[:, 0]), np.asarray(ckv_ref[:, 0]),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(kpe_new[:, 0]), np.asarray(kpe_ref[:, 0]),
+            rtol=1e-4, atol=1e-4,
+        )
+
+        # write into the buffers, attend with length+1 (current included)
+        bufs_a, bufs_b = [], []
+        for bi in range(b):
+            li = int(lengths[bi])
+            bufs_a.append(ckv_buf[bi].at[li].set(ckv_ref[bi, 0]))
+            bufs_b.append(kpe_buf[bi].at[li].set(kpe_ref[bi, 0]))
+        ckv_w = jnp.stack(bufs_a)
+        kpe_w = jnp.stack(bufs_b)
+        qn_eff = jnp.einsum("bhn,hnr->bhr", qn, w_uk)[:, :, None]  # [b,h,1,r]
+        kpos = jnp.arange(smax)[None, None, :]
+        mask = jnp.where(kpos < (lengths + 1)[:, None, None], 0.0, -1e30)
+        ctx = mla_absorbed(
+            qn_eff, qp[:, :, None], ckv_w, kpe_w, scale=scale, mask=mask
+        )  # [b,h,1,r]
+        ref_out = jnp.einsum("bhr,hrv->bhv", ctx[:, :, 0], w_uv)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref_out), rtol=2e-3, atol=2e-3,
+        )
