@@ -47,8 +47,9 @@ def mtp_layer_forward(
     cache,                # single-layer KVCache (bufs lists of length 1)
     rope_tables,
     compute_dtype=jnp.bfloat16,
+    compute_logits: bool = True,
 ):
-    """Returns (logits [B, S, V], h_out [B, S, H], cache')."""
+    """Returns (logits [B, S, V] | None, h_out [B, S, H], cache')."""
     b, s = tokens.shape
     cos_t, sin_t = rope_tables
     pos = cache.lengths[:, None] + jnp.arange(s)[None, :]
@@ -86,13 +87,16 @@ def mtp_layer_forward(
         x = res + _dense_mlp(lp["mlp"], spec, xn)
 
     h_out = x
+    new_cache = KVCache(lengths=cache.lengths + s, bufs_a=[ba], bufs_b=[bb])
+    if not compute_logits:
+        # cache catch-up passes don't need the lm_head read (~52 MB int4)
+        return None, h_out, new_cache
     xf = rms_norm(x, mtp["final_norm"], spec.rms_norm_eps)
     lm = main_params.get("lm_head")
     if lm is None:
         logits = xf @ main_params["embed"].astype(xf.dtype).T
     else:
         logits = linear(xf, lm)
-    new_cache = KVCache(lengths=cache.lengths + s, bufs_a=[ba], bufs_b=[bb])
     return logits, h_out, new_cache
 
 
@@ -309,4 +313,216 @@ def mtp_generate(
         h_last = th[:, accepted : accepted + 1]
         m_frontier = min(m_frontier, t_frontier - 1)
 
+    return out[: cfg.max_new_tokens], stats
+
+
+def mtp_generate_fused(
+    target: Generator,
+    mtp_params,
+    prompt_ids: list[int],
+    cfg: GenerateConfig = GenerateConfig(),
+    k: int = 3,
+) -> tuple[list[int], SpecStats]:
+    """Greedy MTP self-speculation with the round fused into TWO device
+    programs — drafts (k argmax-chained 1-layer MTP steps) and
+    verify+accept+catch-up — dispatched back-to-back WITHOUT host reads
+    between them; the host reads one small int array per round, late,
+    through a depth-2 pipeline (copy_to_host_async), so the tunnel RTT
+    amortizes across rounds.
+
+    Why two programs and not one: on the axon runtime programs past a size
+    cliff (~10.5 MB HLO) dispatch at 100-400 ms regardless of device time
+    (measured r3: the single fused round program cost 220 ms/round); the
+    27-layer verify forward alone sits just under the cliff, so the k
+    draft steps live in their own small program. On non-tunneled runtimes
+    both variants behave the same. r2's host-driven loop (a blocking RTT
+    per draft step) measured break-even acceptance 9.85 — unwinnable.
+
+    Output equals target greedy exactly (same verify rule as mtp_generate).
+    Position bookkeeping per round, with T = verified length at round
+    start and b0 the one emitted-but-uncached bonus token at position T:
+    drafts write MTP rows T-1 .. T+k-2 (row T-1 from the TARGET hidden),
+    verify writes target rows T .. T+k and returns hiddens th; accept a =
+    leading matches; the catch-up re-writes MTP rows T .. T+k from th with
+    the verified continuation, correct for rows < T+a — exactly the rows
+    kept after the final rewind (m_len = T+a, t_len = T+a+1). Rejected
+    rows beyond the rewind are overwritten by the next round.
+
+    Reference: doc/en/DeepSeek-V4-Flash.md:157-165 (sglang MTP ~1.2x).
+    """
+    assert cfg.sampling.temperature <= 0, "speculative path is greedy-only"
+    import os
+
+    spec = target.spec
+    rope = target.rope_tables
+    cdt = target.compute_dtype
+    drafter = MTPDrafter(mtp_params, target)
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def draft_fn(params, mtp, m_cache, bonus, h_bonus):
+        """k argmax-chained draft steps (round 1: no catch-up needed)."""
+        cur = bonus
+        h = h_bonus
+        drafted = []
+        for _ in range(k):
+            dl, h, m_cache = mtp_layer_forward(
+                mtp, params, spec, cur[:, None], h, m_cache, rope, cdt
+            )
+            cur = jnp.argmax(dl[:, -1], axis=-1).astype(jnp.int32)
+            drafted.append(cur)
+        return jnp.stack(drafted, axis=1), m_cache  # d [B, k]
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def catchup_draft_fn(params, mtp, m_cache, T_prev, d_prev, greedy_prev,
+                         a_prev, bonus, h_bonus):
+        """Catch the MTP cache up from the PREVIOUS round's verify hiddens
+        (passed as h_all), then draft k tokens. Lives in the small MTP-only
+        program: the 27-layer verify program sits just under the axon
+        program-size cliff and cannot absorb another decoder layer."""
+        h_all, = (h_bonus["th"],)
+        m_cache = dataclasses.replace(m_cache, lengths=T_prev)
+        nxt = jnp.concatenate([d_prev, greedy_prev[:, -1:]], axis=1)
+        _, _, m_cache = mtp_layer_forward(
+            mtp, params, spec, nxt, h_all, m_cache, rope, cdt,
+            compute_logits=False,
+        )
+        m_cache = dataclasses.replace(m_cache, lengths=T_prev + a_prev)
+        cur = bonus
+        h = h_bonus["h"]
+        drafted = []
+        for _ in range(k):
+            dl, h, m_cache = mtp_layer_forward(
+                mtp, params, spec, cur[:, None], h, m_cache, rope, cdt
+            )
+            cur = jnp.argmax(dl[:, -1], axis=-1).astype(jnp.int32)
+            drafted.append(cur)
+        return jnp.stack(drafted, axis=1), m_cache
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def verify_fn(params, t_cache, bonus, d):
+        """Pure target verify + accept: NO extra decoder layers, so the
+        program stays under the dispatch-size cliff."""
+        T = t_cache.lengths  # [B] verified length at round start
+        inp = jnp.concatenate([bonus[:, None], d], axis=1)  # [B, k+1]
+        tl, t_cache, th = forward(
+            params, spec, inp, t_cache, rope_tables=rope,
+            compute_dtype=cdt, return_hidden=True,
+        )
+        greedy = jnp.argmax(tl, axis=-1).astype(jnp.int32)  # [B, k+1]
+
+        match = (d == greedy[:, :k]).astype(jnp.int32)
+        a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # [B] in [0, k]
+        bonus_new = jnp.take_along_axis(greedy, a[:, None], axis=1)[:, 0]
+        j_idx = jnp.arange(k + 1)[None, :]
+        d_pad = jnp.pad(d, ((0, 0), (0, 1)))
+        emitted = jnp.where(
+            j_idx < a[:, None],
+            d_pad,
+            jnp.where(j_idx == a[:, None], bonus_new[:, None], -1),
+        )  # [B, k+1]; -1 marks unused slots
+        h_new = jnp.take_along_axis(th, a[:, None, None], axis=1)
+        t_cache = dataclasses.replace(t_cache, lengths=T + a + 1)
+        return emitted, a, bonus_new, h_new, th, T, t_cache
+
+    # --- prompt prefill + MTP priming (as mtp_generate) ---
+    prompt = jnp.asarray(np.asarray(prompt_ids, np.int32))[None]
+    P = len(prompt_ids)
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def t_prefill_hidden(params, tokens, cache):
+        return forward(
+            params, spec, tokens, cache, rope_tables=rope,
+            compute_dtype=cdt, return_hidden=True,
+        )
+
+    t_cache = target.new_cache()
+    tl, t_cache, th = t_prefill_hidden(target.params, prompt, t_cache)
+    bonus = jnp.argmax(tl[:, -1], axis=-1).astype(jnp.int32)
+    out = [int(bonus[0])]
+    m_cache = drafter.new_cache()
+    if P > 1:
+        _, _, m_cache = drafter._step(P - 1)(
+            prompt[:, 1:], th[:, : P - 1], m_cache
+        )
+    h_bonus = th[:, -1:]
+    stats = SpecStats()
+
+    depth = max(1, int(os.environ.get("KT_SPEC_PIPELINE", "2")))
+    pending = []  # (emitted, a) device arrays, read late
+
+    def resolve(entry):
+        emitted, a = entry
+        em = np.asarray(emitted[0])
+        a_i = int(np.asarray(a[0]))
+        stats.rounds += 1
+        stats.drafted += k
+        stats.accepted += a_i
+        for tok in em[: a_i + 1]:
+            out.append(int(tok))
+            if len(out) >= cfg.max_new_tokens or (
+                cfg.eos_token_id is not None and out[-1] == cfg.eos_token_id
+            ):
+                return True
+        return False
+
+    done = False
+    dispatched_rounds = 0
+    max_rounds = cfg.max_new_tokens  # worst case 1 token/round
+    prev = None  # (T, d, greedy, a) of the previous round, on device
+    profile = os.environ.get("KT_SPEC_PROFILE", "0") == "1"
+    prof = {"draft_s": 0.0, "verify_s": 0.0}
+    import time as _time
+
+    while not done:
+        while (
+            not done
+            and len(pending) < depth
+            and dispatched_rounds < max_rounds
+            and P + 1 + (dispatched_rounds + 1) * (k + 1) < target.max_len
+        ):
+            t0 = _time.perf_counter() if profile else 0.0
+            if prev is None:
+                d, m_cache = draft_fn(
+                    target.params, drafter.mtp, m_cache, bonus, h_bonus
+                )
+            else:
+                T_p, d_p, g_p, a_p, th_p = prev
+                d, m_cache = catchup_draft_fn(
+                    target.params, drafter.mtp, m_cache, T_p, d_p, g_p,
+                    a_p, bonus, {"h": h_bonus, "th": th_p},
+                )
+            if profile:
+                jax.block_until_ready(d)
+                t1 = _time.perf_counter()
+                prof["draft_s"] += t1 - t0
+                t0 = t1
+            emitted, a, bonus, h_bonus, th_r, T_r, t_cache = verify_fn(
+                target.params, t_cache, bonus, d
+            )
+            if profile:
+                jax.block_until_ready(emitted)
+                prof["verify_s"] += _time.perf_counter() - t0
+            # the catch-up's last token column only writes MTP row T+k,
+            # which is always past the kept range (< T+a, a <= k) — any
+            # [B, k+1] token array works there; `emitted` is at hand
+            prev = (T_r, d, emitted, a, th_r)
+            try:
+                emitted.copy_to_host_async()
+                a.copy_to_host_async()
+            except Exception:  # pragma: no cover - backend-dependent
+                pass
+            pending.append((emitted, a))
+            dispatched_rounds += 1
+        if not pending:
+            break
+        done = resolve(pending.pop(0))
+    if profile and stats.rounds:
+        import sys as _sys
+
+        print(
+            f"[spec profile] draft {prof['draft_s']/stats.rounds*1e3:.1f} "
+            f"ms/round, verify {prof['verify_s']/stats.rounds*1e3:.1f} "
+            f"ms/round over {stats.rounds} rounds",
+            file=_sys.stderr,
+        )
     return out[: cfg.max_new_tokens], stats

@@ -50,11 +50,23 @@ from ktransformers_tpu.models.model import _dense_mlp, _moe_mlp
 _PAGED_MLA_DECODE = None
 _PAGED_GQA_DECODE = None
 
+# Paged PREFILL kernels: when set, s>1 chunks attend straight off the page
+# pool (q-block x page-block flash) — _gather_pages never materializes the
+# full padded KV (VERDICT r2 item 3).
+_PAGED_MLA_PREFILL = None
+_PAGED_GQA_PREFILL = None
+
 
 def set_pallas_paged_decode(mla_fn, gqa_fn) -> None:
     global _PAGED_MLA_DECODE, _PAGED_GQA_DECODE
     _PAGED_MLA_DECODE = mla_fn
     _PAGED_GQA_DECODE = gqa_fn
+
+
+def set_pallas_paged_prefill(mla_fn, gqa_fn) -> None:
+    global _PAGED_MLA_PREFILL, _PAGED_GQA_PREFILL
+    _PAGED_MLA_PREFILL = mla_fn
+    _PAGED_GQA_PREFILL = gqa_fn
 
 
 def plinear(p: dict, key: str, x, bias=None):
@@ -199,6 +211,24 @@ def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
             new_summ,
         )
 
+    if s > 1 and _PAGED_MLA_PREFILL is not None:
+        v_arr = valid if valid is not None else jnp.full_like(lengths, s)
+        attn = _PAGED_MLA_PREFILL(
+            q_nope_eff, q_pe, buf_a, buf_b, page_tables, lengths, v_arr,
+            scale,
+        )  # [B, H, S, R]
+        w_uv = p["w_uv"]
+        out = jnp.einsum(
+            "bhsr,hrv->bshv", attn.astype(jnp.float32),
+            w_uv.astype(jnp.float32),
+        ).astype(x.dtype)
+        out = out.reshape(b, s, h * a.v_head_dim)
+        return (
+            plinear(p, "o_proj", out, p.get("o_bias")),
+            (buf_a, buf_b),
+            new_summ,
+        )
+
     ckv_all = _gather_pages(buf_a, page_tables)  # [B, Smax, R]
     kpe_all = _gather_pages(buf_b, page_tables)
     if s == 1:
@@ -311,6 +341,12 @@ def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
             q[:, :, 0], buf_a, buf_b, page_tables, lengths + 1, scale
         )[:, None]  # [B, 1, H, D]
         return finish(out.reshape(b, s, h * d))
+    if s > 1 and _PAGED_GQA_PREFILL is not None:
+        v_arr = valid if valid is not None else jnp.full_like(lengths, s)
+        out = _PAGED_GQA_PREFILL(
+            q, buf_a, buf_b, page_tables, lengths, v_arr, scale, window
+        )  # [B, H, S, D]
+        return finish(out.transpose(0, 2, 1, 3).reshape(b, s, h * d))
 
     k_all = _gather_pages(buf_a, page_tables)  # [B, Smax, Hkv, D]
     v_all = _gather_pages(buf_b, page_tables)

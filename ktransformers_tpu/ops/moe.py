@@ -96,6 +96,9 @@ class MoEWeights:
 
     @property
     def hidden_size(self) -> int:
+        # int4 kinds pack two K rows per byte: data.shape[1] is K/2
+        if isinstance(self.gate_up, QTensor):
+            return self.gate_up.in_features
         return self.gate_up.data.shape[1]
 
     @property

@@ -19,26 +19,29 @@ def enable() -> None:
     if _ENABLED:
         return
     from ktransformers_tpu.ops import linear, moe
-    from ktransformers_tpu.ops.pallas.quant_matmul import (
-        gathered_quant_matmul,
-        grouped_quant_matmul,
-        quant_matmul,
+    from ktransformers_tpu.ops.pallas.vjp import (
+        gathered_quant_matmul_diff,
+        grouped_quant_matmul_diff,
+        quant_matmul_diff,
     )
 
+    # the _diff wrappers are the same kernels with custom_vjp input-grad
+    # rules attached (transposed fused kernels, ops/pallas/quant_matmul_t)
+    # so on-chip LoRA SFT differentiates straight through the Pallas path
     def _qmatmul(x, w):
         if w.kind not in PALLAS_KINDS:
             return None
-        return quant_matmul(x, w)
+        return quant_matmul_diff(x, w)
 
     def _gather(x_rows, w, ids):
         if w.kind not in PALLAS_KINDS:
             return None
-        return gathered_quant_matmul(x_rows, w, ids)
+        return gathered_quant_matmul_diff(x_rows, w, ids)
 
     def _gmm(x_sorted, w, group_sizes):
         if w.kind not in PALLAS_KINDS:
             return None
-        return grouped_quant_matmul(x_sorted, w, group_sizes)
+        return grouped_quant_matmul_diff(x_sorted, w, group_sizes)
 
     from ktransformers_tpu.ops import attention
     from ktransformers_tpu.ops.pallas.mla_decode import (
@@ -86,7 +89,9 @@ def enable() -> None:
     from ktransformers_tpu.models import paged as paged_model
     from ktransformers_tpu.ops.pallas.paged_attention import (
         gqa_paged_decode,
+        gqa_paged_prefill,
         mla_paged_decode,
+        mla_paged_prefill,
     )
 
     paged_model.set_pallas_paged_decode(
@@ -97,6 +102,14 @@ def enable() -> None:
             q, k, v, pt, lens, scale
         ),
     )
+    if _os.environ.get("KT_PAGED_PREFILL", "1") != "0":
+        paged_model.set_pallas_paged_prefill(
+            lambda qn, qp, ckv, kpe, pt, lens, valid, scale:
+                mla_paged_prefill(qn, qp, ckv, kpe, pt, lens, valid, scale),
+            lambda q, k, v, pt, lens, valid, scale, window:
+                gqa_paged_prefill(q, k, v, pt, lens, valid, scale,
+                                  window=window),
+        )
     _ENABLED = True
 
 

@@ -185,7 +185,10 @@ def quant_matmul(x: jnp.ndarray, w: QTensor, interpret: bool = False):
         gs2 = gs // 2
         k2 = kdim // 2
         n_groups = kdim // gs
-        bn = _pick_bn(n, k2)
+        # the VPU dequant materializes lo/hi/s_exp f32 temps [k2, bn]
+        # (~12 B/packed byte): account for them or big-K shapes bust the
+        # 16 MB scoped-VMEM stack (measured at K=10944)
+        bn = _pick_bn(n, k2 * 13)
         bm = _pick_bm(m, kdim, bn, 0.5)
         grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
         xl, xh = split_x_for_int4(x2, kdim, w.group_size)
@@ -368,6 +371,43 @@ def gathered_quant_matmul(
 GROUP_BM = 64
 
 
+def grouped_tile_layout(m: int, e: int, group_sizes, bm: int = GROUP_BM):
+    """The sorted-rows -> expert-aligned-tiles scatter layout shared by the
+    grouped forward kernel and its transposed backward (ops/pallas/vjp.py):
+    returns (dest [m] row destinations, valid [m] bool, tile_group
+    [mpad/bm] expert per tile, mpad). Deterministic in group_sizes, so the
+    backward can rebuild the exact forward layout."""
+    mtiles = pl.cdiv(m, bm) + e
+    mpad = mtiles * bm
+
+    gs = group_sizes.astype(jnp.int32)
+    padded_sizes = ((gs + bm - 1) // bm) * bm
+    offsets = jnp.cumsum(gs) - gs  # exclusive
+    padded_offsets = jnp.cumsum(padded_sizes) - padded_sizes
+    total = jnp.sum(gs)
+
+    rows = jnp.arange(m, dtype=jnp.int32)
+    row_group = jnp.repeat(jnp.arange(e, dtype=jnp.int32), gs,
+                           total_repeat_length=m)
+    valid = rows < total
+    dest = jnp.where(
+        valid,
+        padded_offsets[row_group] + (rows - offsets[row_group]),
+        mpad - 1,
+    )
+
+    # tile -> group map: tile t belongs to group g iff
+    # padded_offsets[g] <= t*bm < padded_offsets[g] + padded_sizes[g]
+    tile_starts = padded_offsets // bm  # [E]
+    tile_counts = padded_sizes // bm
+    tile_idx = jnp.arange(mtiles, dtype=jnp.int32)
+    tile_group = jnp.searchsorted(
+        tile_starts + tile_counts, tile_idx, side="right"
+    ).astype(jnp.int32)
+    tile_group = jnp.minimum(tile_group, e - 1)
+    return dest, valid, tile_group, mpad
+
+
 def _grouped_int4_kernel(
     tg_ref, xl_ref, xh_ref, w_ref, s_ref, *rest, n_groups, gs2, has_zeros,
     offset_lo=False
@@ -410,43 +450,12 @@ def grouped_quant_matmul(
     n = w.out_features
     out_dtype = x_sorted.dtype
     bm = GROUP_BM
-    mtiles = pl.cdiv(m, bm) + e
-    mpad = mtiles * bm
-
-    gs = group_sizes.astype(jnp.int32)
-    padded_sizes = ((gs + bm - 1) // bm) * bm
-    offsets = jnp.cumsum(gs) - gs  # exclusive
-    padded_offsets = jnp.cumsum(padded_sizes) - padded_sizes
-    total = jnp.sum(gs)
-
-    rows = jnp.arange(m, dtype=jnp.int32)
-    row_group = jnp.repeat(jnp.arange(e, dtype=jnp.int32), gs,
-                           total_repeat_length=m)
-    valid = rows < total
-    dest = jnp.where(
-        valid,
-        padded_offsets[row_group] + (rows - offsets[row_group]),
-        mpad - 1,
-    )
+    dest, valid, tile_group, mpad = grouped_tile_layout(m, e, group_sizes, bm)
+    mtiles = mpad // bm
 
     x_padded = jnp.zeros((mpad, kdim), x_sorted.dtype).at[dest].set(
         jnp.where(valid[:, None], x_sorted, 0)
     )
-
-    # tile -> group map: tile t belongs to group g iff
-    # padded_offsets[g] <= t*bm < padded_offsets[g] + padded_sizes[g].
-    tile_starts = padded_offsets // bm  # [E]
-    tile_counts = padded_sizes // bm
-    tile_group = jnp.zeros((mtiles,), jnp.int32)
-    # scatter: for tiles of each group, write g. Use searchsorted instead.
-    tile_idx = jnp.arange(mtiles, dtype=jnp.int32)
-    # group of tile = number of groups fully before it
-    tile_group = (
-        jnp.searchsorted(
-            tile_starts + tile_counts, tile_idx, side="right"
-        ).astype(jnp.int32)
-    )
-    tile_group = jnp.minimum(tile_group, e - 1)
 
     if w.kind in ("int8", "fp8"):
         bn = _pick_bn(n, kdim)

@@ -1,0 +1,320 @@
+"""Transposed fused dequant-matmuls: dx = dy @ W^T with W still packed.
+
+The backward-pass companions of ops/pallas/quant_matmul.py for LoRA SFT
+(the quantized base weights are FROZEN, so only input gradients are
+needed): contraction runs over the N axis of the packed [K, N] weight via
+NT dots, dequantizing blocks in VMEM exactly like the forward kernels.
+This is the TPU analog of the reference's hand-written fused MoE backward
+(kt-kernel/operators/amx/sft_moe.hpp:355 backward_down_proj /
+moe-sft-tp.hpp:144) — there it exists because autodiff cannot see AMX
+kernels; here because pallas_call has no autodiff rule.
+
+int4 kinds: the group-split packing means packed row r of group g holds
+the LOW nibble for activation column (g*gs + r') and the HIGH nibble for
+(g*gs + gs/2 + r'); the kernels produce the two half-gradients [M, K/2]
+and ops/pallas/vjp.py merges them back to activation order (the inverse
+of quant/formats.split_x_for_int4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ktransformers_tpu.ops.pallas.quant_matmul import (
+    INT4_KINDS,
+    _pick_bn,
+    _unpack_nibbles,
+)
+from ktransformers_tpu.quant.formats import QTensor
+
+
+def _int8_t_kernel(dy_ref, w_ref, s_ref, o_ref, *, n_s):
+    """dx_blk [bm, k] += (dy_blk [bm, bn] * s[bn]) @ w_blk[k, bn]^T."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    dy = dy_ref[:].astype(jnp.float32) * s_ref[:].astype(jnp.float32)
+    o_ref[:] += jax.lax.dot_general(
+        dy.astype(jnp.bfloat16),
+        w_ref[:].astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _int4_t_kernel(dy_ref, w_ref, s_ref, *rest, n_groups, gs2, has_zeros,
+                   offset_lo, n_s):
+    """Half-gradients: (dxl, dxh) [bm, k2] += dy_deq-dots against the
+    unpacked lo/hi planes of the packed block [k2, bn]."""
+    z_ref = rest[0] if has_zeros else None
+    ol_ref, oh_ref = rest[-2], rest[-1]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        ol_ref[:] = jnp.zeros_like(ol_ref)
+        oh_ref[:] = jnp.zeros_like(oh_ref)
+
+    k2, bn = w_ref.shape
+    lo, hi = _unpack_nibbles(w_ref[:], offset_lo)
+    s = s_ref[:n_groups].astype(jnp.float32)  # [ng, bn]
+    s_exp = jnp.broadcast_to(
+        s[:, None, :], (n_groups, gs2, bn)
+    ).reshape(k2, bn)
+    lo = lo.astype(jnp.float32)
+    hi = hi.astype(jnp.float32)
+    if has_zeros:
+        z = z_ref[:n_groups].astype(jnp.float32)
+        z_exp = jnp.broadcast_to(
+            z[:, None, :], (n_groups, gs2, bn)
+        ).reshape(k2, bn)
+        lo = lo - z_exp
+        hi = hi - z_exp
+    wl = (lo * s_exp).astype(jnp.bfloat16)
+    wh = (hi * s_exp).astype(jnp.bfloat16)
+    dy = dy_ref[:].astype(jnp.bfloat16)
+    ol_ref[:] += jax.lax.dot_general(
+        dy, wl, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    oh_ref[:] += jax.lax.dot_general(
+        dy, wh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def quant_matmul_t(dy: jnp.ndarray, w: QTensor, interpret: bool = False):
+    """dx = dy [..., N] @ W^T for a packed [K, N] QTensor; returns
+    [..., K] f32 (int4 kinds: the two [., K/2] halves are merged by the
+    caller — see merge_int4_halves)."""
+    *lead, n = dy.shape
+    m = 1
+    for d in lead:
+        m *= d
+    dy2 = dy.reshape(m, n)
+
+    kdim_full = w.in_features
+    # m tile bounded by the f32 dx accumulator block (bm x K) in VMEM
+    bm = min(max(8, ((m + 7) // 8) * 8), 512)
+    while bm > 8 and bm * kdim_full * 4 > 6 * 1024 * 1024:
+        bm //= 2
+    m8 = ((m + bm - 1) // bm) * bm
+    if m8 != m:
+        dy2 = jnp.pad(dy2, ((0, m8 - m), (0, 0)))
+    m_tiles = m8 // bm
+
+    if w.kind in ("int8", "fp8"):
+        kdim = w.data.shape[-2]
+        bn = _pick_bn(n, kdim)
+        grid = (m_tiles, pl.cdiv(n, bn))
+        dx = pl.pallas_call(
+            functools.partial(_int8_t_kernel, n_s=grid[1]),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+                pl.BlockSpec((kdim, bn), lambda i, j: (0, j)),
+                pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, kdim), lambda i, j: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((m8, kdim), jnp.float32),
+            interpret=interpret,
+        )(dy2, w.data, w.scales)
+        return dx[:m].reshape(*lead, kdim)
+
+    if w.kind in INT4_KINDS:
+        k2 = w.data.shape[-2]
+        kdim = 2 * k2
+        gs = w.group_size or kdim
+        gs2 = gs // 2
+        ng = kdim // gs
+        bn = _pick_bn(n, k2)
+        scales = w.scales.reshape(-1, n)
+        ngp = scales.shape[0]
+        has_zeros = w.zeros is not None
+        ins = [dy2, w.data, scales]
+        in_specs = [
+            pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+            pl.BlockSpec((k2, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((ngp, bn), lambda i, j: (0, j)),
+        ]
+        if has_zeros:
+            ins.append(w.zeros.reshape(-1, n))
+            in_specs.append(pl.BlockSpec((ngp, bn), lambda i, j: (0, j)))
+        grid = (m_tiles, pl.cdiv(n, bn))
+        dxl, dxh = pl.pallas_call(
+            functools.partial(
+                _int4_t_kernel, n_groups=ng, gs2=gs2, has_zeros=has_zeros,
+                offset_lo=w.act_quant, n_s=grid[1],
+            ),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((bm, k2), lambda i, j: (i, 0)),
+                pl.BlockSpec((bm, k2), lambda i, j: (i, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((m8, k2), jnp.float32),
+                jax.ShapeDtypeStruct((m8, k2), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*ins)
+        dx = merge_int4_halves(dxl[:m], dxh[:m], kdim, w.group_size)
+        return dx.reshape(*lead, kdim)
+
+    raise ValueError(f"quant_matmul_t: unsupported kind {w.kind}")
+
+
+def merge_int4_halves(dxl, dxh, k: int, group_size: int):
+    """Inverse of quant/formats.split_x_for_int4 for gradients: interleave
+    the low/high half-gradients back to activation column order."""
+    *lead, k2 = dxl.shape
+    gs = group_size or k
+    gs2 = gs // 2
+    ng = k // gs
+    dl = dxl.reshape(*lead, ng, gs2)
+    dh = dxh.reshape(*lead, ng, gs2)
+    return jnp.concatenate([dl, dh], axis=-1).reshape(*lead, k)
+
+
+def _grouped_t_kernel(tg_ref, dy_ref, w_ref, s_ref, *rest, n_groups, gs2,
+                      has_zeros, offset_lo, n_s):
+    z_ref = rest[0] if has_zeros else None
+    ol_ref, oh_ref = rest[-2], rest[-1]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        ol_ref[:] = jnp.zeros_like(ol_ref)
+        oh_ref[:] = jnp.zeros_like(oh_ref)
+
+    k2, bn = w_ref.shape[-2:]
+    lo, hi = _unpack_nibbles(w_ref[0], offset_lo)
+    s = s_ref[0][:n_groups].astype(jnp.float32)
+    s_exp = jnp.broadcast_to(
+        s[:, None, :], (n_groups, gs2, bn)
+    ).reshape(k2, bn)
+    lo = lo.astype(jnp.float32)
+    hi = hi.astype(jnp.float32)
+    if has_zeros:
+        z = z_ref[0][:n_groups].astype(jnp.float32)
+        z_exp = jnp.broadcast_to(
+            z[:, None, :], (n_groups, gs2, bn)
+        ).reshape(k2, bn)
+        lo = lo - z_exp
+        hi = hi - z_exp
+    wl = (lo * s_exp).astype(jnp.bfloat16)
+    wh = (hi * s_exp).astype(jnp.bfloat16)
+    dy = dy_ref[:].astype(jnp.bfloat16)
+    ol_ref[:] += jax.lax.dot_general(
+        dy, wl, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    oh_ref[:] += jax.lax.dot_general(
+        dy, wh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _grouped_int8_t_kernel(tg_ref, dy_ref, w_ref, s_ref, o_ref, *, n_s):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    dy = dy_ref[:].astype(jnp.float32) * s_ref[0].astype(jnp.float32)
+    o_ref[:] += jax.lax.dot_general(
+        dy.astype(jnp.bfloat16),
+        w_ref[0].astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "interpret"))
+def grouped_quant_matmul_t(
+    dy_tiles: jnp.ndarray,     # [Mpad, N] tile-sorted upstream grads
+    w: QTensor,                # [E, K(packed), N]
+    tile_group: jnp.ndarray,   # [Mpad / bm] int32 expert per tile
+    bm: int = 64,
+    interpret: bool = False,
+):
+    """Grouped transposed matmul for the MoE backward: tile t's rows get
+    dy @ w[tile_group[t]]^T. The caller supplies the SAME tile layout the
+    forward grouped_quant_matmul used. Returns [Mpad, K] f32."""
+    mpad, n = dy_tiles.shape
+    e = w.data.shape[0]
+    mtiles = mpad // bm
+
+    if w.kind in ("int8", "fp8"):
+        kdim = w.data.shape[-2]
+        bn = _pick_bn(n, kdim)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(mtiles, pl.cdiv(n, bn)),
+            in_specs=[
+                pl.BlockSpec((bm, bn), lambda i, j, tg: (i, j)),
+                pl.BlockSpec((1, kdim, bn), lambda i, j, tg: (tg[i], 0, j)),
+                pl.BlockSpec((1, 1, bn), lambda i, j, tg: (tg[i], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, kdim), lambda i, j, tg: (i, 0)),
+        )
+        dx = pl.pallas_call(
+            functools.partial(_grouped_int8_t_kernel, n_s=pl.cdiv(n, bn)),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((mpad, kdim), jnp.float32),
+            interpret=interpret,
+        )(tile_group, dy_tiles, w.data, w.scales)
+        return dx
+
+    if w.kind in INT4_KINDS:
+        k2 = w.data.shape[-2]
+        kdim = 2 * k2
+        gs = w.group_size or kdim
+        gs2 = gs // 2
+        ng = kdim // gs
+        bn = _pick_bn(n, k2)
+        scales = w.scales.reshape(e, -1, n)
+        ngp = scales.shape[1]
+        has_zeros = w.zeros is not None
+        ins = [tile_group, dy_tiles, w.data, scales]
+        in_specs = [
+            pl.BlockSpec((bm, bn), lambda i, j, tg: (i, j)),
+            pl.BlockSpec((1, k2, bn), lambda i, j, tg: (tg[i], 0, j)),
+            pl.BlockSpec((1, ngp, bn), lambda i, j, tg: (tg[i], 0, j)),
+        ]
+        if has_zeros:
+            ins.append(w.zeros.reshape(e, -1, n))
+            in_specs.append(
+                pl.BlockSpec((1, ngp, bn), lambda i, j, tg: (tg[i], 0, j))
+            )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(mtiles, pl.cdiv(n, bn)),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((bm, k2), lambda i, j, tg: (i, 0)),
+                pl.BlockSpec((bm, k2), lambda i, j, tg: (i, 0)),
+            ],
+        )
+        dxl, dxh = pl.pallas_call(
+            functools.partial(
+                _grouped_t_kernel, n_groups=ng, gs2=gs2,
+                has_zeros=has_zeros, offset_lo=w.act_quant,
+                n_s=pl.cdiv(n, bn),
+            ),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((mpad, k2), jnp.float32),
+                jax.ShapeDtypeStruct((mpad, k2), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*ins)
+        return merge_int4_halves(dxl, dxh, kdim, w.group_size)
+
+    raise ValueError(f"grouped_quant_matmul_t: unsupported kind {w.kind}")

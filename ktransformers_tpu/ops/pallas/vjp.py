@@ -1,0 +1,147 @@
+"""custom_vjp rules for the fused dequant-matmul kernels: on-chip SFT runs
+at Pallas speed instead of erroring out (pallas_call has no autodiff rule).
+
+Only INPUT gradients are defined — the quantized base weights are frozen
+in LoRA SFT (reference: the hand-written fused MoE backward,
+kt-kernel/operators/amx/sft_moe.hpp:355, exists for the same reason: the
+AMX forward is opaque to autodiff). Weight cotangents are float0 zeros.
+
+The backward contractions run through the transposed fused kernels in
+ops/pallas/quant_matmul_t.py, so gradient HBM traffic is the packed bytes
+— the same property that makes the forward bandwidth-optimal.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ktransformers_tpu.ops.pallas.quant_matmul import (
+    GROUP_BM,
+    gathered_quant_matmul,
+    grouped_quant_matmul,
+    grouped_tile_layout,
+    quant_matmul,
+)
+from ktransformers_tpu.ops.pallas.quant_matmul_t import (
+    grouped_quant_matmul_t,
+    quant_matmul_t,
+)
+
+
+# tests on the CPU mesh set this to run the kernels in interpret mode
+_INTERPRET = False
+
+
+def _zero_cot(p):
+    """Cotangent for a frozen QTensor leaf: float0 for integer storage."""
+    if p is None:
+        return None
+    if jnp.issubdtype(p.dtype, jnp.floating):
+        return jnp.zeros_like(p)
+    return np.zeros(p.shape, jax.dtypes.float0)
+
+
+def _w_cot(w):
+    return jax.tree.map(_zero_cot, w)
+
+
+# --- dense ------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def quant_matmul_diff(x, w):
+    return quant_matmul(x, w, interpret=_INTERPRET)
+
+
+def _qm_fwd(x, w):
+    return quant_matmul(x, w, interpret=_INTERPRET), (w,)
+
+
+def _qm_bwd(res, dy):
+    # y.dtype == x.dtype in quant_matmul, so dy carries the right dtype
+    (w,) = res
+    dx = quant_matmul_t(dy, w, interpret=_INTERPRET).astype(dy.dtype)
+    return dx, _w_cot(w)
+
+
+quant_matmul_diff.defvjp(_qm_fwd, _qm_bwd)
+
+
+# --- grouped (prefill / training MoE) ----------------------------------------
+
+
+@jax.custom_vjp
+def grouped_quant_matmul_diff(x_sorted, w, group_sizes):
+    return grouped_quant_matmul(x_sorted, w, group_sizes, interpret=_INTERPRET)
+
+
+def _gmm_fwd(x_sorted, w, group_sizes):
+    y = grouped_quant_matmul(x_sorted, w, group_sizes, interpret=_INTERPRET)
+    return y, (w, group_sizes)
+
+
+def _gmm_bwd(res, dy):
+    w, group_sizes = res
+    m = dy.shape[0]  # same row count as x_sorted
+    e = w.data.shape[0]
+    # rebuild the forward's tile layout (deterministic in group_sizes) and
+    # run the transposed grouped kernel over expert-aligned dy tiles
+    dest, valid, tile_group, mpad = grouped_tile_layout(
+        m, e, group_sizes, GROUP_BM
+    )
+    dy_tiles = jnp.zeros((mpad, dy.shape[-1]), dy.dtype).at[dest].set(
+        jnp.where(valid[:, None], dy, 0)
+    )
+    dx_tiles = grouped_quant_matmul_t(
+        dy_tiles, w, tile_group, bm=GROUP_BM, interpret=_INTERPRET
+    )
+    dx = jnp.where(valid[:, None], dx_tiles[dest], 0.0).astype(dy.dtype)
+    return dx, _w_cot(w), np.zeros(group_sizes.shape, jax.dtypes.float0)
+
+
+grouped_quant_matmul_diff.defvjp(_gmm_fwd, _gmm_bwd)
+
+
+# --- gathered (decode MoE) ----------------------------------------------------
+
+
+@jax.custom_vjp
+def gathered_quant_matmul_diff(x_rows, w, ids):
+    return gathered_quant_matmul(x_rows, w, ids, interpret=_INTERPRET)
+
+
+def _gather_fwd(x_rows, w, ids):
+    return (
+        gathered_quant_matmul(x_rows, w, ids, interpret=_INTERPRET),
+        (w, ids),
+    )
+
+
+def _gather_bwd(res, dy):
+    w, ids = res
+    r = ids.shape[0]
+    e = w.data.shape[0]
+    # sort rows by expert so the grouped transposed kernel applies, then
+    # un-sort the gradients
+    order = jnp.argsort(ids)
+    sizes = jnp.bincount(ids, length=e).astype(jnp.int32)
+    dy_sorted = dy[order]
+    dest, valid, tile_group, mpad = grouped_tile_layout(
+        r, e, sizes, GROUP_BM
+    )
+    dy_tiles = jnp.zeros((mpad, dy.shape[-1]), dy.dtype).at[dest].set(
+        jnp.where(valid[:, None], dy_sorted, 0)
+    )
+    dx_tiles = grouped_quant_matmul_t(
+        dy_tiles, w, tile_group, bm=GROUP_BM, interpret=_INTERPRET
+    )
+    dx_sorted = dx_tiles[dest]
+    dx = (
+        jnp.zeros_like(dx_sorted).at[order].set(dx_sorted).astype(dy.dtype)
+    )
+    return dx, _w_cot(w), jnp.zeros(ids.shape, jax.dtypes.float0)
+
+
+gathered_quant_matmul_diff.defvjp(_gather_fwd, _gather_bwd)

@@ -59,7 +59,7 @@ def main():
     spec = spec_from_hf_config(cfg)
     print("initializing params...", file=sys.stderr, flush=True)
     params = init_params_synthetic(
-        spec, quant="int8", moe_quant="int4_g"
+        spec, quant="int4_g", moe_quant="int4_g"
     )
     jax.block_until_ready(params)
 

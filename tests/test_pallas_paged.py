@@ -143,3 +143,124 @@ def test_serving_decode_uses_paged_kernel_end_to_end():
         finally:
             paged_model.set_pallas_paged_decode(None, None)
         assert out == ref, (cfg["model_type"], out, ref)
+
+
+def _causal_ref(scores, lengths, s_chunk, page_total, window=0):
+    """Mask helper for prefill refs: scores [B, H, S, Stot]."""
+    b = scores.shape[0]
+    qpos = lengths[:, None] + jnp.arange(s_chunk)[None, :]  # [B, S]
+    kpos = jnp.arange(scores.shape[-1])[None, None, None, :]
+    ok = kpos <= qpos[:, None, :, None]
+    if window:
+        ok = ok & (kpos > qpos[:, None, :, None] - window)
+    return jnp.where(ok, scores, -1e30)
+
+
+@pytest.mark.parametrize("page_size,pmax,s_chunk", [(8, 8, 16), (16, 4, 8)])
+def test_mla_paged_prefill_matches_reference(rng, page_size, pmax, s_chunk):
+    from ktransformers_tpu.ops.pallas.paged_attention import (
+        mla_paged_prefill,
+    )
+
+    b, h, r, dr = 2, 4, 64, 16
+    num_pages = b * pmax + 1
+    qn = jnp.asarray(
+        rng.standard_normal((b, h, s_chunk, r)).astype(np.float32)
+    )
+    qp = jnp.asarray(
+        rng.standard_normal((b, h, s_chunk, dr)).astype(np.float32)
+    )
+    ckv = jnp.asarray(
+        rng.standard_normal((num_pages, page_size, r)).astype(np.float32)
+    )
+    kpe = jnp.asarray(
+        rng.standard_normal((num_pages, page_size, dr)).astype(np.float32)
+    )
+    perm = rng.permutation(num_pages - 1)[: b * pmax] + 1
+    tables = jnp.asarray(perm.reshape(b, pmax).astype(np.int32))
+    # seq 0: fresh prefill of a partial chunk; seq 1: continuation chunk
+    lengths = jnp.asarray([0, 2 * page_size + 3], jnp.int32)
+    valid = jnp.asarray([s_chunk - 3, s_chunk], jnp.int32)
+
+    out = mla_paged_prefill(
+        qn, qp, ckv, kpe, tables, lengths, valid, scale=0.2,
+        block_q=32, interpret=True,
+    )
+
+    ckv_all = _gather(ckv, tables)
+    kpe_all = _gather(kpe, tables)
+    scores = (
+        jnp.einsum("bhsr,btr->bhst", qn, ckv_all)
+        + jnp.einsum("bhsd,btd->bhst", qp, kpe_all)
+    ) * 0.2
+    # rows past valid[b] are padding: only compare valid rows
+    scores = _causal_ref(scores, lengths, s_chunk, ckv_all.shape[1])
+    total = lengths + valid
+    kmask = jnp.arange(ckv_all.shape[1])[None, None, None, :] < total[
+        :, None, None, None
+    ]
+    scores = jnp.where(kmask, scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)
+    ref = jnp.einsum("bhst,btr->bhsr", p, ckv_all)
+    for bi in range(b):
+        nv = int(valid[bi])
+        np.testing.assert_allclose(
+            np.asarray(out[bi, :, :nv]), np.asarray(ref[bi, :, :nv]),
+            rtol=2e-3, atol=2e-3,
+        )
+
+
+@pytest.mark.parametrize("window", [0, 12])
+def test_gqa_paged_prefill_matches_reference(rng, window):
+    from ktransformers_tpu.ops.pallas.paged_attention import (
+        gqa_paged_prefill,
+    )
+
+    b, h, hkv, d, s_chunk = 2, 8, 2, 32, 8
+    page_size, pmax = 8, 6
+    num_pages = b * pmax + 1
+    q = jnp.asarray(
+        rng.standard_normal((b, h, s_chunk, d)).astype(np.float32)
+    )
+    k = jnp.asarray(
+        rng.standard_normal((num_pages, page_size, hkv, d)).astype(np.float32)
+    )
+    v = jnp.asarray(
+        rng.standard_normal((num_pages, page_size, hkv, d)).astype(np.float32)
+    )
+    perm = rng.permutation(num_pages - 1)[: b * pmax] + 1
+    tables = jnp.asarray(perm.reshape(b, pmax).astype(np.int32))
+    lengths = jnp.asarray([0, page_size + 5], jnp.int32)
+    valid = jnp.asarray([s_chunk, s_chunk - 2], jnp.int32)
+
+    out = gqa_paged_prefill(
+        q, k, v, tables, lengths, valid, scale=0.3, window=window,
+        block_q=16, interpret=True,
+    )
+
+    k_all = _gather(k, tables)  # [B, Stot, Hkv, D]
+    v_all = _gather(v, tables)
+    g = h // hkv
+    # expand kv heads to query heads (kv-head-major query order)
+    k_exp = jnp.repeat(k_all.transpose(0, 2, 1, 3), g, axis=1)
+    v_exp = jnp.repeat(v_all.transpose(0, 2, 1, 3), g, axis=1)
+    # query head order in gqa_paged_prefill is (kh, g) groups — same as
+    # repeat over kv-head-major; the model passes q already head-major
+    # grouped [h = kh*g + gi]? NOTE: gqa_paged_prefill reshapes
+    # [B,H,S,D] -> [B,hkv,g,S,D], i.e. assumes h index = kh*g + gi,
+    # matching jnp.repeat ordering here.
+    scores = jnp.einsum("bhsd,bhtd->bhst", q, k_exp) * 0.3
+    scores = _causal_ref(scores, lengths, s_chunk, k_all.shape[1], window)
+    total = lengths + valid
+    kmask = jnp.arange(k_all.shape[1])[None, None, None, :] < total[
+        :, None, None, None
+    ]
+    scores = jnp.where(kmask, scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)
+    ref = jnp.einsum("bhst,bhtd->bhsd", p, v_exp)
+    for bi in range(b):
+        nv = int(valid[bi])
+        np.testing.assert_allclose(
+            np.asarray(out[bi, :, :nv]), np.asarray(ref[bi, :, :nv]),
+            rtol=2e-3, atol=2e-3,
+        )

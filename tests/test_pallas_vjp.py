@@ -1,0 +1,115 @@
+"""Input-gradient (custom_vjp) rules for the fused dequant-matmul kernels:
+the transposed Pallas kernels must match d/dx of the XLA dequant paths
+(reference role: the hand-written fused MoE backward,
+kt-kernel/operators/amx/sft_moe.hpp:355 — only input/adapter grads exist,
+base weights are frozen)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ktransformers_tpu.ops.pallas.quant_matmul import (
+    GROUP_BM,
+    grouped_tile_layout,
+)
+from ktransformers_tpu.ops.pallas.quant_matmul_t import (
+    grouped_quant_matmul_t,
+    quant_matmul_t,
+)
+from ktransformers_tpu.quant.formats import (
+    dequantize,
+    pad_scale_sublanes,
+    quantize,
+)
+from ktransformers_tpu.quant.w4a8 import repack_offset_lo
+
+
+@pytest.mark.parametrize("kind", ["int8", "int4_g", "int4_gz", "fp8"])
+@pytest.mark.parametrize("m", [1, 9])
+def test_quant_matmul_t_matches_xla_grad(rng, kind, m):
+    k, n = 256, 384
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.1)
+    qt = quantize(w, kind, group_size=128)
+    dy = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    ref = np.asarray(
+        dy.astype(jnp.float32) @ dequantize(qt, jnp.float32).T, np.float32
+    )
+    out = np.asarray(quant_matmul_t(dy, qt, interpret=True), np.float32)
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+    # the offset-lo (w4a8) repack must give the SAME gradient
+    if kind.startswith("int4"):
+        qa = pad_scale_sublanes(repack_offset_lo(qt))
+        out2 = np.asarray(quant_matmul_t(dy, qa, interpret=True), np.float32)
+        np.testing.assert_allclose(out2, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("kind", ["int8", "int4_g"])
+def test_grouped_t_matches_xla_grad(rng, kind):
+    e, k, n = 4, 256, 128
+    m = 150  # rows sorted by expert, ragged groups
+    w = jnp.asarray(rng.standard_normal((e, k, n)).astype(np.float32) * 0.1)
+    qt = quantize(w, kind, group_size=128)
+    sizes = jnp.asarray([40, 0, 70, 40], jnp.int32)
+    dy = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+
+    dest, valid, tile_group, mpad = grouped_tile_layout(m, e, sizes, GROUP_BM)
+    dy_tiles = jnp.zeros((mpad, n), dy.dtype).at[dest].set(
+        jnp.where(valid[:, None], dy, 0)
+    )
+    dx_tiles = grouped_quant_matmul_t(
+        dy_tiles, qt, tile_group, bm=GROUP_BM, interpret=True
+    )
+    dx = np.asarray(jnp.where(valid[:, None], dx_tiles[dest], 0.0))
+
+    wd = np.asarray(dequantize(qt, jnp.float32))
+    sizes_np = np.asarray(sizes)
+    row_expert = np.repeat(np.arange(e), sizes_np)
+    ref = np.zeros((m, k), np.float32)
+    for i in range(int(sizes_np.sum())):
+        ref[i] = np.asarray(dy[i], np.float32) @ wd[row_expert[i]].T
+    np.testing.assert_allclose(dx, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_custom_vjp_zero_weight_cotangents(rng):
+    """jax.grad through the _diff wrappers yields input grads and float0 /
+    zero weight cotangents (frozen base weights). Runs the INTERPRET
+    kernels by calling fwd/bwd rules directly (Mosaic needs a real chip)."""
+    from ktransformers_tpu.ops.pallas import vjp as V
+
+    V._INTERPRET = True
+    k, n, m = 256, 128, 8
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.1)
+    qt = quantize(w, "int4_g", group_size=128)
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    dy = jnp.ones((m, n), jnp.bfloat16)
+    # bwd rule directly (interpret-mode kernel under the hood is covered
+    # above; here check shapes/dtypes of the cotangent structure)
+    try:
+        # full custom_vjp chain through jax.grad on the interpret kernels
+        def loss(x):
+            return jnp.sum(V.quant_matmul_diff(x, qt).astype(jnp.float32))
+
+        dx = jax.grad(loss)(x)
+        dx_ref = (
+            jnp.ones((m, n), jnp.float32)
+            @ dequantize(qt, jnp.float32).T
+        ).astype(x.dtype)
+        np.testing.assert_allclose(
+            np.asarray(dx, np.float32), np.asarray(dx_ref, np.float32),
+            rtol=3e-2, atol=3e-2,
+        )
+        _, res = V._qm_fwd(x, qt)
+        dx2, dw = V._qm_bwd(res, dy)
+        assert dx2.shape == x.shape and dx2.dtype == dy.dtype
+        assert dw.data.dtype == jax.dtypes.float0
+        assert dw.scales.dtype == jnp.float32
+        assert float(jnp.sum(dw.scales)) == 0
+    finally:
+        V._INTERPRET = False
