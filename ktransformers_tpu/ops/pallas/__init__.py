@@ -11,7 +11,9 @@ import jax
 
 _ENABLED = False
 
-PALLAS_KINDS = ("int8", "int4", "int4_g", "int4_gz", "fp8")
+PALLAS_KINDS = (
+    "int8", "int4", "int4_g", "int4_gz", "fp8", "mxfp4", "mxfp8",
+)
 
 
 def enable() -> None:

@@ -117,6 +117,67 @@ def _int4_matblock(xl, xh, w_blk, s_ref, z_ref, n_groups, gs2, has_zeros, s_idx,
     )
 
 
+# --- OCP MX formats (mxfp4 e2m1 nibbles / mxfp8 e4m3) with ue8m0 group-32
+# power-of-two scales, decoded INSIDE the matmul block (reference:
+# kt-kernel/operators/amx/fp4-moe.hpp, mxfp8-moe.hpp — DeepSeek-V4-Flash
+# routed experts are MXFP4). The XLA fallback dequantizes to bf16 in HBM
+# first, paying ~4.5x the weight bytes; these keep HBM traffic = packed
+# bytes + tiny exponent planes.
+
+
+def _e2m1_vals(c):
+    """Arithmetic e2m1 decode of int32 codes [0, 15] -> f32 values (no
+    table gathers and no transcendentals — pure VPU selects): code =
+    [s e1 e0 m], mag = e == 0 ? 0.5 m : 2^(e-1) (1 + 0.5 m)."""
+    m = (c & 1).astype(jnp.float32)
+    e = (c >> 1) & 3
+    sign = 1.0 - 2.0 * (c >> 3).astype(jnp.float32)
+    base = jnp.where(e == 1, 1.0, jnp.where(e == 2, 2.0, 4.0))
+    mag = jnp.where(e == 0, 0.5 * m, base * (1.0 + 0.5 * m))
+    return sign * mag
+
+
+def _mx_scale_rows(s_u8, n_groups, gs_rows, k_rows, bn):
+    """ue8m0 exponents [>=ng, bn] -> f32 scales expanded to [k_rows, bn].
+    uint8 -> int32 -> f32 (Mosaic has no direct uint8 -> f32 cast)."""
+    s = jnp.exp2(
+        s_u8[:n_groups].astype(jnp.int32).astype(jnp.float32) - 127.0
+    )
+    return _expand_group_rows(s, n_groups, gs_rows, k_rows, bn)
+
+
+def _mx4_matblock(xl, xh, w_blk, s_ref, n_groups, gs2, s_idx):
+    k2, bn = w_blk.shape
+    b = w_blk[:].astype(jnp.int32)
+    lo = _e2m1_vals(b & 0xF)
+    hi = _e2m1_vals((b >> 4) & 0xF)
+    s = s_ref[s_idx] if s_idx else s_ref[:]
+    s_exp = _mx_scale_rows(s, n_groups, gs2, k2, bn)
+    wl = (lo * s_exp).astype(xl.dtype)
+    wh = (hi * s_exp).astype(xh.dtype)
+    return jnp.dot(xl, wl, preferred_element_type=jnp.float32) + jnp.dot(
+        xh, wh, preferred_element_type=jnp.float32
+    )
+
+
+def _mx4_kernel(xl_ref, xh_ref, w_ref, s_ref, o_ref, *, n_groups, gs2):
+    o_ref[:] = _mx4_matblock(
+        xl_ref[:], xh_ref[:], w_ref, s_ref, n_groups, gs2, s_idx=()
+    )
+
+
+def _mx8_matblock(x, w_blk, s_ref, n_groups, gs, s_idx):
+    k, bn = w_blk.shape
+    s = s_ref[s_idx] if s_idx else s_ref[:]
+    s_exp = _mx_scale_rows(s, n_groups, gs, k, bn)
+    wd = (w_blk[:].astype(jnp.float32) * s_exp).astype(x.dtype)
+    return jnp.dot(x, wd, preferred_element_type=jnp.float32)
+
+
+def _mx8_kernel(x_ref, w_ref, s_ref, o_ref, *, n_groups, gs):
+    o_ref[:] = _mx8_matblock(x_ref[:], w_ref, s_ref, n_groups, gs, s_idx=())
+
+
 # ---------------------------------------------------------------------------
 # dense: x [M, K] @ w [K, N]
 # ---------------------------------------------------------------------------
@@ -221,6 +282,54 @@ def quant_matmul(x: jnp.ndarray, w: QTensor, interpret: bool = False):
         )(*ins)
         return y.astype(out_dtype).reshape(*lead, n)
 
+    if w.kind == "mxfp4":
+        gs = w.group_size
+        gs2 = gs // 2
+        k2 = kdim // 2
+        n_groups = kdim // gs
+        bn = _pick_bn(n, k2 * 13)  # e2m1 decode temps, as the int4 branch
+        bm = _pick_bm(m, kdim, bn, 0.5)
+        grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
+        xl, xh = split_x_for_int4(x2, kdim, gs)
+        scales = w.scales.reshape(-1, n)
+        ngp = scales.shape[0]
+        y = pl.pallas_call(
+            functools.partial(_mx4_kernel, n_groups=n_groups, gs2=gs2),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k2), lambda i, j: (i, 0)),
+                pl.BlockSpec((bm, k2), lambda i, j: (i, 0)),
+                pl.BlockSpec((k2, bn), lambda i, j: (0, j)),
+                pl.BlockSpec((ngp, bn), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+            interpret=interpret,
+        )(xl, xh, w.data, scales)
+        return y.astype(out_dtype).reshape(*lead, n)
+
+    if w.kind == "mxfp8":
+        gs = w.group_size
+        n_groups = kdim // gs
+        bn = _pick_bn(n, kdim * 9)  # f32 dequant temps
+        bm = _pick_bm(m, kdim, bn, 1)
+        grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
+        scales = w.scales.reshape(-1, n)
+        ngp = scales.shape[0]
+        y = pl.pallas_call(
+            functools.partial(_mx8_kernel, n_groups=n_groups, gs=gs),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, kdim), lambda i, j: (i, 0)),
+                pl.BlockSpec((kdim, bn), lambda i, j: (0, j)),
+                pl.BlockSpec((ngp, bn), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+            interpret=interpret,
+        )(x2, w.data, scales)
+        return y.astype(out_dtype).reshape(*lead, n)
+
     raise ValueError(f"quant_matmul: unsupported kind {w.kind}")
 
 
@@ -251,6 +360,46 @@ def _gather_int4_kernel(
     )
     row_ids = jax.lax.broadcasted_iota(jnp.int32, o_ref.shape, 0)
     o_ref[:] += jnp.where(row_ids == r, acc, 0.0)
+
+
+def _gather_mx4_kernel(ids_ref, xl_ref, xh_ref, w_ref, s_ref, o_ref, *,
+                       n_groups, gs2):
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    acc = _mx4_matblock(
+        xl_ref[:], xh_ref[:], w_ref[0], s_ref, n_groups, gs2, s_idx=(0,)
+    )
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, o_ref.shape, 0)
+    o_ref[:] += jnp.where(row_ids == r, acc, 0.0)
+
+
+def _gather_mx8_kernel(ids_ref, x_ref, w_ref, s_ref, o_ref, *, n_groups, gs):
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    acc = _mx8_matblock(x_ref[:], w_ref[0], s_ref, n_groups, gs, s_idx=(0,))
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, o_ref.shape, 0)
+    o_ref[:] += jnp.where(row_ids == r, acc, 0.0)
+
+
+def _grouped_mx4_kernel(tg_ref, xl_ref, xh_ref, w_ref, s_ref, o_ref, *,
+                        n_groups, gs2):
+    o_ref[:] = _mx4_matblock(
+        xl_ref[:], xh_ref[:], w_ref[0], s_ref, n_groups, gs2, s_idx=(0,)
+    )
+
+
+def _grouped_mx8_kernel(tg_ref, x_ref, w_ref, s_ref, o_ref, *, n_groups, gs):
+    o_ref[:] = _mx8_matblock(
+        x_ref[:], w_ref[0], s_ref, n_groups, gs, s_idx=(0,)
+    )
 
 
 def _gather_int8_kernel(ids_ref, x_ref, w_ref, s_ref, o_ref):
@@ -354,6 +503,50 @@ def gathered_quant_matmul(
                 has_zeros=has_zeros,
                 offset_lo=w.act_quant,
             ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((r8, n), jnp.float32),
+            interpret=interpret,
+        )(*ins)
+        return y[:r].astype(out_dtype)
+
+    if w.kind in ("mxfp4", "mxfp8"):
+        gs = w.group_size
+        n_groups = kdim // gs
+        scales = w.scales.reshape(e, -1, n)
+        ngp = scales.shape[1]
+        if w.kind == "mxfp4":
+            k2 = kdim // 2
+            bn = _pick_bn(n, k2 * 13)
+            xl, xh = split_x_for_int4(x_rows, kdim, gs)
+            ins = [ids, xl, xh, w.data, scales]
+            in_specs = [
+                pl.BlockSpec((r8, k2), lambda j, i, ids: (0, 0)),
+                pl.BlockSpec((r8, k2), lambda j, i, ids: (0, 0)),
+                pl.BlockSpec((1, k2, bn), lambda j, i, ids: (ids[i], 0, j)),
+                pl.BlockSpec((1, ngp, bn), lambda j, i, ids: (ids[i], 0, j)),
+            ]
+            kern = functools.partial(
+                _gather_mx4_kernel, n_groups=n_groups, gs2=gs // 2
+            )
+        else:
+            bn = _pick_bn(n, kdim * 9)
+            ins = [ids, x_rows, w.data, scales]
+            in_specs = [
+                pl.BlockSpec((r8, kdim), lambda j, i, ids: (0, 0)),
+                pl.BlockSpec((1, kdim, bn), lambda j, i, ids: (ids[i], 0, j)),
+                pl.BlockSpec((1, ngp, bn), lambda j, i, ids: (ids[i], 0, j)),
+            ]
+            kern = functools.partial(
+                _gather_mx8_kernel, n_groups=n_groups, gs=gs
+            )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(pl.cdiv(n, bn), r),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((r8, bn), lambda j, i, ids: (0, j)),
+        )
+        y = pl.pallas_call(
+            kern,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((r8, n), jnp.float32),
             interpret=interpret,
@@ -511,6 +704,48 @@ def grouped_quant_matmul(
                 has_zeros=has_zeros,
                 offset_lo=w.act_quant,
             ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((mpad, n), jnp.float32),
+            interpret=interpret,
+        )(*ins)
+    elif w.kind in ("mxfp4", "mxfp8"):
+        gsz = w.group_size
+        n_groups = kdim // gsz
+        scales = w.scales.reshape(e, -1, n)
+        ngp = scales.shape[1]
+        if w.kind == "mxfp4":
+            k2 = kdim // 2
+            bn = _pick_bn(n, k2 * 13)
+            xl, xh = split_x_for_int4(x_padded, kdim, gsz)
+            ins = [tile_group, xl, xh, w.data, scales]
+            in_specs = [
+                pl.BlockSpec((bm, k2), lambda i, j, tg: (i, 0)),
+                pl.BlockSpec((bm, k2), lambda i, j, tg: (i, 0)),
+                pl.BlockSpec((1, k2, bn), lambda i, j, tg: (tg[i], 0, j)),
+                pl.BlockSpec((1, ngp, bn), lambda i, j, tg: (tg[i], 0, j)),
+            ]
+            kern = functools.partial(
+                _grouped_mx4_kernel, n_groups=n_groups, gs2=gsz // 2
+            )
+        else:
+            bn = _pick_bn(n, kdim * 9)
+            ins = [tile_group, x_padded, w.data, scales]
+            in_specs = [
+                pl.BlockSpec((bm, kdim), lambda i, j, tg: (i, 0)),
+                pl.BlockSpec((1, kdim, bn), lambda i, j, tg: (tg[i], 0, j)),
+                pl.BlockSpec((1, ngp, bn), lambda i, j, tg: (tg[i], 0, j)),
+            ]
+            kern = functools.partial(
+                _grouped_mx8_kernel, n_groups=n_groups, gs=gsz
+            )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(mtiles, pl.cdiv(n, bn)),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, tg: (i, j)),
+        )
+        y = pl.pallas_call(
+            kern,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((mpad, n), jnp.float32),
             interpret=interpret,

@@ -59,10 +59,22 @@ def _qm_fwd(x, w):
     return quant_matmul(x, w, interpret=_INTERPRET), (w,)
 
 
+_T_KINDS = ("int8", "fp8", "int4", "int4_g", "int4_gz")
+
+
 def _qm_bwd(res, dy):
     # y.dtype == x.dtype in quant_matmul, so dy carries the right dtype
     (w,) = res
-    dx = quant_matmul_t(dy, w, interpret=_INTERPRET).astype(dy.dtype)
+    if w.kind in _T_KINDS:
+        dx = quant_matmul_t(dy, w, interpret=_INTERPRET).astype(dy.dtype)
+    else:
+        # MX kinds: XLA dequant fallback in the backward (forward stays
+        # in-kernel); a transposed MX kernel is a follow-up
+        from ktransformers_tpu.quant.formats import dequantize
+
+        dx = (dy.astype(jnp.float32) @ dequantize(w, jnp.float32).T).astype(
+            dy.dtype
+        )
     return dx, _w_cot(w)
 
 
@@ -86,6 +98,18 @@ def _gmm_bwd(res, dy):
     w, group_sizes = res
     m = dy.shape[0]  # same row count as x_sorted
     e = w.data.shape[0]
+    if w.kind not in _T_KINDS:
+        # MX kinds: XLA ragged fallback (transposed MX kernel = follow-up)
+        from ktransformers_tpu.quant.formats import dequantize
+
+        wd_t = dequantize(w, jnp.bfloat16).transpose(0, 2, 1)  # [E, N, K]
+        dx = jax.lax.ragged_dot(
+            dy.astype(jnp.bfloat16), wd_t, group_sizes.astype(jnp.int32),
+            preferred_element_type=jnp.float32,
+        ).astype(dy.dtype)
+        return (
+            dx, _w_cot(w), np.zeros(group_sizes.shape, jax.dtypes.float0)
+        )
     # rebuild the forward's tile layout (deterministic in group_sizes) and
     # run the transposed grouped kernel over expert-aligned dy tiles
     dest, valid, tile_group, mpad = grouped_tile_layout(
@@ -128,6 +152,16 @@ def _gather_bwd(res, dy):
     order = jnp.argsort(ids)
     sizes = jnp.bincount(ids, length=e).astype(jnp.int32)
     dy_sorted = dy[order]
+    if w.kind not in _T_KINDS:
+        from ktransformers_tpu.quant.formats import dequantize
+
+        wd_t = dequantize(w, jnp.bfloat16).transpose(0, 2, 1)
+        dxs = jax.lax.ragged_dot(
+            dy_sorted.astype(jnp.bfloat16), wd_t, sizes,
+            preferred_element_type=jnp.float32,
+        )
+        dx = jnp.zeros_like(dxs).at[order].set(dxs).astype(dy.dtype)
+        return dx, _w_cot(w), jnp.zeros(ids.shape, jax.dtypes.float0)
     dest, valid, tile_group, mpad = grouped_tile_layout(
         r, e, sizes, GROUP_BM
     )

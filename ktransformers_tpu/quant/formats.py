@@ -328,7 +328,7 @@ def raw_int4_data(qt: QTensor) -> jnp.ndarray:
     return qt.data
 
 
-GROUP_KINDS = ("int4_g", "int4_gz", "int8_g", "int8_gz")
+GROUP_KINDS = ("int4_g", "int4_gz", "int8_g", "int8_gz", "mxfp4", "mxfp8")
 
 
 def pad_scale_sublanes(qt: QTensor, multiple: int = 8) -> QTensor:
@@ -393,8 +393,10 @@ def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
         else:
             q = qt.data.astype(jnp.float32)
         g = _group_reshape(q, qt.group_size)
+        kg = g.shape[-3]  # scales may be sublane-padded past the true ng
         scale = jnp.exp2(
-            qt.scales[..., :, None, :].astype(jnp.float32) - 127.0
+            qt.scales[..., :kg, :][..., :, None, :].astype(jnp.float32)
+            - 127.0
         )
         out = g * scale
         *lead, kg, gs, n = out.shape

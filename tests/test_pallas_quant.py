@@ -274,3 +274,61 @@ def test_mla_decode_fused_parity(rng):
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref_out), rtol=2e-3, atol=2e-3,
         )
+
+
+@pytest.mark.parametrize("kind", ["mxfp4", "mxfp8"])
+@pytest.mark.parametrize("m", [1, 9])
+def test_mx_dense_kernel(rng, kind, m):
+    """OCP MX kinds computed INSIDE the matmul block (e2m1 arithmetic
+    decode / e4m3 + ue8m0 exp2 scales) vs the XLA dequant reference
+    (reference: fp4-moe.hpp / mxfp8-moe.hpp; DeepSeek-V4-Flash routed
+    experts are MXFP4)."""
+    k, n = 256, 384
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.1)
+    qt = quantize(w, kind)
+    assert qt.group_size == 32
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    ref = np.asarray(
+        x.astype(jnp.float32) @ dequantize(qt, jnp.float32), np.float32
+    )
+    out = np.asarray(quant_matmul(x, qt, interpret=True), np.float32)
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("kind", ["mxfp4", "mxfp8"])
+def test_mx_gathered_and_grouped_kernels(rng, kind):
+    from ktransformers_tpu.ops.pallas.quant_matmul import (
+        grouped_quant_matmul,
+    )
+    from ktransformers_tpu.quant.formats import pad_scale_sublanes
+
+    e, k, n, r = 4, 128, 256, 6
+    w = jnp.asarray(rng.standard_normal((e, k, n)).astype(np.float32) * 0.1)
+    qt = pad_scale_sublanes(quantize(w, kind))  # ng=4 -> padded to 8
+    x = jnp.asarray(rng.standard_normal((r, k)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    ids = jnp.asarray([3, 0, 2, 3, 1, 1], jnp.int32)
+    wd = np.asarray(dequantize(qt, jnp.float32))
+    ref = np.stack(
+        [np.asarray(x[i], np.float32) @ wd[int(ids[i])] for i in range(r)]
+    )
+    out = np.asarray(
+        gathered_quant_matmul(x, qt, ids, interpret=True), np.float32
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+    sizes = jnp.asarray([2, 0, 3, 1], jnp.int32)
+    xs = jnp.asarray(rng.standard_normal((r, k)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    row_expert = np.repeat(np.arange(e), np.asarray(sizes))
+    ref2 = np.stack(
+        [np.asarray(xs[i], np.float32) @ wd[row_expert[i]] for i in range(r)]
+    )
+    out2 = np.asarray(
+        grouped_quant_matmul(xs, qt, sizes, interpret=True), np.float32
+    )
+    np.testing.assert_allclose(out2, ref2, rtol=2e-2, atol=2e-2)
