@@ -394,6 +394,21 @@ def _dense_mlp(p, spec: ModelSpec, x):
 
     gu, dn = p["gate_up"], p["down"]
     if (
+        _moe._PALLAS_DENSE_FFN is not None
+        and "gate_up_lora" not in p
+        and isinstance(gu, QTensor)
+        and isinstance(dn, QTensor)
+    ):
+        # inter-chunked fused FFN: one launch streaming gate/up/down for
+        # any FFN size (the shared experts of every MoE layer exceed the
+        # whole-expert kernel's VMEM budget; round-3 decode profile showed
+        # their two dense launches + GLU glue at ~25 us vs ~11 us SOL)
+        lead = x.shape[:-1]
+        rows = x.reshape(-1, x.shape[-1])
+        y = _moe._PALLAS_DENSE_FFN(rows, gu, dn, spec.activation)
+        if y is not None:
+            return y.reshape(*lead, -1)
+    if (
         _moe._PALLAS_FFN is not None
         and "gate_up_lora" not in p
         and isinstance(gu, QTensor)

@@ -64,6 +64,16 @@ def set_pallas_ffn(fn) -> None:
     _PALLAS_FFN = fn
 
 
+_PALLAS_DENSE_FFN = None
+
+
+def set_pallas_dense_ffn(fn) -> None:
+    """Fused dense FFN (shared experts / dense MLP layers) streamed in
+    inter-dim chunks; fn returns None when ineligible."""
+    global _PALLAS_DENSE_FFN
+    _PALLAS_DENSE_FFN = fn
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class MoEWeights:

@@ -62,6 +62,8 @@ def enable() -> None:
         )
 
     from ktransformers_tpu.ops.pallas.w4a8_matmul import (
+        dense_ffn_plan,
+        dense_w4a8_ffn,
         ffn_fits,
         gathered_w4a8_ffn,
     )
@@ -78,10 +80,21 @@ def enable() -> None:
         return gathered_w4a8_ffn(x_rows, gate_up, down, ids,
                                  act=act_cfg.kind)
 
+    def _dense_ffn(rows, gate_up, down, act_cfg):
+        if (gate_up.kind not in PALLAS_KINDS
+                or down.kind not in PALLAS_KINDS):
+            return None
+        bc = dense_ffn_plan(gate_up, down, act_cfg.kind,
+                            act_cfg.swiglu_limit)
+        if bc is None:
+            return None
+        return dense_w4a8_ffn(rows, gate_up, down, act=act_cfg.kind, bc=bc)
+
     linear.set_pallas_qmatmul(_qmatmul)
     moe.set_pallas_gather(_gather)
     moe.set_pallas_gmm(_gmm)
     moe.set_pallas_ffn(_ffn)
+    moe.set_pallas_dense_ffn(_dense_ffn)
     attention.set_pallas_mla_decode(_mla_decode)
     import os as _os
 

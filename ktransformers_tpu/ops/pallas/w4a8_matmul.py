@@ -46,7 +46,7 @@ def _w4a8_group_acc(qa, qb, sa, sb, t, braw, s_blk, z_blk, xsum,
     offset-lo packed bytes; s_blk: f32 [ng, bn]; z_blk: f32 [ng, bn] | None.
     Returns f32 [M, bn].
     """
-    u = (braw.astype(jnp.int32) & 0xF).astype(jnp.int8)
+    u = braw & jnp.int8(0xF)
     m = qa.shape[0]
     bn = braw.shape[-1]
     acc = jnp.zeros((m, bn), jnp.float32)
@@ -100,7 +100,7 @@ def _dense_w4a8_kernel(qa_ref, qb_ref, sa_ref, sb_ref, t_ref, xs_ref,
     for g in range(n_groups):
         wl = slice(g * gs2, (g + 1) * gs2)
         braw = w_ref[wl]
-        u = (braw.astype(jnp.int32) & 0xF).astype(jnp.int8)
+        u = braw & jnp.int8(0xF)
         pa = jnp.dot(qa[:, wl], u, preferred_element_type=jnp.int32)
         pb = jnp.dot(qb[:, wl], braw, preferred_element_type=jnp.int32)
         val = (
@@ -234,7 +234,7 @@ def _ffn_w4a8_kernel(ids_ref, qa_ref, qb_ref, sa_ref, sb_ref, t_ref,
     kdim_out = dn_w.shape[-1]
     gs = 2 * gs2_2
     braw_all = dn_w[0]
-    u_all = (braw_all.astype(jnp.int32) & 0xF).astype(jnp.int8)
+    u_all = braw_all & jnp.int8(0xF)
     y = jnp.zeros((m, kdim_out), jnp.float32)
     for g in range(ng2):
         seg = a[:, g * gs : (g + 1) * gs]
@@ -356,6 +356,220 @@ def gathered_w4a8_ffn(
         interpret=interpret,
     )(*ins)
     return y[:r].astype(out_dtype)
+
+
+def _math_lcm(a: int, b: int) -> int:
+    import math
+
+    return a * b // math.gcd(a, b)
+
+
+def dense_ffn_plan(gate_up: QTensor, down: QTensor, act_kind: str,
+                   swiglu_limit) -> int | None:
+    """Pick the inter-dim chunk width bc for dense_w4a8_ffn, or None when
+    the shapes/kinds are ineligible. bc must divide inter, be a multiple
+    of lcm(128, down group) for Mosaic lane/group alignment, and keep the
+    double-buffered gate/up/down blocks inside the VMEM budget."""
+    if not (isinstance(gate_up, QTensor) and isinstance(down, QTensor)):
+        return None
+    if not (getattr(gate_up, "act_quant", False)
+            and getattr(down, "act_quant", False)):
+        return None
+    if act_kind not in ("silu", "relu", "gelu") or swiglu_limit is not None:
+        return None
+    if gate_up.data.ndim != 2 or down.data.ndim != 2:
+        return None
+    k2, n2x = gate_up.data.shape
+    i2, kdim = down.data.shape
+    inter = n2x // 2
+    if n2x != 2 * inter or 2 * i2 != inter:
+        return None
+    gs_dn = down.group_size or inter
+    step = _math_lcm(128, gs_dn)
+    best = None
+    bc = (inter // step) * step
+    while bc >= step:
+        if inter % bc == 0:
+            need = 2 * (2 * k2 * bc + (bc // 2) * kdim)
+            if need <= _FFN_VMEM_BUDGET:
+                best = bc
+                break
+        bc -= step
+    return best
+
+
+def _dense_ffn_kernel(qa_ref, qb_ref, sa_ref, sb_ref, t_ref, xs_ref,
+                      *rest, ng1, gs2_1, gz1, cg, gs2_2, gz2, act):
+    """One inter-dim chunk of a dense FFN: gate/up int8-MXU dots -> GLU ->
+    in-chunk activation re-quant -> partial down dots accumulated into the
+    output. Grid (m_blocks, inter/bc); one launch replaces the two dense
+    W4A8 launches + the XLA GLU/act-quant glue between them (the shared
+    experts of every MoE layer are this shape: ffn_fits rejects them from
+    the whole-expert kernel at 17.3 MB)."""
+    rest = list(rest)
+    g_w = rest.pop(0)
+    g_s = rest.pop(0)
+    g_z = rest.pop(0) if gz1 else None
+    u_w = rest.pop(0)
+    u_s = rest.pop(0)
+    u_z = rest.pop(0) if gz1 else None
+    dn_w = rest.pop(0)
+    dn_s = rest.pop(0)
+    dn_z = rest.pop(0) if gz2 else None
+    o_ref = rest.pop(0)
+    c = pl.program_id(1)
+
+    qa, qb = qa_ref[:], qb_ref[:]
+    sa, sb, t, xsum = sa_ref[:], sb_ref[:], t_ref[:], xs_ref[:]
+    hg = _w4a8_group_acc(qa, qb, sa, sb, t, g_w[:],
+                         g_s[:], g_z[:] if gz1 else None, xsum, ng1, gs2_1)
+    hu = _w4a8_group_acc(qa, qb, sa, sb, t, u_w[:], u_s[:],
+                         u_z[:] if gz1 else None, xsum, ng1, gs2_1)
+    a = _glu(hg, hu, act)  # [bm, bc] f32
+
+    m = a.shape[0]
+    kdim_out = dn_w.shape[-1]
+    gs = 2 * gs2_2
+    y = jnp.zeros((m, kdim_out), jnp.float32)
+    for g in range(cg):
+        seg = a[:, g * gs : (g + 1) * gs]
+        lo, hi = seg[:, :gs2_2], seg[:, gs2_2:]
+        ca, sa2 = _quant_rows(lo - hi / 16.0)
+        cb, sb2 = _quant_rows(hi / 16.0)
+        wl = slice(g * gs2_2, (g + 1) * gs2_2)
+        braw = dn_w[wl]
+        u = braw & jnp.int8(0xF)
+        pa = jnp.dot(ca, u, preferred_element_type=jnp.int32)
+        pb = jnp.dot(cb, braw, preferred_element_type=jnp.int32)
+        val = (
+            pa.astype(jnp.float32) * sa2[:, None]
+            + pb.astype(jnp.float32) * sb2[:, None]
+            - 8.0 * jnp.sum(lo, -1)[:, None]
+        )
+        grow = c * cg + g  # global down-scale row (dn_s is resident whole)
+        if gz2:
+            val = val - jnp.sum(lo + hi, -1)[:, None] * dn_z[grow][None, :]
+        y += val * dn_s[grow][None, :]
+
+    @pl.when(c == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[:] += y
+
+
+@functools.partial(jax.jit, static_argnames=("act", "bc", "interpret"))
+def dense_w4a8_ffn(
+    x2: jnp.ndarray,  # [M, K] float
+    gate_up: QTensor,  # act_quant int4 kind, [K/2, 2*inter]
+    down: QTensor,  # act_quant int4 kind, [inter/2, K]
+    act: str = "silu",
+    bc: int | None = None,
+    interpret: bool = False,
+):
+    """Fused dense FFN (gate_up -> GLU -> down) streamed in inter-dim
+    chunks: handles FFN sizes the whole-expert kernel (gathered_w4a8_ffn)
+    cannot hold in VMEM. Returns [M, K] x.dtype. The TPU analog of the
+    reference's fused shared-expert forward
+    (kt-kernel/operators/amx/moe_base.hpp gate+up+down tiling)."""
+    m, kdim = x2.shape
+    k2, n2x = gate_up.data.shape
+    inter = n2x // 2
+    out_dtype = x2.dtype
+    gs1 = gate_up.group_size or kdim
+    ng1 = kdim // gs1
+    gs_dn = down.group_size or inter
+    if bc is None:
+        bc = dense_ffn_plan(gate_up, down, act, None)
+    assert bc is not None and inter % bc == 0 and bc % gs_dn == 0
+    nc = inter // bc
+    cg = bc // gs_dn
+
+    m8 = max(8, ((m + 7) // 8) * 8)
+    if m8 != m:
+        x2 = jnp.pad(x2, ((0, m8 - m), (0, 0)))
+    qa, qb, sa, sb, t, xsum = w4a8_prep(x2, kdim, gate_up.group_size)
+    # M tile: the three weight blocks (gate, up, down) are the fixed cost;
+    # activation planes + the f32 out/a temps scale with bm
+    wbytes = 2 * (2 * k2 * bc + (bc // 2) * kdim)
+    bm = min(m8, 512)
+    while bm > 8:
+        need = (
+            wbytes
+            + 2 * 2 * bm * k2        # qa, qb double-buffered
+            + 4 * 4 * bm * ng1       # sa/sb/t/xsum f32
+            + bm * kdim * 4          # out f32
+            + bm * bc * 4 * 3        # hg/hu/a f32 temps
+        )
+        if need <= _FFN_VMEM_BUDGET + 4 * 1024 * 1024:
+            break
+        bm //= 2
+    if m8 % bm:
+        pad = bm - m8 % bm
+        qa, qb, sa, sb, t, xsum = (
+            jnp.pad(v, ((0, pad), (0, 0))) for v in (qa, qb, sa, sb, t, xsum)
+        )
+        m8 += pad
+
+    gz1 = gate_up.zeros is not None
+    gz2 = down.zeros is not None
+    gu_s = gate_up.scales.reshape(-1, n2x)  # ng1p rows (sublane-padded ok)
+    ng1p = gu_s.shape[0]
+    dn_s = down.scales.reshape(-1, kdim)  # resident whole; dynamic rows
+    ng2p = dn_s.shape[0]
+    cb0 = inter // bc  # first block index of the `up` half
+
+    ins = [qa, qb, sa, sb, t, xsum]
+    in_specs = [
+        pl.BlockSpec((bm, k2), lambda i, c: (i, 0)),
+        pl.BlockSpec((bm, k2), lambda i, c: (i, 0)),
+        pl.BlockSpec((bm, ng1), lambda i, c: (i, 0)),
+        pl.BlockSpec((bm, ng1), lambda i, c: (i, 0)),
+        pl.BlockSpec((bm, ng1), lambda i, c: (i, 0)),
+        pl.BlockSpec((bm, ng1), lambda i, c: (i, 0)),
+    ]
+    wdata = _as_i8(gate_up.data)
+    # gate columns at block c, up columns at block inter/bc + c
+    ins += [wdata, gu_s]
+    in_specs += [
+        pl.BlockSpec((k2, bc), lambda i, c: (0, c)),
+        pl.BlockSpec((ng1p, bc), lambda i, c: (0, c)),
+    ]
+    if gz1:
+        gu_z = gate_up.zeros.reshape(-1, n2x)
+        ins.append(gu_z)
+        in_specs.append(pl.BlockSpec((ng1p, bc), lambda i, c: (0, c)))
+    ins += [wdata, gu_s]
+    in_specs += [
+        pl.BlockSpec((k2, bc), lambda i, c, _b=cb0: (0, _b + c)),
+        pl.BlockSpec((ng1p, bc), lambda i, c, _b=cb0: (0, _b + c)),
+    ]
+    if gz1:
+        ins.append(gu_z)
+        in_specs.append(
+            pl.BlockSpec((ng1p, bc), lambda i, c, _b=cb0: (0, _b + c))
+        )
+    ins += [_as_i8(down.data), dn_s]
+    in_specs += [
+        pl.BlockSpec((bc // 2, kdim), lambda i, c: (c, 0)),
+        pl.BlockSpec((ng2p, kdim), lambda i, c: (0, 0)),
+    ]
+    if gz2:
+        ins.append(down.zeros.reshape(-1, kdim))
+        in_specs.append(pl.BlockSpec((ng2p, kdim), lambda i, c: (0, 0)))
+
+    y = pl.pallas_call(
+        functools.partial(
+            _dense_ffn_kernel, ng1=ng1, gs2_1=gs1 // 2, gz1=gz1,
+            cg=cg, gs2_2=gs_dn // 2, gz2=gz2, act=act,
+        ),
+        grid=(m8 // bm, nc),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, kdim), lambda i, c: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m8, kdim), jnp.float32),
+        interpret=interpret,
+    )(*ins)
+    return y[:m].astype(out_dtype)
 
 
 def _pick_bm_w4a8(m8: int, k2: int, bn: int, ng: int) -> int:

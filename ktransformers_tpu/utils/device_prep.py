@@ -93,13 +93,11 @@ def fuse_qkv_projections(params, spec):
     byte-ratios say they should differ 5x). The reference fuses the same
     way at load (packed gate_up_proj, kt-kernel/python/utils/loader.py:679).
 
-    NEGATIVE RESULT on the bench model (measured, /tmp-able via
-    /tmp/ab_decode.py pattern): fused decode is 257 tok/s vs 273 unfused —
-    the launch savings are outweighed by XLA staging the larger fused
-    weight (the per-layer S(1) copies grow with the widest matmul and
-    overlap worse). Default therefore KT_FUSE_QKV=0; the path stays
-    correct + tested (tests/test_fuse_qkv.py) for configs where launch
-    overhead dominates harder (many tiny heads, CPU mesh experiments).
+    History: with the r2 bf16-dequant kernels this measured NEGATIVE
+    (257 vs 273 tok/s — XLA staged the larger fused weight). Re-measured
+    round 3 on the W4A8 + padded-scales path it WINS: 334 vs 312 tok/s
+    (scripts/ab_decode.py); the kv_a S(1) staging copies disappear with
+    the kv_a launch. Default therefore KT_FUSE_QKV=1 (opt-out with 0).
 
     Mutates `params` in place (old tensors are dropped); returns params.
     Skipped per-layer when formats differ or LoRA adapters are attached.
@@ -253,7 +251,7 @@ def prepare_params(params, pallas_active: bool, spec=None):
         return params
     if os.environ.get("KT_BF16_ABSORB", "1") != "0":
         params = bf16_absorbed_mats(params)
-    if spec is not None and os.environ.get("KT_FUSE_QKV", "0") == "1":
+    if spec is not None and os.environ.get("KT_FUSE_QKV", "1") == "1":
         params = fuse_qkv_projections(params, spec)
     if os.environ.get("KT_W4A8", "1") != "0":
         params = enable_w4a8(params, donate=True)

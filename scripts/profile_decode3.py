@@ -27,7 +27,11 @@ def main():
     from scripts.profile_decode2 import BASE
 
     spec = spec_from_hf_config(dict(BASE))
-    params = init_params_synthetic(spec, quant="int8", moe_quant="int4_g")
+    params = init_params_synthetic(
+        spec,
+        quant=os.environ.get("KT_BENCH_QUANT", "int4_g"),
+        moe_quant=os.environ.get("KT_BENCH_MOE_QUANT", "int4_g"),
+    )
     jax.block_until_ready(params)
     gen = Generator(params, spec, max_len=1024, batch=1)
     cache = gen.new_cache()

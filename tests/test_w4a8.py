@@ -216,3 +216,59 @@ def test_moe_forward_exact_after_enable(rng):
             np.asarray(moe_forward(x, weights, idx, tw, cfg)),
             np.asarray(moe_forward(x, weights2, idx, tw, cfg)),
         )
+
+
+@pytest.mark.parametrize("kind", KINDS)
+@pytest.mark.parametrize("m", [1, 8, 33])
+def test_dense_ffn_kernel(rng, kind, m):
+    """Inter-chunked dense FFN kernel (gate_up -> GLU -> down, one launch,
+    grid over inter chunks) vs the float two-matmul reference — the
+    shared-expert / dense-MLP shapes the whole-expert kernel can't hold."""
+    from ktransformers_tpu.ops.pallas.w4a8_matmul import (
+        dense_ffn_plan,
+        dense_w4a8_ffn,
+    )
+
+    k, inter = 256, 512
+    gu = jnp.asarray(
+        rng.standard_normal((k, 2 * inter)).astype(np.float32) * 0.1
+    )
+    dn = jnp.asarray(rng.standard_normal((inter, k)).astype(np.float32) * 0.1)
+    qgu = repack_offset_lo(quantize(gu, kind, group_size=128))
+    qdn = repack_offset_lo(quantize(dn, kind, group_size=128))
+    bc = dense_ffn_plan(qgu, qdn, "silu", None)
+    assert bc is not None and inter % bc == 0
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+
+    xf = np.asarray(x.astype(jnp.float32))
+    h = xf @ np.asarray(dequantize(qgu, jnp.float32))
+    g, u = h[:, :inter], h[:, inter:]
+    a = g * (1.0 / (1.0 + np.exp(-g))) * u
+    ref = a @ np.asarray(dequantize(qdn, jnp.float32))
+
+    scale = np.abs(ref).max()
+    gs_dn = qdn.group_size or inter
+    widths = [bc] + ([128] if (inter % 128 == 0 and 128 % gs_dn == 0) else [])
+    for bc_try in widths:  # planned width + forced multi-chunk when legal
+        out = np.asarray(
+            dense_w4a8_ffn(x, qgu, qdn, act="silu", bc=bc_try,
+                           interpret=True),
+            np.float32,
+        )
+        np.testing.assert_allclose(out / scale, ref / scale, atol=6e-2)
+
+
+def test_dense_ffn_plan_rejects():
+    from ktransformers_tpu.ops.pallas.w4a8_matmul import dense_ffn_plan
+
+    k, inter = 256, 512
+    gu = quantize(jnp.ones((k, 2 * inter), jnp.float32), "int4_g", 128)
+    dn = quantize(jnp.ones((inter, k), jnp.float32), "int4_g", 128)
+    gu8, dn8 = repack_offset_lo(gu), repack_offset_lo(dn)
+    assert dense_ffn_plan(gu8, dn8, "silu", None) is not None
+    # not act_quant-repacked, clamp variants, odd activations -> None
+    assert dense_ffn_plan(gu, dn, "silu", None) is None
+    assert dense_ffn_plan(gu8, dn8, "silu", 7.0) is None
+    assert dense_ffn_plan(gu8, dn8, "silu2", None) is None
