@@ -12,7 +12,14 @@ AMX int8 tiles); here the per-(row, scale-group) activation scales ride
 outside two int8 dots per group.
 
 Weights must be offset-lo repacked (QTensor.act_quant=True). Activations
-are quantized per (row, weight scale group) by quant/w4a8.w4a8_prep.
+are quantized per (row, weight scale group) by quant/w4a8.w4a8_prep,
+OUTSIDE the kernels. NEGATIVE RESULT (measured round 3, don't redo): moving
+the prep in-kernel (raw bf16 x in, per-group _quant_rows before each dot
+pair) measured 339 -> 319 tok/s on the bench decode — the per-group VPU
+quant chain (abs-max reduce -> div -> round -> clip) serializes with the
+MXU dots inside the kernel body, while XLA runs the outside-prep fusions
+concurrently with neighboring kernels' DMA waits. The prep's HBM round
+trip (write qa/qb, re-read) is cheaper than the lost overlap at decode M.
 """
 
 from __future__ import annotations
