@@ -7,6 +7,7 @@ model, doctor, config, sft, bench commands).
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import click
@@ -42,9 +43,10 @@ def _load(model_path, quant, moe_quant, config_path, placement_yaml,
 
     placement = None
     if placement_yaml:
-        from ktransformers_tpu.placement.spec import PlacementSpec
+        # library preset name (kt placements) or a YAML file path
+        from ktransformers_tpu.placement.library import load_placement
 
-        placement = PlacementSpec.from_yaml(placement_yaml)
+        placement = load_placement(placement_yaml)
     return load_model(
         model_path,
         quant=quant,
@@ -297,6 +299,29 @@ def models_list():
             f"{r['name']:{wn}}  {r['params_b']:>5.1f}B  {r['active_b']:>5.1f}B"
             f"  {r['quant']:<12}  {r['total_gb']:>6.1f}  {fit}"
         )
+
+
+@cli.command("placements")
+@click.argument("name", required=False)
+def placements_cmd(name):
+    """List shipped placement-rule files, or print one by preset name
+    (the stock optimize_rules/ library analog; use with --placement)."""
+    from ktransformers_tpu.placement.library import (
+        RULES_DIR,
+        available_placements,
+    )
+
+    if name is None:
+        for n in available_placements():
+            print(n)
+        return
+    path = os.path.join(RULES_DIR, name + ".yaml")
+    if not os.path.exists(path):
+        raise click.ClickException(
+            f"no shipped placement {name!r}; see `kt placements`"
+        )
+    with open(path) as f:
+        print(f.read(), end="")
 
 
 @models.command("show")

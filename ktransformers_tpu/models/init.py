@@ -28,6 +28,10 @@ def init_params_synthetic(
     group_size: int = 128,
     dtype=jnp.bfloat16,
     skip_experts: bool = False,
+    placement=None,  # PlacementSpec: per-layer quant kinds resolved from
+    # representative module paths (the load-time analog lives in
+    # models/loading.build_params) — lets `kt tune`/benchmarks materialize
+    # a shipped placement file at model scale without a checkpoint
 ):
     """Device-side synthetic init for *benchmarks at real model scale*:
     quantized tensors are created directly as random codes + constant scales
@@ -97,19 +101,28 @@ def init_params_synthetic(
 
     compiled = {}
 
+    def layer_kinds(li):
+        if placement is None:
+            return quant, moe_quant
+        aq, _ = placement.quant_for(f"layers.{li}.attn.q_proj")
+        mq, _ = placement.quant_for(f"layers.{li}.moe.experts")
+        return aq, mq
+
     def build_layer(li):
         is_moe = spec.moe is not None and spec.moe.is_moe_layer(li)
-        if is_moe not in compiled:
+        lq, lmq = layer_kinds(li)
+        key = (is_moe, lq, lmq)
+        if key not in compiled:
 
-            def fn(skey):
+            def fn(skey, lq=lq, lmq=lmq):
                 q, rand = factories(skey)
                 return _layer_params(
-                    spec, li, q, rand, quant, moe_quant,
+                    spec, li, q, rand, lq, lmq,
                     skip_experts=skip_experts,
                 )
 
-            compiled[is_moe] = jax.jit(fn)
-        return compiled[is_moe](jax.random.PRNGKey(seed * 100003 + li))
+            compiled[key] = jax.jit(fn)
+        return compiled[key](jax.random.PRNGKey(seed * 100003 + li))
 
     layers = [build_layer(li) for li in range(spec.num_layers)]
 
@@ -120,7 +133,10 @@ def init_params_synthetic(
             "final_norm": jnp.ones((spec.hidden_size,), jnp.float32),
         }
         if not spec.tie_word_embeddings:
-            head["lm_head"] = q((spec.hidden_size, spec.vocab_size), quant)
+            hq = quant
+            if placement is not None:
+                hq, _ = placement.quant_for("lm_head")
+            head["lm_head"] = q((spec.hidden_size, spec.vocab_size), hq)
         return head
 
     head = jax.jit(head_fn)(jax.random.PRNGKey(seed))

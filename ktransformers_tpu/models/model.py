@@ -180,7 +180,10 @@ def mla_qkv_proj(p, spec: ModelSpec, x):
             a.qk_nope_head_dim + a.qk_rope_head_dim
         )
         both = plinear(p, "qkv_a", x, p.get("qkv_a_bias"))
-        q, ckv_kpe = both[..., :qw], both[..., qw:]
+        # explicit end bound: the fused weight may carry lane-alignment
+        # padding columns (utils/device_prep._pad_out_cols)
+        rw = a.kv_lora_rank + a.qk_rope_head_dim
+        q, ckv_kpe = both[..., :qw], both[..., qw : qw + rw]
     else:
         if a.q_lora_rank:
             q = plinear(p, "q_a", x, p.get("q_a_bias"))
@@ -203,10 +206,13 @@ def gqa_qkv_proj(p, spec: ModelSpec, x):
     if "qkv" in p:
         _assert_no_orphan_lora(p, ("q_proj", "k_proj", "v_proj"), "qkv")
         qkv = plinear(p, "qkv", x, p.get("qkv_bias"))
+        vw = hkv * a.v_head_dim if a.v_head_dim else kw
+        # explicit end bound: the fused weight may carry lane-alignment
+        # padding columns (utils/device_prep._pad_out_cols)
         return (
             qkv[..., :qw],
             qkv[..., qw : qw + kw],
-            qkv[..., qw + kw :],
+            qkv[..., qw + kw : qw + kw + vw],
         )
     return (
         plinear(p, "q_proj", x, p.get("q_bias")),

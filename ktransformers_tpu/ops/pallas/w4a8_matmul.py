@@ -36,7 +36,7 @@ from ktransformers_tpu.quant.w4a8 import w4a8_prep
 
 # one weight block (k2 x bn int8 bytes); sized so double buffering stays
 # well under the ~16 MB VMEM budget alongside the activation planes
-_W4A8_BLOCK_BYTES = 4 * 1024 * 1024
+_W4A8_BLOCK_BYTES = int(__import__("os").environ.get("KT_W4A8_BLOCK_MB", "4")) * 1024 * 1024
 
 
 def _pick_bn(n: int, k2: int) -> int:

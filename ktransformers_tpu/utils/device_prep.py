@@ -82,6 +82,40 @@ def _out_width(t) -> int:
     return t.out_features if isinstance(t, QTensor) else t.shape[-1]
 
 
+def _pad_out_cols(t, pad: int):
+    """Zero-pad the output (N) axis of a projection weight.
+
+    NEGATIVE RESULT (measured round 3, kept unwired — do not re-enable
+    blindly): the fused qkv_a weight at N=3648 (not a 128-lane multiple)
+    draws a per-step 'data formatting' staging copy (11-12 us x 27 layers,
+    ~310 GB/s, bytes_accessed 2x the weight). Padding N to 3712 to kill
+    the retile measured 339 -> 288 tok/s — WORSE: whatever XLA does with
+    the lane-aligned operand (direct (32,128)->(8,128) int8 retiling per
+    block inside Mosaic, by the look of the profile) costs more than the
+    one bulk staging copy. Same session, iterative argmax top-k (k=6
+    unrolled max+mask instead of lax.top_k's sort) also measured ~-10
+    tok/s. Consumers now slice fused projections with explicit end bounds
+    regardless, so this helper stays available for experiments."""
+    if pad == 0:
+        return t
+    if isinstance(t, QTensor):
+        import dataclasses
+
+        return dataclasses.replace(
+            t,
+            data=jnp.pad(t.data, ((0, 0), (0, pad))),
+            scales=None
+            if t.scales is None
+            else jnp.pad(
+                t.scales, ((0, 0), (0, pad)), constant_values=1
+            ),
+            zeros=None
+            if t.zeros is None
+            else jnp.pad(t.zeros, ((0, 0), (0, pad))),
+        )
+    return jnp.pad(t, ((0, 0), (0, pad)))
+
+
 def fuse_qkv_projections(params, spec):
     """Merge the per-layer attention input projections into ONE matmul:
     MLA q(_a)+kv_a -> "qkv_a", GQA q+k+v -> "qkv" (consumed by
@@ -127,6 +161,7 @@ def fuse_qkv_projections(params, spec):
         fused = _concat_out(parts)
         if fused is None:
             continue
+        pad = 0  # lane-tile padding measured NEGATIVE; _pad_out_cols doc
         biases = [p.get(bk) if bk else None for bk in bias_keys]
         if any(b is not None for b in biases):
             cols = []
@@ -137,6 +172,8 @@ def fuse_qkv_projections(params, spec):
                     else jnp.zeros((_out_width(t),), jnp.float32)
                 )
             dt = next(b.dtype for b in biases if b is not None)
+            if pad:
+                cols.append(jnp.zeros((pad,), dt))
             p[fkey + "_bias"] = jnp.concatenate(
                 [c.astype(dt) for c in cols]
             )

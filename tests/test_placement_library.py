@@ -1,0 +1,117 @@
+"""Shipped placement-rule library (placement/library.py + rules/*.yaml).
+
+The analog of the reference's stock optimize_rules/ files: every registry
+preset has a tuned YAML that must load, resolve sensibly, and materialize
+a (scaled-down) model through the real load path with the assigned kinds.
+"""
+
+import numpy as np
+import pytest
+
+from ktransformers_tpu.models.registry import REGISTRY
+from ktransformers_tpu.placement.library import (
+    available_placements,
+    load_placement,
+)
+from ktransformers_tpu.quant.formats import QTensor
+
+
+def test_every_preset_has_rules():
+    names = available_placements()
+    for preset in REGISTRY:
+        assert preset in names, f"no shipped placement rules for {preset}"
+
+
+@pytest.mark.parametrize("preset", sorted(REGISTRY))
+def test_rules_load_and_resolve(preset):
+    spec = load_placement(preset)
+    entry = REGISTRY[preset]
+    # routed experts resolve to the preset's expert kind + expert shard
+    if entry.config.get("n_routed_experts") or entry.config.get(
+        "num_experts"
+    ) or entry.config.get("num_local_experts"):
+        r = spec.resolve("layers.3.moe.experts")
+        assert r.quant == entry.moe_quant or r.quant is not None
+        assert r.shard == "expert"
+    # attention projections resolve to a real kind with tensor sharding
+    r = spec.resolve("layers.3.attn.q_proj")
+    assert r.quant in ("int8", "int4_g", "int4", "int4_gz", "fp8", "bf16")
+    assert r.shard == "tensor"
+    # norms stay bf16
+    assert spec.quant_for("layers.3.input_norm")[0] == "bf16"
+    assert spec.quant_for("embed")[0] == "bf16"
+
+
+def _tiny_config(cfg: dict) -> dict:
+    """Scale a preset config down to test size, keeping its structure."""
+    c = dict(cfg)
+    c["vocab_size"] = 256
+    c["hidden_size"] = 128
+    c["num_hidden_layers"] = min(int(c.get("num_hidden_layers", 2)), 3)
+    for k in ("intermediate_size", "moe_intermediate_size",
+              "shared_expert_intermediate_size"):
+        if c.get(k):
+            c[k] = 128
+    for k in ("num_attention_heads", "num_key_value_heads"):
+        if c.get(k):
+            c[k] = min(int(c[k]), 2)
+    if c.get("head_dim"):
+        c["head_dim"] = 64
+    for k in ("n_routed_experts", "num_experts", "num_local_experts"):
+        if c.get(k):
+            c[k] = min(int(c[k]), 8)
+    for k in ("num_experts_per_tok", "moe_top_k"):
+        if c.get(k):
+            c[k] = min(int(c[k]), 2)
+    if c.get("kv_lora_rank"):
+        c["kv_lora_rank"] = 64
+    if c.get("q_lora_rank"):
+        c["q_lora_rank"] = 64
+    for k in ("qk_rope_head_dim", "qk_nope_head_dim", "v_head_dim"):
+        if c.get(k):
+            c[k] = 64
+    if c.get("n_group"):
+        c["n_group"] = 2
+        c["topk_group"] = 1
+    if c.get("first_k_dense_replace") is not None:
+        c["first_k_dense_replace"] = min(int(c["first_k_dense_replace"]), 1)
+    c["max_position_embeddings"] = 512
+    return c
+
+
+@pytest.mark.parametrize(
+    "preset", ["deepseek-v2-lite", "deepseek-v3", "qwen3-30b-a3b",
+               "mixtral-8x7b", "llama-3.1-8b", "qwen3-next-80b-a3b",
+               "smallthinker-21b"]
+)
+def test_rules_materialize(preset):
+    """Scaled-down preset materialized with the shipped placement
+    (init_params_synthetic(placement=...) on the CPU mesh): expert and
+    attention leaves come out in the assigned kinds."""
+    from ktransformers_tpu.models.init import init_params_synthetic
+    from ktransformers_tpu.models.spec import spec_from_hf_config
+
+    entry = REGISTRY[preset]
+    cfg = _tiny_config(entry.config)
+    spec = spec_from_hf_config(cfg)
+    placement = load_placement(preset)
+    params = init_params_synthetic(spec, placement=placement)
+
+    if spec.moe is not None:
+        moe_layer = next(
+            li for li in range(spec.num_layers)
+            if spec.moe.is_moe_layer(li)
+        )
+        experts = params["layers"][moe_layer]["moe"]["experts"]
+        want, _ = placement.quant_for(f"layers.{moe_layer}.moe.experts")
+        assert experts.gate_up.kind == want
+        assert experts.down.kind == want
+    attn = params["layers"][0]["attn"]
+    qkey = "q_proj" if "q_proj" in attn else ("q_a" if "q_a" in attn else None)
+    if qkey:
+        want, _ = placement.quant_for(f"layers.0.attn.{qkey}")
+        got = attn[qkey]
+        assert isinstance(got, QTensor) and got.kind == want
+    # norms bf16 (plain vectors)
+    assert not isinstance(params["layers"][0]["input_norm"], QTensor)
+    assert not isinstance(params["embed"], QTensor)
