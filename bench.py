@@ -132,48 +132,52 @@ def main():
     # unrolled = 387 ms/dispatch (vs 3.7 ms single-step); scan unroll=1
     # iterates host-side at ~36 ms/step. Keep single-step dispatches.
 
-    # --- prefill (best effort within the time budget; the remote compile
-    # service occasionally takes minutes). Single-shot timings lie under
-    # async dispatch + the tunnel (CLAUDE.md; VERDICT r2 weak item 1), so
-    # chain iterations through a data dependency: each round's tokens
-    # depend on the previous round's logits, forcing serial execution.
+    # --- prefill (NON-OPTIONAL; VERDICT r3 item 1: BENCH_r03 shipped with
+    # prefill null because a kernel VMEM bust was swallowed by a broad
+    # except behind a 240 s budget). Single-shot timings lie under async
+    # dispatch + the tunnel (CLAUDE.md; VERDICT r2 weak item 1), so chain
+    # iterations through a data dependency: each round's tokens depend on
+    # the previous round's logits, forcing serial execution.
     prefill_tps = None
-    if time.perf_counter() - t_start < 240:
-        try:
-            gen._prefill_chunk = prompt_len  # one dispatch per prefill
-            cache = gen.new_cache()
-            t0 = time.perf_counter()
-            last_logits, cache = gen.prefill(cache, tokens)
-            jax.block_until_ready(last_logits)
-            prefill_compile_s = time.perf_counter() - t0
+    prefill_compile_s = None
+    try:
+        gen._prefill_chunk = prompt_len  # one dispatch per prefill
+        cache = gen.new_cache()
+        t0 = time.perf_counter()
+        last_logits, cache = gen.prefill(cache, tokens)
+        jax.block_until_ready(last_logits)
+        prefill_compile_s = time.perf_counter() - t0
 
-            @jax.jit
-            def _chain(tokens, last_logits):
-                nxt = jnp.argmax(last_logits, -1).astype(jnp.int32)
-                return tokens.at[:, 0].set(nxt)
+        @jax.jit
+        def _chain(tokens, last_logits):
+            nxt = jnp.argmax(last_logits, -1).astype(jnp.int32)
+            return tokens.at[:, 0].set(nxt)
 
-            n_pre = 12
-            # pre-create the caches OUTSIDE the timed loop: KVCache.create
-            # is 54 zeros dispatches, and at ~1-2 ms of axon host time per
-            # dispatch that dominated the measurement (r3: 3.6k vs 18.5k
-            # tok/s run-to-run depending on host run-ahead)
-            caches = [gen.new_cache() for _ in range(n_pre)]
-            jax.block_until_ready(caches)
-            tokens = _chain(tokens, last_logits)  # warm the chain program
-            jax.block_until_ready(tokens)
-            t0 = time.perf_counter()
-            for i in range(n_pre):
-                last_logits, _ = gen.prefill(caches[i], tokens)
-                tokens = _chain(tokens, last_logits)
-            jax.block_until_ready(last_logits)
-            prefill_s = (time.perf_counter() - t0) / n_pre
-            prefill_tps = prompt_len / prefill_s
-            log(
-                f"prefill: {prefill_tps:.1f} tok/s over {n_pre} chained "
-                f"iterations (compile {prefill_compile_s:.1f}s)"
-            )
-        except Exception as e:  # pragma: no cover
-            log(f"prefill bench failed: {e}")
+        n_pre = 12
+        # pre-create the caches OUTSIDE the timed loop: KVCache.create
+        # is 54 zeros dispatches, and at ~1-2 ms of axon host time per
+        # dispatch that dominated the measurement (r3: 3.6k vs 18.5k
+        # tok/s run-to-run depending on host run-ahead)
+        caches = [gen.new_cache() for _ in range(n_pre)]
+        jax.block_until_ready(caches)
+        tokens = _chain(tokens, last_logits)  # warm the chain program
+        jax.block_until_ready(tokens)
+        t0 = time.perf_counter()
+        for i in range(n_pre):
+            last_logits, _ = gen.prefill(caches[i], tokens)
+            tokens = _chain(tokens, last_logits)
+        jax.block_until_ready(last_logits)
+        prefill_s = (time.perf_counter() - t0) / n_pre
+        prefill_tps = prompt_len / prefill_s
+        log(
+            f"prefill: {prefill_tps:.1f} tok/s over {n_pre} chained "
+            f"iterations (compile {prefill_compile_s:.1f}s)"
+        )
+    except Exception:  # pragma: no cover
+        import traceback
+
+        log("prefill bench FAILED:")
+        traceback.print_exc(file=sys.stderr)
 
     baseline = 13.69  # reference single-user decode tok/s (BASELINE.md)
     # Bandwidth-normalized comparison (VERDICT r1 weak item 2: raw
@@ -190,6 +194,9 @@ def main():
 
     extra = {
         "prefill_tok_s": round(prefill_tps, 1) if prefill_tps else None,
+        "prefill_compile_s": (
+            round(prefill_compile_s, 1) if prefill_compile_s else None
+        ),
         "params_gb": round(nbytes / 1e9, 2),
         "vs_baseline_bandwidth_normalized": round(norm_ratio, 3),
     }

@@ -84,6 +84,13 @@ def enable() -> None:
         if (gate_up.kind not in PALLAS_KINDS
                 or down.kind not in PALLAS_KINDS):
             return None
+        if rows.shape[0] > 128:
+            # decode/serving-batch kernel: its in-kernel f32/int32 temps
+            # (pa/pb/y per chunk) scale with bm and bust the 16 MB scoped-
+            # VMEM stack at prefill M (measured: bm=512 -> 19.6 MB, the
+            # r3 prefill-compile failure); prefill M amortizes two dense
+            # W4A8 launches fine
+            return None
         bc = dense_ffn_plan(gate_up, down, act_cfg.kind,
                             act_cfg.swiglu_limit)
         if bc is None:

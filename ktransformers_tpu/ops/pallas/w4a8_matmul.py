@@ -507,6 +507,7 @@ def dense_w4a8_ffn(
             + 4 * 4 * bm * ng1       # sa/sb/t/xsum f32
             + bm * kdim * 4          # out f32
             + bm * bc * 4 * 3        # hg/hu/a f32 temps
+            + bm * kdim * 4 * 3      # pa/pb int32 + y f32 down-dot temps
         )
         if need <= _FFN_VMEM_BUDGET + 4 * 1024 * 1024:
             break
@@ -577,6 +578,109 @@ def dense_w4a8_ffn(
         interpret=interpret,
     )(*ins)
     return y[:m].astype(out_dtype)
+
+
+def _grouped_w4a8_kernel(tg_ref, qa_ref, qb_ref, sa_ref, sb_ref, t_ref,
+                         xs_ref, w_ref, s_ref, *rest, n_groups, gs2,
+                         has_zeros):
+    """Grouped (prefill-MoE) W4A8 matmul block: every bm-row tile belongs
+    to exactly one expert (tile->expert map scalar-prefetched, same layout
+    as quant_matmul.grouped_quant_matmul). Per-group byte decode as in
+    _dense_w4a8_kernel keeps temps [gs2, bn]."""
+    z_ref = rest[0] if has_zeros else None
+    o_ref = rest[-1]
+    qa, qb = qa_ref[:], qb_ref[:]
+    sa, sb, t, xsum = sa_ref[:], sb_ref[:], t_ref[:], xs_ref[:]
+    m = qa.shape[0]
+    bn = w_ref.shape[-1]
+    acc = jnp.zeros((m, bn), jnp.float32)
+    for g in range(n_groups):
+        wl = slice(g * gs2, (g + 1) * gs2)
+        braw = w_ref[0, wl]
+        u = braw & jnp.int8(0xF)
+        pa = jnp.dot(qa[:, wl], u, preferred_element_type=jnp.int32)
+        pb = jnp.dot(qb[:, wl], braw, preferred_element_type=jnp.int32)
+        val = (
+            pa.astype(jnp.float32) * sa[:, g][:, None]
+            + pb.astype(jnp.float32) * sb[:, g][:, None]
+            - t[:, g][:, None]
+        )
+        if has_zeros:
+            val = val - xsum[:, g][:, None] * z_ref[0, g][None, :]
+        acc += val * s_ref[0, g][None, :]
+    o_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def grouped_w4a8_matmul(
+    x_sorted: jnp.ndarray,  # [M, K] float rows sorted by expert
+    w: QTensor,  # act_quant int4 kind, [E, K/2, N]
+    group_sizes: jnp.ndarray,  # [E] int32
+    interpret: bool = False,
+):
+    """Prefill-MoE grouped matmul on the int8 MXU (VERDICT r3 item 1: the
+    bf16-dequant grouped kernel pays ~13 VPU ops/packed byte per m-tile;
+    this streams raw bytes into int8 dots at 2x MXU rate and ~1 op/byte).
+    Reference analog: the AMX-INT8 prefill expert GEMM pass
+    (kt-kernel/operators/amx/moe_base.hpp forward_prefill)."""
+    from ktransformers_tpu.ops.pallas.quant_matmul import (
+        GROUP_BM,
+        grouped_tile_layout,
+    )
+
+    m, kdim = x_sorted.shape
+    e = w.data.shape[0]
+    n = w.out_features
+    out_dtype = x_sorted.dtype
+    gs = w.group_size or kdim
+    gs2 = gs // 2
+    k2 = kdim // 2
+    ng = kdim // gs
+    bn = _pick_bn(n, k2)
+    bm = GROUP_BM
+
+    dest, valid, tile_group, mpad = grouped_tile_layout(m, e, group_sizes, bm)
+    mtiles = mpad // bm
+    x_padded = jnp.zeros((mpad, kdim), x_sorted.dtype).at[dest].set(
+        jnp.where(valid[:, None], x_sorted, 0)
+    )
+    qa, qb, sa, sb, t, xsum = w4a8_prep(x_padded, kdim, w.group_size)
+
+    scales = w.scales.reshape(e, -1, n)  # ng rows, possibly sublane-padded
+    ngp = scales.shape[1]
+    has_zeros = w.zeros is not None
+    ins = [tile_group, qa, qb, sa, sb, t, xsum, _as_i8(w.data), scales]
+    in_specs = [
+        pl.BlockSpec((bm, k2), lambda i, j, tg: (i, 0)),
+        pl.BlockSpec((bm, k2), lambda i, j, tg: (i, 0)),
+        pl.BlockSpec((bm, ng), lambda i, j, tg: (i, 0)),
+        pl.BlockSpec((bm, ng), lambda i, j, tg: (i, 0)),
+        pl.BlockSpec((bm, ng), lambda i, j, tg: (i, 0)),
+        pl.BlockSpec((bm, ng), lambda i, j, tg: (i, 0)),
+        pl.BlockSpec((1, k2, bn), lambda i, j, tg: (tg[i], 0, j)),
+        pl.BlockSpec((1, ngp, bn), lambda i, j, tg: (tg[i], 0, j)),
+    ]
+    if has_zeros:
+        ins.append(w.zeros.reshape(e, -1, n))
+        in_specs.append(
+            pl.BlockSpec((1, ngp, bn), lambda i, j, tg: (tg[i], 0, j))
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mtiles, pl.cdiv(n, bn)),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, tg: (i, j)),
+    )
+    y = pl.pallas_call(
+        functools.partial(
+            _grouped_w4a8_kernel, n_groups=ng, gs2=gs2, has_zeros=has_zeros
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mpad, n), jnp.float32),
+        interpret=interpret,
+    )(*ins)
+    out = jnp.where(valid[:, None], y[dest], 0.0)
+    return out.astype(out_dtype)
 
 
 def _pick_bm_w4a8(m8: int, k2: int, bn: int, ng: int) -> int:
