@@ -122,7 +122,11 @@ def main():
     t0 = time.perf_counter()
     for _ in range(n_steps):
         tok, cache2, key = decode(tok[:, None], cache2, key)
-    jax.block_until_ready(tok)
+    # HARD barrier: on axon, block_until_ready can return before execution
+    # completes (measured r4: 12 chained 9-ms matmuls "finished" in 61 us
+    # under block_until_ready, correct under a scalar readback). The int()
+    # readback costs one tunnel RTT (~25 ms), amortized over n_steps.
+    _ = int(tok[0])
     decode_s = time.perf_counter() - t0
     decode_tps = n_steps / decode_s
     log(f"decode: {decode_tps:.2f} tok/s")
@@ -166,7 +170,7 @@ def main():
         for i in range(n_pre):
             last_logits, _ = gen.prefill(caches[i], tokens)
             tokens = _chain(tokens, last_logits)
-        jax.block_until_ready(last_logits)
+        _ = int(tokens[0, 0])  # hard barrier (see decode loop note)
         prefill_s = (time.perf_counter() - t0) / n_pre
         prefill_tps = prompt_len / prefill_s
         log(

@@ -26,12 +26,18 @@ class PagedKVCache:
 
     bufs_a: list
     bufs_b: list
-    # per-page key summaries for Quest-style sparse decode (ops/
-    # sparse_attention.py): smin/smax[l] is [P, Dsum] f32, the
-    # elementwise min/max of every key written to that page (MLA: the
-    # concat [ckv, k_pe] latent; GQA: [P, Hkv, D]). None = dense only.
+    # per-page key summaries for sparse decode (ops/sparse_attention.py):
+    # smin/smax[l] is [P, Dsum] f32, the elementwise min/max of every key
+    # written to that page (MLA: the concat [ckv, k_pe] latent; GQA:
+    # [P, Hkv, D]). None = dense only. The extra anchor planes mirror the
+    # reference's AnchorType family (kvcache.h:52-99): ssum (BLOCK_MEAN
+    # running sum), sfix (FIXED first-key anchor), sdyn (DYNAMIC anchors
+    # set by the SnapKV-style observation pass).
     smin: list | None = None
     smax: list | None = None
+    ssum: list | None = None
+    sfix: list | None = None
+    sdyn: list | None = None
     page_size: int = dataclasses.field(metadata=dict(static=True), default=64)
 
     @property
@@ -45,6 +51,9 @@ class PagedKVCache:
         linear_slots: int = 8,  # state rows for GatedDeltaNet layers of
         # hybrid models (qwen3-next): their "cache" is O(1) per sequence
         # and lives per SLOT, not in the page pool
+        anchor: str = "quest",  # which extra anchor planes to allocate
+        # when summaries=True: quest/block_max -> min/max only;
+        # block_mean -> +ssum; fixed -> +sfix; dynamic -> +sdyn
     ) -> "PagedKVCache":
         a = spec.attention
         if a.kind == "mla":
@@ -73,13 +82,18 @@ class PagedKVCache:
             else:
                 bufs_a.append(jnp.zeros(sa, dtype))
                 bufs_b.append(jnp.zeros(sb, dtype))
+        def planes(fill):
+            return [jnp.full(ssum, fill, jnp.float32) for _ in range(n)]
+
         return PagedKVCache(
             bufs_a=bufs_a,
             bufs_b=bufs_b,
-            smin=[jnp.full(ssum, jnp.inf, jnp.float32) for _ in range(n)]
-            if summaries else None,
-            smax=[jnp.full(ssum, -jnp.inf, jnp.float32) for _ in range(n)]
-            if summaries else None,
+            smin=planes(jnp.inf) if summaries else None,
+            smax=planes(-jnp.inf) if summaries else None,
+            ssum=planes(0.0) if summaries and anchor == "block_mean"
+            else None,
+            sfix=planes(0.0) if summaries and anchor == "fixed" else None,
+            sdyn=planes(0.0) if summaries and anchor == "dynamic" else None,
             page_size=page_size,
         )
 
@@ -95,6 +109,12 @@ class PagedKVCache:
             self,
             smin=[m.at[idx].set(jnp.inf) for m in self.smin],
             smax=[m.at[idx].set(-jnp.inf) for m in self.smax],
+            ssum=None if self.ssum is None
+            else [m.at[idx].set(0.0) for m in self.ssum],
+            sfix=None if self.sfix is None
+            else [m.at[idx].set(0.0) for m in self.sfix],
+            sdyn=None if self.sdyn is None
+            else [m.at[idx].set(0.0) for m in self.sdyn],
         )
 
     def bytes_per_page(self, spec: ModelSpec) -> int:

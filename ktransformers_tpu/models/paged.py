@@ -125,7 +125,8 @@ def _attn_mask(lengths, q_len, kv_len, window: int = 0):
 
 
 def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
-               valid=None, summ=None, sparse_budget=None):
+               valid=None, summ=None, sparse_budget=None,
+               anchor="quest", retrieval="layer"):
     a = spec.attention
     b, s, _ = x.shape
     h = a.num_heads
@@ -157,7 +158,7 @@ def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
     new_summ = None
     if summ is not None:
         from ktransformers_tpu.ops.sparse_attention import (
-            update_page_summaries,
+            update_page_summaries_cfg,
         )
 
         pos = lengths[:, None] + jnp.arange(s)[None, :]
@@ -166,8 +167,8 @@ def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
         if valid is not None:
             keep = jnp.arange(s)[None, :] < valid[:, None]
             pid = jnp.where(keep, pid, 0)
-        new_summ = update_page_summaries(
-            summ[0], summ[1], jnp.concatenate([ckv, k_pe], -1), pid
+        new_summ = update_page_summaries_cfg(
+            summ, jnp.concatenate([ckv, k_pe], -1), pid, pos, page_size
         )
 
     scale = a.softmax_scale or (
@@ -179,8 +180,9 @@ def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
         attn = sparse_mla_decode(
             q_nope_eff[:, :, 0].astype(jnp.float32),
             q_pe[:, :, 0].astype(jnp.float32),
-            buf_a, buf_b, new_summ[0], new_summ[1],
+            buf_a, buf_b, new_summ["smin"], new_summ["smax"],
             page_tables, lengths + 1, page_size, sparse_budget, scale,
+            anchor=anchor, retrieval=retrieval, planes=new_summ,
         )[:, :, None]
         w_uv = p["w_uv"]
         out = jnp.einsum(
@@ -259,7 +261,7 @@ def _mla_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
 
 def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
                valid=None, summ=None, sparse_budget=None, use_rope=True,
-               window=0):
+               window=0, anchor="quest", retrieval="layer"):
     a = spec.attention
     b, s, _ = x.shape
     h, hkv, d = a.num_heads, a.num_kv_heads, a.head_dim
@@ -303,7 +305,7 @@ def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
     new_summ = None
     if summ is not None:
         from ktransformers_tpu.ops.sparse_attention import (
-            update_page_summaries,
+            update_page_summaries_cfg,
         )
 
         pos = lengths[:, None] + jnp.arange(s)[None, :]
@@ -312,7 +314,7 @@ def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
         if valid is not None:
             keep = jnp.arange(s)[None, :] < valid[:, None]
             pid = jnp.where(keep, pid, 0)
-        new_summ = update_page_summaries(summ[0], summ[1], k, pid)
+        new_summ = update_page_summaries_cfg(summ, k, pid, pos, page_size)
 
     def finish(out):  # out [B, S, H*D]
         if gate is not None:
@@ -332,8 +334,9 @@ def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
         from ktransformers_tpu.ops.sparse_attention import sparse_gqa_decode
 
         out = sparse_gqa_decode(
-            q[:, :, 0], buf_a, buf_b, new_summ[0], new_summ[1],
+            q[:, :, 0], buf_a, buf_b, new_summ["smin"], new_summ["smax"],
             page_tables, lengths + 1, page_size, sparse_budget, scale,
+            anchor=anchor, retrieval=retrieval, planes=new_summ,
         )[:, None]
         return finish(out.reshape(b, s, h * d))
     if window == 0 and s == 1 and _PAGED_GQA_DECODE is not None:
@@ -387,8 +390,12 @@ def forward_paged(
     collect_routing: bool = False,  # also return routed topk ids
     # [n_moe_layers, B*S, k] for dynamic expert re-placement stats
     sparse_budget: int | None = None,  # decode-only: attend the top-K
-    # pages by Quest bound instead of the full context (requires a cache
+    # pages by anchor score instead of the full context (requires a cache
     # created with summaries=True; ops/sparse_attention.py)
+    sparse_anchor: str = "quest",  # anchor kind (reference AnchorType,
+    # kvcache.h:52-99): quest | block_max | block_mean | fixed | dynamic
+    sparse_retrieval: str = "layer",  # retrieval granularity (reference
+    # RetrievalType): layer | kvhead (GQA) | qhead
     slots: jnp.ndarray | None = None,  # [B] int32 state rows for hybrid
     # models' GatedDeltaNet layers (engine decode rows are slot-indexed
     # already; prefill chunks pass the query's slot). None = arange(B).
@@ -406,7 +413,11 @@ def forward_paged(
     mla = spec.attention.kind == "mla"
     routing_aux = [] if collect_routing else None
     new_a, new_b = [], []
-    new_smin, new_smax = [], []
+    plane_names = [
+        n for n in ("smin", "smax", "ssum", "sfix", "sdyn")
+        if getattr(kv, n) is not None
+    ]
+    new_planes = {n: [] for n in plane_names}
     early = spec.moe is not None and spec.moe.early_router
     for li, lp in enumerate(params["layers"]):
         res = x
@@ -439,25 +450,28 @@ def forward_paged(
             else:
                 x = res + _dense_mlp(lp["mlp"], spec, xn)
             continue
-        summ = (kv.smin[li], kv.smax[li]) if kv.smin is not None else None
+        summ = (
+            {n: getattr(kv, n)[li] for n in plane_names}
+            if plane_names else None
+        )
         if mla:
             attn_out, (buf_a, buf_b), nsm = _mla_paged(
                 lp["attn"], spec, xn, (kv.bufs_a[li], kv.bufs_b[li]),
                 page_tables, lengths, rope_cs, kv.page_size, valid, summ,
-                sparse_budget,
+                sparse_budget, sparse_anchor, sparse_retrieval,
             )
         else:
             attn_out, (buf_a, buf_b), nsm = _gqa_paged(
                 lp["attn"], spec, xn, (kv.bufs_a[li], kv.bufs_b[li]),
                 page_tables, lengths, rope_cs, kv.page_size, valid, summ,
                 sparse_budget, spec.layer_uses_rope(li),
-                spec.layer_window(li),
+                spec.layer_window(li), sparse_anchor, sparse_retrieval,
             )
         new_a.append(buf_a)
         new_b.append(buf_b)
         if nsm is not None:
-            new_smin.append(nsm[0])
-            new_smax.append(nsm[1])
+            for n in plane_names:
+                new_planes[n].append(nsm[n])
         x = res + attn_out
 
         res = x
@@ -482,7 +496,11 @@ def forward_paged(
 
     new_kv = PagedKVCache(
         bufs_a=new_a, bufs_b=new_b,
-        smin=new_smin or None, smax=new_smax or None,
+        smin=new_planes.get("smin") or None,
+        smax=new_planes.get("smax") or None,
+        ssum=new_planes.get("ssum") or None,
+        sfix=new_planes.get("sfix") or None,
+        sdyn=new_planes.get("sdyn") or None,
         page_size=kv.page_size,
     )
     if collect_routing:

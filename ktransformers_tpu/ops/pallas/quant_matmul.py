@@ -42,6 +42,13 @@ INT4_KINDS = ("int4", "int4_g", "int4_gz")
 
 MAX_W_BLOCK_BYTES = 4 * 1024 * 1024
 
+# dense act_quant int4: W4A8 kernel below this M, bf16-dequant above
+# (crossover measured in scripts/kernel_lab8.py; decode/serving batches
+# stay W4A8, prefill chunks go bf16-dequant)
+W4A8_DENSE_MAX_M = int(
+    __import__("os").environ.get("KT_W4A8_DENSE_MAX_M", "64")
+)
+
 
 def _unpack_nibbles(b, offset_lo=False):
     """uint8 [R, N] -> (lo, hi) sign-extended int32 in [-8, 7].
@@ -214,14 +221,20 @@ def quant_matmul(x: jnp.ndarray, w: QTensor, interpret: bool = False):
     out_dtype = x.dtype
 
     if w.kind in INT4_KINDS and w.act_quant:
-        # all M: decode (M=1..16) AND prefill — the W4A8 kernel streams
-        # packed int4 at int8-MXU rates with bounded per-group decode
-        # temps, where the bf16-dequant VPU kernel busts scoped VMEM at
-        # prefill K (r3; VERDICT item 2's int8-activation prefill)
+        # M-dependent kernel choice (measured r4, scripts/kernel_lab8.py):
+        # decode M -> W4A8 (bandwidth-bound; ~1 VPU op/byte, int8-MXU
+        # streams at ~630 GB/s); prefill M -> bf16-dequant (the W4A8
+        # per-group f32 epilogue scales with M*ng*bn and lands ~16x slower
+        # at M=512: 1.79 vs 0.11 ms at [2048x21888]). The bf16 kernel's
+        # [K/2, bn] f32 unpack temps bust scoped VMEM at big K (K=10944
+        # measured r3), so large-K stays W4A8 at any M.
         from ktransformers_tpu.ops.pallas.w4a8_matmul import dense_w4a8_matmul
 
-        y = dense_w4a8_matmul(x2, w, interpret=interpret)
-        return y.reshape(*lead, n)
+        if m <= W4A8_DENSE_MAX_M or kdim // 2 * 13 * 128 > MAX_W_BLOCK_BYTES:
+            y = dense_w4a8_matmul(x2, w, interpret=interpret)
+            return y.reshape(*lead, n)
+        # fall through: the INT4_KINDS bf16-dequant branch below is
+        # offset-lo aware (offset_lo=w.act_quant)
 
     if w.kind in ("int8", "fp8"):
         bn = _pick_bn(n, kdim)

@@ -49,8 +49,10 @@ class ServeEngine:
         spill_tier=None,  # cache/tiers.py HostDiskTier for host/disk KV
         collect_routing: bool = False,  # per-layer expert stats for
         # dynamic re-placement (reference --kt-enable-dynamic-expert-update)
-        sparse_budget: int | None = None,  # Quest top-K-page decode
-        # attention (long-context; ops/sparse_attention.py)
+        sparse_budget: int | None = None,  # top-K-page decode attention
+        # (long-context; ops/sparse_attention.py)
+        sparse_anchor: str = "quest",  # anchor kind (reference AnchorType)
+        sparse_retrieval: str = "layer",  # retrieval granularity
     ):
         from ktransformers_tpu.ops import pallas as pallas_ops
         from ktransformers_tpu.utils.device_prep import prepare_params
@@ -60,6 +62,8 @@ class ServeEngine:
         self.spec = spec
         self.cfg = cfg
         self.sparse_budget = sparse_budget
+        self.sparse_anchor = sparse_anchor
+        self.sparse_retrieval = sparse_retrieval
         # hybrid models (qwen3-next): GatedDeltaNet layers carry O(1)
         # recurrent state per slot instead of pages; their state cannot be
         # reconstructed from KV pages, so prefix reuse and host/disk spill
@@ -74,6 +78,7 @@ class ServeEngine:
             spec, num_pages, cfg.page_size, dtype=cache_dtype,
             summaries=sparse_budget is not None,
             linear_slots=cfg.max_batch_size,
+            anchor=sparse_anchor,
         )
         # page 0 = trash page for padding-row writes (see PageAllocator)
         self._stale_summary_pages: list[int] = []
@@ -234,6 +239,8 @@ class ServeEngine:
                         logits_last_only=True,
                         collect_routing=self.collect_routing,
                         sparse_budget=self.sparse_budget,
+                        sparse_anchor=self.sparse_anchor,
+                        sparse_retrieval=self.sparse_retrieval,
                         # hybrid models: inactive padding rows must not
                         # advance their slot's GatedDeltaNet state
                         valid=active.astype(jnp.int32)
@@ -266,6 +273,8 @@ class ServeEngine:
                         logits_last_only=True,
                         collect_routing=self.collect_routing,
                         sparse_budget=self.sparse_budget,
+                        sparse_anchor=self.sparse_anchor,
+                        sparse_retrieval=self.sparse_retrieval,
                         # hybrid models: inactive padding rows must not
                         # advance their slot's GatedDeltaNet state
                         valid=active.astype(jnp.int32)

@@ -140,7 +140,7 @@ def test_quant_matmul_dispatches_w4a8(rng):
     k, n = 256, 384
     w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.1)
     qt = repack_offset_lo(quantize(w, "int4_g", group_size=128))
-    for m in (4, 64):  # w4a8 body / bf16 offset-aware body
+    for m in (4, 64, 128):  # w4a8 decode / w4a8 boundary / bf16dq prefill
         x = jnp.asarray(
             rng.standard_normal((m, k)).astype(np.float32)
         ).astype(jnp.bfloat16)
