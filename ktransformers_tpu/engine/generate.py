@@ -189,6 +189,30 @@ class Generator:
 
     _prefill_chunk = 256
 
+    def _prefill_step_fn(self, q_len: int):
+        """Prefill-chunk step: logits for the LAST position only (the
+        other rows' lm_head output is never read — ~1.3 ms at S=512)."""
+        key_ = ("prefill", q_len)
+        if key_ not in self._steps:
+            spec = self.spec
+            rope_tables = self.rope_tables
+            compute_dtype = self.compute_dtype
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def step(params, tokens, cache):
+                return forward(
+                    params,
+                    spec,
+                    tokens,
+                    cache,
+                    rope_tables=rope_tables,
+                    compute_dtype=compute_dtype,
+                    logits_last_only=True,
+                )
+
+            self._steps[key_] = lambda *a, _s=step: _s(self.params, *a)
+        return self._steps[key_]
+
     def prefill(self, cache: KVCache, tokens: jnp.ndarray):
         """Chunked prefill of tokens [B, S]; returns (last_logits [B, V], cache)."""
         _, s = tokens.shape
@@ -196,7 +220,9 @@ class Generator:
         i = 0
         while i < s:
             n = min(self._prefill_chunk, s - i)
-            logits, cache = self._step(n)(tokens[:, i : i + n], cache)
+            logits, cache = self._prefill_step_fn(n)(
+                tokens[:, i : i + n], cache
+            )
             i += n
         return logits[:, -1], cache
 

@@ -568,6 +568,10 @@ def forward(
     remat: bool = False,  # gradient-checkpoint each decoder layer: the
     # SFT path's memory/FLOPs trade (activations rematerialized in the
     # backward; reference ForwardCache role, sft_moe.hpp:249-278)
+    logits_last_only: bool = False,  # prefill chunks only need the final
+    # position's logits; skipping the other rows saves the lm_head matmul
+    # on S-1 positions (~1.3 ms at S=512 on the bench model) and the
+    # [S, V] logits materialization. Returns [B, 1, V].
 ):
     """One forward pass over S new tokens per sequence; returns
     (logits [B, S, V], updated cache[, hidden]). Positions are
@@ -621,6 +625,8 @@ def forward(
 
     hidden = x
     x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
+    if logits_last_only:
+        x = x[:, -1:, :]
     lm_head = params.get("lm_head")
     if lm_head is None:
         logits = x @ params["embed"].astype(x.dtype).T

@@ -327,8 +327,9 @@ def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
         )
 
     scale = a.softmax_scale or d**-0.5
-    # sliding-window layers use the masked gather path: the pallas decode
-    # kernel and the Quest-sparse path walk the full prefix
+    # sliding-window layers: the paged decode kernel handles the window
+    # natively (r3 weak item 9 closed); the Quest-sparse path still walks
+    # the full prefix, so it stays full-attention-only
     if window == 0 and s == 1 and sparse_budget is not None \
             and new_summ is not None:
         from ktransformers_tpu.ops.sparse_attention import sparse_gqa_decode
@@ -339,9 +340,10 @@ def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
             anchor=anchor, retrieval=retrieval, planes=new_summ,
         )[:, None]
         return finish(out.reshape(b, s, h * d))
-    if window == 0 and s == 1 and _PAGED_GQA_DECODE is not None:
+    if s == 1 and _PAGED_GQA_DECODE is not None:
         out = _PAGED_GQA_DECODE(
-            q[:, :, 0], buf_a, buf_b, page_tables, lengths + 1, scale
+            q[:, :, 0], buf_a, buf_b, page_tables, lengths + 1, scale,
+            window,
         )[:, None]  # [B, 1, H, D]
         return finish(out.reshape(b, s, h * d))
     if s > 1 and _PAGED_GQA_PREFILL is not None:

@@ -120,8 +120,8 @@ def enable() -> None:
         lambda qn, qp, ckv, kpe, pt, lens, scale: mla_paged_decode(
             qn, qp, ckv, kpe, pt, lens, scale
         ),
-        lambda q, k, v, pt, lens, scale: gqa_paged_decode(
-            q, k, v, pt, lens, scale
+        lambda q, k, v, pt, lens, scale, window=0: gqa_paged_decode(
+            q, k, v, pt, lens, scale, window=window
         ),
     )
     if _os.environ.get("KT_PAGED_PREFILL", "1") != "0":

@@ -199,6 +199,7 @@ def _gqa_kernel(
     ppb: int,
     n_s: int,
     hkv: int,
+    window: int = 0,
 ):
     # one grid step processes ALL kv heads of a page block (static loop):
     # Mosaic requires the trailing block dims to be full array dims, and
@@ -220,7 +221,15 @@ def _gqa_kernel(
         l_sc[:] = jnp.zeros_like(l_sc)
         acc_sc[:] = jnp.zeros_like(acc_sc)
 
-    @pl.when(s * ppb * page < length)
+    live = s * ppb * page < length
+    if window:
+        # sliding-window layers (smallthinker swa_layout): the decode
+        # token at position length-1 attends keys kpos > length-1-window;
+        # page blocks entirely older than the window are skipped (their
+        # prefetch is clamped into the window, see gqa_paged_decode)
+        live = live & ((s + 1) * ppb * page > length - 1 - window)
+
+    @pl.when(live)
     def _():
         k = jnp.concatenate(
             [r[0] for r in k_refs], axis=0
@@ -247,7 +256,10 @@ def _gqa_kernel(
             kpos = base + jax.lax.broadcasted_iota(
                 jnp.int32, scores.shape, 1
             )
-            scores = jnp.where(kpos < length, scores, NEG_INF)
+            ok = kpos < length
+            if window:
+                ok = ok & (kpos > length - 1 - window)
+            scores = jnp.where(ok, scores, NEG_INF)
 
             m_prev = m_sc[rows, :1]
             m_new = jnp.maximum(
@@ -271,7 +283,7 @@ def _gqa_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "interpret")
+    jax.jit, static_argnames=("scale", "interpret", "window")
 )
 def gqa_paged_decode(
     q: jnp.ndarray,  # [B, H, D]
@@ -280,6 +292,9 @@ def gqa_paged_decode(
     page_tables: jnp.ndarray,  # [B, Pmax] int32
     lengths: jnp.ndarray,  # [B]
     scale: float,
+    window: int = 0,  # sliding-window layers: keys older than `window`
+    # positions are outside the attention set (and their pages' DMA is
+    # redirected to an in-window page)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns [B, H, D]."""
@@ -297,7 +312,11 @@ def gqa_paged_decode(
 
     def page_spec(slot):
         def index_map(i, s, pt, lens):
-            j = jnp.minimum(s * ppb + slot, _last_valid_slot(lens[i], page))
+            j = s * ppb + slot
+            if window:
+                first = jnp.maximum(lens[i] - window, 0) // page
+                j = jnp.maximum(j, first)
+            j = jnp.minimum(j, _last_valid_slot(lens[i], page))
             return (pt[i * pmax + j], 0, 0, 0)
 
         return pl.BlockSpec((1, page, hkv, d), index_map)
@@ -318,7 +337,8 @@ def gqa_paged_decode(
         ],
     )
     kernel = functools.partial(
-        _gqa_kernel, scale=scale, page=page, ppb=ppb, n_s=n_s, hkv=hkv
+        _gqa_kernel, scale=scale, page=page, ppb=ppb, n_s=n_s, hkv=hkv,
+        window=window,
     )
     out = pl.pallas_call(
         kernel,

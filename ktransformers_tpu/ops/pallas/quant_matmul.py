@@ -49,6 +49,10 @@ W4A8_DENSE_MAX_M = int(
     __import__("os").environ.get("KT_W4A8_DENSE_MAX_M", "64")
 )
 
+# grouped (prefill-MoE) act_quant kernel: "w4a8" (int8 MXU dots) or
+# "bf16" (bf16-dequant with the fast offset-lo decode)
+_GROUPED_IMPL = __import__("os").environ.get("KT_GROUPED_IMPL", "w4a8")
+
 
 def _unpack_nibbles(b, offset_lo=False):
     """uint8 [R, N] -> (lo, hi) sign-extended int32 in [-8, 7].
@@ -105,12 +109,21 @@ def _int4_matblock(xl, xh, w_blk, s_ref, z_ref, n_groups, gs2, has_zeros, s_idx,
     dequantized weights, so the MXU sees two full-K-contraction dots instead
     of n_groups narrow ones."""
     k2, bn = w_blk.shape
-    lo, hi = _unpack_nibbles(w_blk[:], offset_lo)
+    blk = w_blk[:]
+    if offset_lo and blk.dtype == jnp.int8:
+        # fast offset-lo decode (r4): braw = 16*hi_s + (lo_s + 8) as int8,
+        # so hi = braw >> 4 (arithmetic) and lo = (braw & 15) - 8 — int8
+        # lane ops, no i32 widening; ~9 VPU ops/byte vs 12 for the
+        # generic path (the dequant dominates this kernel at prefill M)
+        hi = (blk >> 4).astype(jnp.float32)
+        lo = ((blk & jnp.int8(0xF)) - jnp.int8(8)).astype(jnp.float32)
+    else:
+        lo, hi = _unpack_nibbles(blk, offset_lo)
+        lo = lo.astype(jnp.float32)
+        hi = hi.astype(jnp.float32)
     s = s_ref[s_idx] if s_idx else s_ref[:]
     s = s[:n_groups]  # scale blocks may be sublane-padded past the true ng
     s_exp = _expand_group_rows(s, n_groups, gs2, k2, bn)
-    lo = lo.astype(jnp.float32)
-    hi = hi.astype(jnp.float32)
     if has_zeros:
         z = z_ref[s_idx] if s_idx else z_ref[:]
         z = z[:n_groups]
@@ -651,9 +664,11 @@ def grouped_quant_matmul(
     is scalar-prefetched, and each program runs a dense fused-dequant matmul
     block. Rows past sum(group_sizes) come back zero (masked experts).
     """
-    if w.kind in INT4_KINDS and w.act_quant:
+    if w.kind in INT4_KINDS and w.act_quant and _GROUPED_IMPL == "w4a8":
         # int8-MXU grouped path (VERDICT r4 prefill item): raw packed
-        # bytes into int8 dots instead of the per-m-tile bf16 VPU dequant
+        # bytes into int8 dots instead of the per-m-tile bf16 VPU dequant.
+        # KT_GROUPED_IMPL=bf16 instead uses the bf16-dequant kernel below
+        # with the fast offset-lo decode (A/B: scripts/kernel_lab9.py)
         from ktransformers_tpu.ops.pallas.w4a8_matmul import (
             grouped_w4a8_matmul,
         )

@@ -57,15 +57,25 @@ def main():
         loss = trainer.train_step(ids, labels)
     step_s = (time.perf_counter() - t0) / n
 
+    # device.memory_stats() returns None on the axon backend (r3 shipped
+    # hbm_peak 0.0 because of it) — report live-array bytes (exact, from
+    # JAX's buffer registry) plus the remat-activation analytic estimate
     mem = {}
     try:
         stats = jax.devices()[0].memory_stats() or {}
-        mem = {
-            "hbm_peak_gb": round(
-                stats.get("peak_bytes_in_use", 0) / 1e9, 2
-            ),
-            "hbm_in_use_gb": round(stats.get("bytes_in_use", 0) / 1e9, 2),
-        }
+        if stats.get("peak_bytes_in_use"):
+            mem["hbm_peak_gb"] = round(
+                stats["peak_bytes_in_use"] / 1e9, 2
+            )
+        live = sum(
+            x.nbytes for x in jax.live_arrays()
+            if hasattr(x, "nbytes")
+        )
+        # per-layer remat: one layer's activations + its backward temps
+        # live at once; bound ~ seq * hidden * ~24 f32 planes
+        act_est = seq * spec.hidden_size * 24 * 4
+        mem["hbm_live_gb"] = round(live / 1e9, 2)
+        mem["hbm_transient_est_gb"] = round(act_est / 1e9, 2)
     except Exception:
         pass
 

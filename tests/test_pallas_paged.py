@@ -103,6 +103,48 @@ def test_gqa_paged_decode_matches_reference(rng, h, hkv):
     )
 
 
+@pytest.mark.parametrize("window", [8, 20])
+def test_gqa_paged_decode_windowed(rng, window):
+    """Sliding-window decode through the paged kernel == masked reference
+    (r3 weak item 9: windowed layers used to fall back to the full-KV
+    gather path)."""
+    b, h, hkv, d, page_size, pmax = 2, 8, 2, 32, 8, 6
+    num_pages = b * pmax + 1
+    q = jnp.asarray(rng.standard_normal((b, h, d)).astype(np.float32))
+    kp = jnp.asarray(
+        rng.standard_normal((num_pages, page_size, hkv, d)).astype(np.float32)
+    )
+    vp = jnp.asarray(
+        rng.standard_normal((num_pages, page_size, hkv, d)).astype(np.float32)
+    )
+    perm = rng.permutation(num_pages - 1)[: b * pmax] + 1
+    tables = jnp.asarray(perm.reshape(b, pmax).astype(np.int32))
+    lengths = jnp.asarray([13, pmax * page_size - 3], jnp.int32)
+
+    out = gqa_paged_decode(
+        q, kp, vp, tables, lengths, scale=d**-0.5, window=window,
+        interpret=True,
+    )
+
+    k_all = _gather(kp, tables)
+    v_all = _gather(vp, tables)
+    g = h // hkv
+    qg = q.reshape(b, hkv, g, d).astype(jnp.float32)
+    scores = jnp.einsum(
+        "bkgd,bskd->bkgs", qg, k_all.astype(jnp.float32)
+    ) * (d**-0.5)
+    kpos = jnp.arange(k_all.shape[1])[None, None, None, :]
+    L = lengths[:, None, None, None]
+    mask = (kpos < L) & (kpos > L - 1 - window)
+    scores = jnp.where(mask, scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)
+    ref = jnp.einsum("bkgs,bskd->bkgd", p, v_all.astype(jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref.reshape(b, h, d)),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
 def test_serving_decode_uses_paged_kernel_end_to_end():
     """Force-enable the paged kernels (interpret mode) inside the serving
     engine on CPU and check continuous-batching output is unchanged."""
@@ -134,8 +176,8 @@ def test_serving_decode_uses_paged_kernel_end_to_end():
             lambda qn, qp, ckv, kpe, pt, lens, scale: mla_paged_decode(
                 qn, qp, ckv, kpe, pt, lens, scale, interpret=True
             ),
-            lambda q, k, v, pt, lens, scale: gqa_paged_decode(
-                q, k, v, pt, lens, scale, interpret=True
+            lambda q, k, v, pt, lens, scale, window=0: gqa_paged_decode(
+                q, k, v, pt, lens, scale, window=window, interpret=True
             ),
         )
         try:
