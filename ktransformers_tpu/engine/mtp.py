@@ -101,9 +101,12 @@ def mtp_layer_forward(
 
 
 def init_mtp_synthetic(spec: ModelSpec, seed: int = 1, quant: str = "int8",
-                       moe_quant: str | None = None):
+                       moe_quant: str | None = None,
+                       dense_layer: bool = False):
     """Random MTP head at model scale (bench); the decoder-layer half
-    mirrors the model's last layer type."""
+    mirrors the model's last layer type (dense_layer=True: use a dense-MLP
+    decoder layer instead — e.g. a TRAINABLE bf16 head whose MoE variant
+    would not fit HBM next to the frozen base + Adam moments)."""
     from ktransformers_tpu.models.init import _layer_params
     from ktransformers_tpu.quant.formats import quantize
 
@@ -117,8 +120,15 @@ def init_mtp_synthetic(spec: ModelSpec, seed: int = 1, quant: str = "int8",
     def rand(shape, sc=0.02):
         return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * sc)
 
+    li = spec.num_layers - 1
+    if dense_layer:
+        li = next(
+            (i for i in range(spec.num_layers)
+             if spec.moe is None or not spec.moe.is_moe_layer(i)),
+            0,
+        )
     layer = _layer_params(
-        spec, spec.num_layers - 1, q, rand, quant, moe_quant or quant
+        spec, li, q, rand, quant, moe_quant or quant
     )
     return {
         "enorm": jnp.ones((d,), jnp.float32),

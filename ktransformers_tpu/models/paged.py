@@ -376,6 +376,336 @@ def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
     return finish(out.transpose(0, 2, 1, 3).reshape(b, s, h * d))
 
 
+def _mla_paged_mixed(p, spec, rows, bufs, dec_tables, dec_lengths,
+                     pre_table, pre_length, pre_valid, dec_rope_cs,
+                     pre_rope_cs, page_size, b_dec, s_pre, summ=None):
+    """Mixed-step MLA attention: ONE projection/output weights pass over
+    the concatenated decode+prefill rows [1, B+S, H]; the attention core
+    splits into the paged decode kernel (B rows) and the paged prefill
+    kernel (one S-token chunk). Returns (attn_rows [1, B+S, H'],
+    (buf_a, buf_b), new_summ)."""
+    a = spec.attention
+    h = a.num_heads
+    nope, dr, r = a.qk_nope_head_dim, a.qk_rope_head_dim, a.kv_lora_rank
+
+    q, ckv_kpe = mla_qkv_proj(p, spec, rows)  # [1, B+S, ...]
+    q = q[0]
+    ckv_all = rms_norm(ckv_kpe[0, :, :r], p["kv_a_norm"], spec.rms_norm_eps)
+    kpe_all = ckv_kpe[0, :, r:]
+
+    # --- split ---
+    q_d = q[:b_dec].reshape(b_dec, 1, h, nope + dr)
+    q_p = q[b_dec:].reshape(1, s_pre, h, nope + dr)
+    ckv_d = ckv_all[:b_dec].reshape(b_dec, 1, r)
+    ckv_p = ckv_all[b_dec:].reshape(1, s_pre, r)
+    kpe_d = kpe_all[:b_dec].reshape(b_dec, 1, dr)
+    kpe_p = kpe_all[b_dec:].reshape(1, s_pre, dr)
+
+    def rope_qk(qh, kpe, cs):
+        cos, sin = cs
+        q_pe = qh[..., nope:].transpose(0, 2, 1, 3)
+        q_pe = apply_rope(q_pe, cos[:, None], sin[:, None],
+                          interleaved=a_interleaved(spec))
+        kpe = apply_rope(kpe, cos, sin, interleaved=a_interleaved(spec))
+        return qh[..., :nope], q_pe, kpe
+
+    qn_d, qpe_d, kpe_d = rope_qk(q_d, kpe_d, dec_rope_cs)
+    qn_p, qpe_p, kpe_p = rope_qk(q_p, kpe_p, pre_rope_cs)
+
+    w_uk = p["w_uk"]
+
+    def absorb(q_nope):
+        return jnp.einsum(
+            "bshn,hnr->bhsr", q_nope.astype(jnp.float32),
+            w_uk.astype(jnp.float32),
+        ).astype(rows.dtype)
+
+    qn_d_eff = absorb(qn_d)  # [B, H, 1, R]
+    qn_p_eff = absorb(qn_p)  # [1, H, S, R]
+
+    # --- cache writes (disjoint page sets; decode first) ---
+    buf_a = _write_pages(bufs[0], ckv_d, dec_tables, dec_lengths, page_size)
+    buf_b = _write_pages(bufs[1], kpe_d, dec_tables, dec_lengths, page_size)
+    buf_a = _write_pages(buf_a, ckv_p, pre_table, pre_length, page_size,
+                         pre_valid)
+    buf_b = _write_pages(buf_b, kpe_p, pre_table, pre_length, page_size,
+                         pre_valid)
+    new_summ = None
+    if summ is not None:
+        from ktransformers_tpu.ops.sparse_attention import (
+            update_page_summaries_cfg,
+        )
+
+        def pids(tables, lengths, s, valid):
+            pos = lengths[:, None] + jnp.arange(s)[None, :]
+            pidx = jnp.clip(pos // page_size, 0, tables.shape[1] - 1)
+            pid = jnp.take_along_axis(tables, pidx, axis=1)
+            if valid is not None:
+                keep = jnp.arange(s)[None, :] < valid[:, None]
+                pid = jnp.where(keep, pid, 0)
+            return pid, pos
+
+        pid_d, pos_d = pids(dec_tables, dec_lengths, 1, None)
+        new_summ = update_page_summaries_cfg(
+            summ, jnp.concatenate([ckv_d, kpe_d], -1), pid_d, pos_d,
+            page_size,
+        )
+        pid_p, pos_p = pids(pre_table, pre_length, s_pre, pre_valid)
+        new_summ = update_page_summaries_cfg(
+            new_summ, jnp.concatenate([ckv_p, kpe_p], -1), pid_p, pos_p,
+            page_size,
+        )
+
+    scale = a.softmax_scale or (
+        (nope + dr) ** -0.5 * rope_attention_scale(spec.rope)
+    )
+    ctx_d = _PAGED_MLA_DECODE(
+        qn_d_eff[:, :, 0], qpe_d[:, :, 0], buf_a, buf_b,
+        dec_tables, dec_lengths + 1, scale,
+    )[:, :, None]  # [B, H, 1, R]
+    ctx_p = _PAGED_MLA_PREFILL(
+        qn_p_eff, qpe_p, buf_a, buf_b, pre_table, pre_length, pre_valid,
+        scale,
+    )  # [1, H, S, R]
+
+    w_uv = p["w_uv"]
+
+    def unabsorb(ctx):  # [B, H, S, R] -> [B, S, H*v]
+        out = jnp.einsum(
+            "bhsr,hrv->bshv", ctx.astype(jnp.float32),
+            w_uv.astype(jnp.float32),
+        ).astype(rows.dtype)
+        return out.reshape(out.shape[0], out.shape[1], h * a.v_head_dim)
+
+    out_rows = jnp.concatenate(
+        [unabsorb(ctx_d).reshape(b_dec, -1), unabsorb(ctx_p)[0]], axis=0
+    )[None]  # [1, B+S, H*v]
+    return (
+        plinear(p, "o_proj", out_rows, p.get("o_bias")),
+        (buf_a, buf_b),
+        new_summ,
+    )
+
+
+def _gqa_paged_mixed(p, spec, rows, bufs, dec_tables, dec_lengths,
+                     pre_table, pre_length, pre_valid, dec_rope_cs,
+                     pre_rope_cs, page_size, b_dec, s_pre,
+                     use_rope=True, window=0, summ=None):
+    """Mixed-step GQA attention (see _mla_paged_mixed)."""
+    a = spec.attention
+    h, hkv, d = a.num_heads, a.num_kv_heads, a.head_dim
+
+    gate = None
+    q_flat, k_flat, v_flat = gqa_qkv_proj(p, spec, rows)
+    q_flat, k_flat, v_flat = q_flat[0], k_flat[0], v_flat[0]
+    if a.gated_output:
+        qg = q_flat.reshape(-1, h, 2 * d)
+        q_all, gate = qg[..., :d], qg[..., d:].reshape(-1, h * d)
+    else:
+        q_all = q_flat.reshape(-1, h, d)
+    k_all = k_flat.reshape(-1, hkv, d)
+    v_all = v_flat.reshape(-1, hkv, d)
+    if a.qk_norm:
+        q_all = rms_norm(q_all, p["q_norm"], spec.rms_norm_eps)
+        k_all = rms_norm(k_all, p["k_norm"], spec.rms_norm_eps)
+
+    def rope_qk(q, k, cs):
+        # q [B, S, H, D] / k [B, S, Hkv, D]
+        cos, sin = cs
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        rot = a.rotary_dim
+        if not use_rope:
+            pass
+        elif rot and rot < d:
+            q = jnp.concatenate(
+                [apply_rope(q[..., :rot], cos[:, None], sin[:, None]),
+                 q[..., rot:]], axis=-1,
+            )
+            k = jnp.concatenate(
+                [apply_rope(k[..., :rot], cos[:, None], sin[:, None]),
+                 k[..., rot:]], axis=-1,
+            )
+        else:
+            q = apply_rope(q, cos[:, None], sin[:, None])
+            k = apply_rope(k, cos[:, None], sin[:, None])
+        return q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3)
+
+    q_d, k_d = rope_qk(
+        q_all[:b_dec][:, None], k_all[:b_dec][:, None], dec_rope_cs
+    )
+    v_d = v_all[:b_dec][:, None]
+    q_p, k_p = rope_qk(
+        q_all[b_dec:][None], k_all[b_dec:][None], pre_rope_cs
+    )
+    v_p = v_all[b_dec:][None]
+
+    buf_a = _write_pages(bufs[0], k_d, dec_tables, dec_lengths, page_size)
+    buf_b = _write_pages(bufs[1], v_d, dec_tables, dec_lengths, page_size)
+    buf_a = _write_pages(buf_a, k_p, pre_table, pre_length, page_size,
+                         pre_valid)
+    buf_b = _write_pages(buf_b, v_p, pre_table, pre_length, page_size,
+                         pre_valid)
+    new_summ = None
+    if summ is not None:
+        from ktransformers_tpu.ops.sparse_attention import (
+            update_page_summaries_cfg,
+        )
+
+        pos_d = dec_lengths[:, None]
+        pid_d = jnp.take_along_axis(
+            dec_tables,
+            jnp.clip(pos_d // page_size, 0, dec_tables.shape[1] - 1),
+            axis=1,
+        )
+        new_summ = update_page_summaries_cfg(
+            summ, k_d, pid_d, pos_d, page_size
+        )
+        pos_p = pre_length[:, None] + jnp.arange(s_pre)[None, :]
+        pid_p = jnp.take_along_axis(
+            pre_table,
+            jnp.clip(pos_p // page_size, 0, pre_table.shape[1] - 1),
+            axis=1,
+        )
+        keep = jnp.arange(s_pre)[None, :] < pre_valid[:, None]
+        pid_p = jnp.where(keep, pid_p, 0)
+        new_summ = update_page_summaries_cfg(
+            new_summ, k_p, pid_p, pos_p, page_size
+        )
+
+    scale = a.softmax_scale or d**-0.5
+    out_d = _PAGED_GQA_DECODE(
+        q_d[:, 0], buf_a, buf_b, dec_tables, dec_lengths + 1, scale,
+        window,
+    )  # [B, H, D]
+    out_p = _PAGED_GQA_PREFILL(
+        q_p.transpose(0, 2, 1, 3), buf_a, buf_b, pre_table, pre_length,
+        pre_valid, scale, window,
+    )  # [1, H, S, D]
+
+    out_rows = jnp.concatenate(
+        [out_d.reshape(b_dec, h * d),
+         out_p.transpose(0, 2, 1, 3).reshape(s_pre, h * d)],
+        axis=0,
+    )[None]
+    if gate is not None:
+        g = jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out_rows.dtype)
+        out_rows = out_rows * g[None]
+    return (
+        plinear(p, "o_proj", out_rows, p.get("o_bias")),
+        (buf_a, buf_b),
+        new_summ,
+    )
+
+
+def forward_paged_mixed(
+    params,
+    spec: ModelSpec,
+    dec_tokens: jnp.ndarray,  # [B] int32 decode-batch tokens
+    pre_tokens: jnp.ndarray,  # [S] int32 one prefill chunk (padded)
+    kv: PagedKVCache,
+    dec_tables: jnp.ndarray,  # [B, Pmax]
+    dec_lengths: jnp.ndarray,  # [B]
+    pre_table: jnp.ndarray,  # [1, Pmax]
+    pre_length: jnp.ndarray,  # [1] tokens already cached for the query
+    pre_valid: jnp.ndarray,  # [1] live tokens in this chunk
+    rope_tables=None,
+    compute_dtype=jnp.bfloat16,
+):
+    """ONE model invocation for a mixed scheduler batch (VERDICT r3 item
+    4; reference: balance_serve's combined ForwardBatchInput,
+    archive/.../inference/forward_batch.py:18-816): the decode batch and a
+    prefill chunk share every dense/MoE weights pass — at decode batch 8 a
+    separate prefill program used to re-stream the full model bytes.
+
+    Returns (dec_logits [B, V], pre_last_logits [1, V], new kv).
+    """
+    b = dec_tokens.shape[0]
+    s = pre_tokens.shape[0]
+    x_d = params["embed"][dec_tokens].astype(compute_dtype)  # [B, H]
+    x_p = params["embed"][pre_tokens].astype(compute_dtype)  # [S, H]
+    rows = jnp.concatenate([x_d, x_p], axis=0)[None]  # [1, B+S, H]
+
+    if rope_tables is None:
+        rope_tables = precompute_rope_tables(spec.rope)
+    cos_t, sin_t = rope_tables
+    dec_pos = dec_lengths[:, None]  # [B, 1]
+    pre_pos = pre_length[:, None] + jnp.arange(s)[None, :]  # [1, S]
+    dec_rope = (cos_t[dec_pos], sin_t[dec_pos])
+    pre_rope = (cos_t[pre_pos], sin_t[pre_pos])
+
+    mla = spec.attention.kind == "mla"
+    plane_names = [
+        n for n in ("smin", "smax", "ssum", "sfix", "sdyn")
+        if getattr(kv, n) is not None
+    ]
+    new_planes = {n: [] for n in plane_names}
+    new_a, new_b = [], []
+    for li, lp in enumerate(params["layers"]):
+        assert spec.layer_kind(li) != "linear", (
+            "mixed fused step does not support hybrid linear layers"
+        )
+        res = rows
+        router_x = (
+            rows if (spec.moe is not None and spec.moe.early_router)
+            else None
+        )
+        xn = rms_norm(rows, lp["input_norm"], spec.rms_norm_eps)
+        summ = (
+            {n: getattr(kv, n)[li] for n in plane_names}
+            if plane_names else None
+        )
+        if mla:
+            attn_out, (buf_a, buf_b), nsm = _mla_paged_mixed(
+                lp["attn"], spec, xn, (kv.bufs_a[li], kv.bufs_b[li]),
+                dec_tables, dec_lengths, pre_table, pre_length, pre_valid,
+                dec_rope, pre_rope, kv.page_size, b, s, summ,
+            )
+        else:
+            attn_out, (buf_a, buf_b), nsm = _gqa_paged_mixed(
+                lp["attn"], spec, xn, (kv.bufs_a[li], kv.bufs_b[li]),
+                dec_tables, dec_lengths, pre_table, pre_length, pre_valid,
+                dec_rope, pre_rope, kv.page_size, b, s,
+                spec.layer_uses_rope(li), spec.layer_window(li), summ,
+            )
+        new_a.append(buf_a)
+        new_b.append(buf_b)
+        if nsm is not None:
+            for n in plane_names:
+                new_planes[n].append(nsm[n])
+        rows = res + attn_out
+        res = rows
+        xn = rms_norm(rows, lp["post_attn_norm"], spec.rms_norm_eps)
+        if "moe" in lp:
+            rows = res + _moe_mlp(lp["moe"], spec, xn, router_x=router_x)
+        else:
+            rows = res + _dense_mlp(lp["mlp"], spec, xn)
+
+    x = rms_norm(rows[0], params["final_norm"], spec.rms_norm_eps)
+    # decode rows + the prefill chunk's last VALID row
+    pre_last = b + jnp.maximum(pre_valid[0] - 1, 0)
+    sel = jnp.concatenate(
+        [jnp.arange(b, dtype=jnp.int32), pre_last[None]]
+    )
+    x_sel = x[sel]  # [B+1, H]
+    lm_head = params.get("lm_head")
+    if lm_head is None:
+        logits = x_sel @ params["embed"].astype(x_sel.dtype).T
+    else:
+        logits = linear(x_sel, lm_head)
+
+    new_kv = PagedKVCache(
+        bufs_a=new_a, bufs_b=new_b,
+        smin=new_planes.get("smin") or None,
+        smax=new_planes.get("smax") or None,
+        ssum=new_planes.get("ssum") or None,
+        sfix=new_planes.get("sfix") or None,
+        sdyn=new_planes.get("sdyn") or None,
+        page_size=kv.page_size,
+    )
+    return logits[:b], logits[b:], new_kv
+
+
 def forward_paged(
     params,
     spec: ModelSpec,

@@ -42,11 +42,14 @@ INT4_KINDS = ("int4", "int4_g", "int4_gz")
 
 MAX_W_BLOCK_BYTES = 4 * 1024 * 1024
 
-# dense act_quant int4: W4A8 kernel below this M, bf16-dequant above
-# (crossover measured in scripts/kernel_lab8.py; decode/serving batches
-# stay W4A8, prefill chunks go bf16-dequant)
+# dense act_quant int4: W4A8 kernel below this M, bf16-dequant above.
+# DEFAULT: all M through W4A8. Isolated-kernel timings said bf16-dequant
+# wins at M>=128 (kernel_lab8: 0.11 vs 1.79 ms at 2048x21888), but the
+# e2e 512-token prefill measured the OPPOSITE (scripts/prefill_bisect.py:
+# all-w4a8 95.9 ms vs M-routed 159.3 ms) — in-program the w4a8 kernels
+# overlap with neighbors better. Trust the e2e number.
 W4A8_DENSE_MAX_M = int(
-    __import__("os").environ.get("KT_W4A8_DENSE_MAX_M", "64")
+    __import__("os").environ.get("KT_W4A8_DENSE_MAX_M", str(1 << 30))
 )
 
 # grouped (prefill-MoE) act_quant kernel: "w4a8" (int8 MXU dots) or
@@ -109,18 +112,14 @@ def _int4_matblock(xl, xh, w_blk, s_ref, z_ref, n_groups, gs2, has_zeros, s_idx,
     dequantized weights, so the MXU sees two full-K-contraction dots instead
     of n_groups narrow ones."""
     k2, bn = w_blk.shape
-    blk = w_blk[:]
-    if offset_lo and blk.dtype == jnp.int8:
-        # fast offset-lo decode (r4): braw = 16*hi_s + (lo_s + 8) as int8,
-        # so hi = braw >> 4 (arithmetic) and lo = (braw & 15) - 8 — int8
-        # lane ops, no i32 widening; ~9 VPU ops/byte vs 12 for the
-        # generic path (the dequant dominates this kernel at prefill M)
-        hi = (blk >> 4).astype(jnp.float32)
-        lo = ((blk & jnp.int8(0xF)) - jnp.int8(8)).astype(jnp.float32)
-    else:
-        lo, hi = _unpack_nibbles(blk, offset_lo)
-        lo = lo.astype(jnp.float32)
-        hi = hi.astype(jnp.float32)
+    # NEGATIVE RESULT (r4, do not redo): an int8-lane "fast decode"
+    # (hi = braw >> 4 arithmetic, lo = (braw & 15) - 8, skipping the i32
+    # widening) fails Mosaic lowering on the real chip — 'arith.shrsi' on
+    # vector<...xi8> has no TPU legalization (interpret mode does NOT
+    # catch it). Keep the i32 path.
+    lo, hi = _unpack_nibbles(w_blk[:], offset_lo)
+    lo = lo.astype(jnp.float32)
+    hi = hi.astype(jnp.float32)
     s = s_ref[s_idx] if s_idx else s_ref[:]
     s = s[:n_groups]  # scale blocks may be sublane-padded past the true ng
     s_exp = _expand_group_rows(s, n_groups, gs2, k2, bn)

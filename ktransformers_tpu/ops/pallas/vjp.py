@@ -59,7 +59,9 @@ def _qm_fwd(x, w):
     return quant_matmul(x, w, interpret=_INTERPRET), (w,)
 
 
-_T_KINDS = ("int8", "fp8", "int4", "int4_g", "int4_gz")
+_T_KINDS = (
+    "int8", "fp8", "int4", "int4_g", "int4_gz", "mxfp4", "mxfp8",
+)
 
 
 def _qm_bwd(res, dy):
@@ -67,9 +69,7 @@ def _qm_bwd(res, dy):
     (w,) = res
     if w.kind in _T_KINDS:
         dx = quant_matmul_t(dy, w, interpret=_INTERPRET).astype(dy.dtype)
-    else:
-        # MX kinds: XLA dequant fallback in the backward (forward stays
-        # in-kernel); a transposed MX kernel is a follow-up
+    else:  # pragma: no cover - every Pallas kind has a transposed kernel
         from ktransformers_tpu.quant.formats import dequantize
 
         dx = (dy.astype(jnp.float32) @ dequantize(w, jnp.float32).T).astype(

@@ -25,7 +25,9 @@ from ktransformers_tpu.quant.formats import (
 from ktransformers_tpu.quant.w4a8 import repack_offset_lo
 
 
-@pytest.mark.parametrize("kind", ["int8", "int4_g", "int4_gz", "fp8"])
+@pytest.mark.parametrize(
+    "kind", ["int8", "int4_g", "int4_gz", "fp8", "mxfp4", "mxfp8"]
+)
 @pytest.mark.parametrize("m", [1, 9])
 def test_quant_matmul_t_matches_xla_grad(rng, kind, m):
     k, n = 256, 384
@@ -46,7 +48,7 @@ def test_quant_matmul_t_matches_xla_grad(rng, kind, m):
         np.testing.assert_allclose(out2, ref, rtol=2e-2, atol=2e-2)
 
 
-@pytest.mark.parametrize("kind", ["int8", "int4_g"])
+@pytest.mark.parametrize("kind", ["int8", "int4_g", "mxfp4", "mxfp8"])
 def test_grouped_t_matches_xla_grad(rng, kind):
     e, k, n = 4, 256, 128
     m = 150  # rows sorted by expert, ragged groups
