@@ -94,7 +94,7 @@ def _pick_bm(m, kdim, bn, w_bytes_per_k):
         )
         if need <= _VMEM_BUDGET:
             break
-        bm //= 2
+        bm = max(8, (bm // 2 // 8) * 8)  # sublane-aligned halving
     return bm
 
 

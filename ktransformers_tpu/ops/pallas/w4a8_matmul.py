@@ -511,7 +511,7 @@ def dense_w4a8_ffn(
         )
         if need <= _FFN_VMEM_BUDGET + 4 * 1024 * 1024:
             break
-        bm //= 2
+        bm = max(8, (bm // 2 // 8) * 8)  # sublane-aligned (see above)
     if m8 % bm:
         pad = bm - m8 % bm
         qa, qb, sa, sb, t, xsum = (
@@ -697,7 +697,9 @@ def _pick_bm_w4a8(m8: int, k2: int, bn: int, ng: int) -> int:
         )
         if need <= _FFN_VMEM_BUDGET:
             break
-        bm //= 2
+        # keep bm sublane-aligned: non-power-of-two M (e.g. the fused
+        # mixed step's 8+256=264 rows) would otherwise halve to 66
+        bm = max(8, (bm // 2 // 8) * 8)
     return bm
 
 

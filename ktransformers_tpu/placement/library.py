@@ -27,9 +27,22 @@ def available_placements() -> list[str]:
     )
 
 
-def load_placement(name_or_path: str) -> PlacementSpec:
-    """Load a placement spec by library name or YAML file path."""
-    lib = os.path.join(RULES_DIR, name_or_path + ".yaml")
-    if os.sep not in name_or_path and os.path.exists(lib):
-        return PlacementSpec.from_yaml(lib)
+def load_placement(name_or_path: str,
+                   mesh_size: int | None = None) -> PlacementSpec:
+    """Load a placement spec by library name or YAML file path.
+
+    mesh_size: prefer a per-mesh-size variant ("<name>-<N>chip.yaml",
+    the analog of the reference's *-multi-gpu-N.yaml files) when one is
+    shipped; falls back to the base file.
+    """
+    if os.sep not in name_or_path:
+        if mesh_size and mesh_size > 1:
+            var = os.path.join(
+                RULES_DIR, f"{name_or_path}-{mesh_size}chip.yaml"
+            )
+            if os.path.exists(var):
+                return PlacementSpec.from_yaml(var)
+        lib = os.path.join(RULES_DIR, name_or_path + ".yaml")
+        if os.path.exists(lib):
+            return PlacementSpec.from_yaml(lib)
     return PlacementSpec.from_yaml(name_or_path)

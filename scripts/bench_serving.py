@@ -58,8 +58,9 @@ def main():
         )
     spec = spec_from_hf_config(cfg)
     print("initializing params...", file=sys.stderr, flush=True)
+    quant = os.environ.get("KT_BENCH_QUANT", "int4_g")
     params = init_params_synthetic(
-        spec, quant="int4_g", moe_quant="int4_g"
+        spec, quant=quant, moe_quant="int4_g"
     )
     jax.block_until_ready(params)
 
@@ -105,6 +106,7 @@ def main():
     total_toks = out_toks + args.concurrency * args.prompt_len
     result = {
         "concurrency": args.concurrency,
+        "dense_quant": quant,
         "output_tok_s": round(out_toks / wall, 2),
         "total_tok_s": round(total_toks / wall, 2),
         "mean_ttft_s": round(m["mean_ttft_s"], 3),
