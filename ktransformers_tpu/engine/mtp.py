@@ -326,6 +326,203 @@ def mtp_generate(
     return out[: cfg.max_new_tokens], stats
 
 
+def _single_round_fns(target: Generator, k: int):
+    """Jitted single-program MTP rounds, cached on the Generator: a fresh
+    jit per generate call would make every TIMED run re-load/upload the
+    executables (r4: 213 ms/round measured where the hot program is
+    7.9 ms)."""
+    key_ = ("mtp_single_round", k)
+    if key_ in target._steps:
+        return target._steps[key_]
+    spec = target.spec
+    rope = target.rope_tables
+    cdt = target.compute_dtype
+
+    def _drafts(params, mtp, m_cache, bonus, h_bonus):
+        cur, h = bonus, h_bonus
+        drafted = []
+        for _ in range(k):
+            dl, h, m_cache = mtp_layer_forward(
+                mtp, params, spec, cur[:, None], h, m_cache, rope, cdt
+            )
+            cur = jnp.argmax(dl[:, -1], axis=-1).astype(jnp.int32)
+            drafted.append(cur)
+        return jnp.stack(drafted, axis=1), m_cache  # [B, k]
+
+    def _verify(params, t_cache, bonus, d):
+        T = t_cache.lengths
+        inp = jnp.concatenate([bonus[:, None], d], axis=1)
+        tl, t_cache, th = forward(
+            params, spec, inp, t_cache, rope_tables=rope,
+            compute_dtype=cdt, return_hidden=True,
+        )
+        greedy = jnp.argmax(tl, axis=-1).astype(jnp.int32)
+        match = (d == greedy[:, :k]).astype(jnp.int32)
+        a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+        bonus_new = jnp.take_along_axis(greedy, a[:, None], axis=1)[:, 0]
+        j_idx = jnp.arange(k + 1)[None, :]
+        d_pad = jnp.pad(d, ((0, 0), (0, 1)))
+        emitted = jnp.where(
+            j_idx < a[:, None],
+            d_pad,
+            jnp.where(j_idx == a[:, None], bonus_new[:, None], -1),
+        )
+        h_new = jnp.take_along_axis(th, a[:, None, None], axis=1)
+        t_cache = dataclasses.replace(t_cache, lengths=T + a + 1)
+        return emitted, a, bonus_new, h_new, th, T, t_cache
+
+    @partial(jax.jit, donate_argnums=(2, 3))
+    def round1(params, mtp, t_cache, m_cache, bonus, h_bonus):
+        d, m_cache = _drafts(params, mtp, m_cache, bonus, h_bonus)
+        emitted, a, bonus2, h2, th, T, t_cache = _verify(
+            params, t_cache, bonus, d
+        )
+        return emitted, a, bonus2, h2, d, th, T, t_cache, m_cache
+
+    @partial(jax.jit, donate_argnums=(2, 3))
+    def round_n(params, mtp, t_cache, m_cache, bonus, h_bonus,
+                T_p, d_p, g_last, a_p, th_p):
+        # catch the MTP cache up over the previous round's verified span
+        # (rows < T_p + a_p are correct; rejected rows get overwritten)
+        m_cache = dataclasses.replace(m_cache, lengths=T_p)
+        nxt = jnp.concatenate([d_p, g_last[:, None]], axis=1)
+        _, _, m_cache = mtp_layer_forward(
+            mtp, params, spec, nxt, th_p, m_cache, rope, cdt,
+            compute_logits=False,
+        )
+        m_cache = dataclasses.replace(m_cache, lengths=T_p + a_p)
+        d, m_cache = _drafts(params, mtp, m_cache, bonus, h_bonus)
+        emitted, a, bonus2, h2, th, T, t_cache = _verify(
+            params, t_cache, bonus, d
+        )
+        return emitted, a, bonus2, h2, d, th, T, t_cache, m_cache
+
+    target._steps[key_] = (round1, round_n)
+    return target._steps[key_]
+
+
+def mtp_generate_single(
+    target: Generator,
+    mtp_params,
+    prompt_ids: list[int],
+    cfg: GenerateConfig = GenerateConfig(),
+    k: int = 3,
+) -> tuple[list[int], SpecStats]:
+    """Greedy MTP self-speculation with the WHOLE round (MTP catch-up +
+    k drafts + verify + accept) in ONE device program — the loop replays
+    a single hot program, so per-round cost is the device time
+    (scripts/spec_lab.py r4: 7.93 ms/round vs 3.64 ms/decode-step on the
+    16B bench model; the r3 'program-size cliff' and 'alternation
+    re-upload' findings were broken-barrier measurement artifacts).
+
+    Output equals target greedy exactly (same verify rule as
+    mtp_generate). Reference: doc/en/DeepSeek-V4-Flash.md:157-165."""
+    assert cfg.sampling.temperature <= 0, "speculative path is greedy-only"
+    import os
+
+    spec = target.spec
+    rope = target.rope_tables
+    cdt = target.compute_dtype
+    drafter = MTPDrafter(mtp_params, target)
+    round1, round_n = _single_round_fns(target, k)
+
+    # --- prompt prefill + MTP priming (jits cached on the Generator so a
+    # timed second call replays hot programs, like the round fns) ---
+    prompt = jnp.asarray(np.asarray(prompt_ids, np.int32))[None]
+    P = len(prompt_ids)
+
+    key_p = "mtp_prefill_hidden"
+    if key_p not in target._steps:
+
+        @partial(jax.jit, donate_argnums=(2,))
+        def t_prefill_hidden(params, tokens, cache):
+            return forward(
+                params, spec, tokens, cache, rope_tables=rope,
+                compute_dtype=cdt, return_hidden=True,
+            )
+
+        target._steps[key_p] = t_prefill_hidden
+
+    key_m = ("mtp_prime", P - 1)
+    if P > 1 and key_m not in target._steps:
+
+        @partial(jax.jit, donate_argnums=(4,))
+        def prime(params, mtp, tokens, h, cache):
+            return mtp_layer_forward(
+                mtp, params, spec, tokens, h, cache, rope, cdt,
+                compute_logits=False,
+            )
+
+        target._steps[key_m] = prime
+
+    t_cache = target.new_cache()
+    tl, t_cache, th = target._steps[key_p](target.params, prompt, t_cache)
+    bonus = jnp.argmax(tl[:, -1], axis=-1).astype(jnp.int32)
+    out = [int(np.asarray(bonus)[0])]
+    m_cache = drafter.new_cache()
+    if P > 1:
+        _, _, m_cache = target._steps[key_m](
+            target.params, drafter.mtp, prompt[:, 1:], th[:, : P - 1],
+            m_cache,
+        )
+    h_bonus = th[:, -1:]
+    stats = SpecStats()
+
+    depth = max(1, int(os.environ.get("KT_SPEC_PIPELINE", "2")))
+    pending = []
+
+    def resolve(entry):
+        emitted, a = entry
+        em = np.asarray(emitted)[0]
+        a_i = int(np.asarray(a)[0])
+        stats.rounds += 1
+        stats.drafted += k
+        stats.accepted += a_i
+        for tok in em[: a_i + 1]:
+            out.append(int(tok))
+            if len(out) >= cfg.max_new_tokens or (
+                cfg.eos_token_id is not None
+                and out[-1] == cfg.eos_token_id
+            ):
+                return True
+        return False
+
+    done = False
+    dispatched = 0
+    prev = None
+    while not done:
+        while (
+            not done and len(pending) < depth
+            and dispatched < cfg.max_new_tokens
+            and P + 1 + (dispatched + 1) * (k + 1) < target.max_len
+        ):
+            if prev is None:
+                (emitted, a, bonus, h_bonus, d, th_r, T_r, t_cache,
+                 m_cache) = round1(
+                    target.params, drafter.mtp, t_cache, m_cache, bonus,
+                    h_bonus,
+                )
+            else:
+                T_p, d_p, g_last, a_p, th_p = prev
+                (emitted, a, bonus, h_bonus, d, th_r, T_r, t_cache,
+                 m_cache) = round_n(
+                    target.params, drafter.mtp, t_cache, m_cache, bonus,
+                    h_bonus, T_p, d_p, g_last, a_p, th_p,
+                )
+            prev = (T_r, d, bonus, a, th_r)
+            try:
+                emitted.copy_to_host_async()
+                a.copy_to_host_async()
+            except Exception:  # pragma: no cover
+                pass
+            pending.append((emitted, a))
+            dispatched += 1
+        if not pending:
+            break
+        done = resolve(pending.pop(0))
+    return out[: cfg.max_new_tokens], stats
+
+
 def mtp_generate_fused(
     target: Generator,
     mtp_params,
@@ -462,8 +659,11 @@ def mtp_generate_fused(
 
     def resolve(entry):
         emitted, a = entry
-        em = np.asarray(emitted[0])
-        a_i = int(np.asarray(a[0]))
+        # np.asarray of the WHOLE arrays: indexing first (emitted[0])
+        # would dispatch a device op that queues BEHIND the in-flight
+        # rounds and serializes the pipeline (r4 readback rule, bench.py)
+        em = np.asarray(emitted)[0]
+        a_i = int(np.asarray(a)[0])
         stats.rounds += 1
         stats.drafted += k
         stats.accepted += a_i

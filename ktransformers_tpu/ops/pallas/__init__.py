@@ -75,7 +75,8 @@ def enable() -> None:
             # decode-size kernel: its whole-expert blocks re-fetch per row;
             # big batches belong to the sorted grouped path
             return None
-        if not ffn_fits(gate_up, down, act_cfg.kind, act_cfg.swiglu_limit):
+        if not ffn_fits(gate_up, down, act_cfg.kind, act_cfg.swiglu_limit,
+                        rows=x_rows.shape[0]):
             return None
         return gathered_w4a8_ffn(x_rows, gate_up, down, ids,
                                  act=act_cfg.kind)

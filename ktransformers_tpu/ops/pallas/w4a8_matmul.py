@@ -274,16 +274,31 @@ _FFN_VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def ffn_fits(gate_up: QTensor, down: QTensor, act_kind: str,
-             swiglu_limit) -> bool:
+             swiglu_limit, rows: int = 8) -> bool:
     """Static eligibility for the fused FFN kernel: both mats act_quant
-    int4 kinds, a supported GLU, and whole-expert blocks within VMEM."""
+    int4 kinds, a supported GLU, and whole-expert blocks + the ROW-scaled
+    temps within scoped VMEM (r4: at 96 rows the int32 pa/pb planes alone
+    are ~4.3 MB and tipped the 16 MB stack by 384 KB)."""
     if not (gate_up.act_quant and down.act_quant):
         return False
     if act_kind not in ("silu", "relu", "gelu") or swiglu_limit is not None:
         return False
     e, k2, n2x = gate_up.data.shape
     _, i2, kdim = down.data.shape
-    if 2 * (k2 * n2x + i2 * kdim) > _FFN_VMEM_BUDGET:
+    inter = n2x // 2
+    r8 = max(8, ((rows + 7) // 8) * 8)
+    need = (
+        2 * (k2 * n2x + i2 * kdim)      # weight blocks, double-buffered
+        + r8 * (
+            2 * k2                       # qa/qb int8
+            + n2x * 4                    # h f32
+            + inter * 4                  # a f32
+            + 2 * kdim * 4               # y + out f32
+            + 2 * n2x * 4                # gate_up pa/pb int32
+            + 2 * kdim * 4               # down pa/pb int32
+        )
+    )
+    if need > 15 * 1024 * 1024:
         return False
     gs2 = down.group_size or 2 * i2
     return (2 * i2) % gs2 == 0

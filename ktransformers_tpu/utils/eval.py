@@ -49,7 +49,11 @@ def perplexity(
         total_nll += float(jnp.sum(nll))
         total_tok += end - pos
         pos = end
-    return math.exp(total_nll / max(total_tok, 1))
+    mean_nll = total_nll / max(total_tok, 1)
+    try:
+        return math.exp(mean_nll)
+    except OverflowError:  # garbage-weight parity harnesses compare NLL
+        return float("inf")
 
 
 def mmlu_eval_http(

@@ -1,17 +1,27 @@
-"""Long-context decode benchmark: 64K context on one v5e chip, dense
-paged decode vs Quest sparse top-K-page decode (VERDICT r1 item 8).
+"""Long-context decode benchmark (r4): anchor-type A/B + deep-context
+rows, honest paced-readback timing (r1-r3 numbers used block_until_ready,
+which does not block on this backend).
 
-The KV is synthesized directly at full length (what matters for decode
-cost is reading it, not how it was produced); page summaries are built
-from the same KV so selection quality is realistic for random data.
-Prints one JSON line and writes BENCH_LONGCTX.json for bench.py to fold
-into the round metrics."""
+Rows:
+- 64K ctx, 27-layer 16B model: dense vs sparse with each anchor kind
+  (quest / block_max / block_mean / fixed) — the reference's AnchorType
+  A/B (kvcache.h:52-99)
+- 128K ctx, 27-layer: dense vs quest
+- 256K and 512K ctx, 12-layer model slice (the 27-layer model's KV at
+  256K is 8.2 GB and would not fit next to 9.3 GB of weights on one
+  16 GB chip — the slice keeps layer math identical): quest decode +
+  one 2048-token prefill chunk AT DEPTH (prefill rate with 250K+ cached)
+
+Writes BENCH_LONGCTX.json.
+"""
 
 import argparse
+import collections
 import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -20,7 +30,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ctx", type=int, default=65536)
     ap.add_argument("--page", type=int, default=64)
     ap.add_argument("--budget", type=int, default=64)
     ap.add_argument("--steps", type=int, default=64)
@@ -35,108 +44,186 @@ def main():
     from ktransformers_tpu.models.paged import forward_paged
     from ktransformers_tpu.models.spec import spec_from_hf_config
     from ktransformers_tpu.ops import pallas as kpallas
-    from ktransformers_tpu.ops.sparse_attention import update_page_summaries
 
     kpallas.maybe_enable()
 
-    cfg = dict(
-        model_type="deepseek_v2", vocab_size=102400, hidden_size=2048,
-        intermediate_size=10944, moe_intermediate_size=1408,
-        num_hidden_layers=27, num_attention_heads=16,
-        num_key_value_heads=16, n_shared_experts=2, n_routed_experts=64,
-        num_experts_per_tok=6, first_k_dense_replace=1, moe_layer_freq=1,
-        topk_method="greedy", norm_topk_prob=False,
-        routed_scaling_factor=1.0, scoring_func="softmax", kv_lora_rank=512,
-        q_lora_rank=None, qk_rope_head_dim=64, qk_nope_head_dim=128,
-        v_head_dim=128, max_position_embeddings=131072, rms_norm_eps=1e-6,
-        rope_theta=10000.0,
-    )
-    spec = spec_from_hf_config(cfg)
-    params = init_params_synthetic(spec, quant="int8", moe_quant="int4_g")
-    jax.block_until_ready(params)
-    print("params ready", file=sys.stderr)
-
-    npages = args.ctx // args.page + 2
-    results = {}
-
-    for mode, budget in (("dense", None), ("sparse", args.budget)):
-        kv = PagedKVCache.create(
-            spec, num_pages=npages, page_size=args.page,
-            summaries=budget is not None,
+    def model_cfg(layers):
+        return dict(
+            model_type="deepseek_v2", vocab_size=102400, hidden_size=2048,
+            intermediate_size=10944, moe_intermediate_size=1408,
+            num_hidden_layers=layers, num_attention_heads=16,
+            num_key_value_heads=16, n_shared_experts=2, n_routed_experts=64,
+            num_experts_per_tok=6, first_k_dense_replace=1, moe_layer_freq=1,
+            topk_method="greedy", norm_topk_prob=False,
+            routed_scaling_factor=1.0, scoring_func="softmax",
+            kv_lora_rank=512, q_lora_rank=None, qk_rope_head_dim=64,
+            qk_nope_head_dim=128, v_head_dim=128,
+            max_position_embeddings=1 << 20, rms_norm_eps=1e-6,
+            rope_theta=10000.0,
         )
-        # synthesize a full-length KV + summaries
+
+    out = {"page_size": args.page, "sparse_budget_pages": args.budget}
+
+    def bench_ctx(spec, params, ctx, modes, do_prefill_at_depth=False):
+        npages = ctx // args.page + 2
+        kv = PagedKVCache.create(
+            spec, num_pages=npages, page_size=args.page, summaries=True,
+            anchor="block_mean",  # allocates ssum too
+        )
+        # synthesize full-length KV + every summary plane
         key = jax.random.PRNGKey(0)
-        bufs_a, bufs_b, smin, smax = [], [], [], []
+        bufs_a, bufs_b = [], []
+        planes = {"smin": [], "smax": [], "ssum": [], "sfix": []}
         pid = jnp.repeat(jnp.arange(npages), args.page)[None]
+        pos = jnp.arange(npages * args.page)[None]
+        from ktransformers_tpu.ops.sparse_attention import (
+            update_page_summaries_cfg,
+        )
+
         for li in range(spec.num_layers):
             key, k1, k2 = jax.random.split(key, 3)
-            a = jax.random.normal(k1, kv.bufs_a[li].shape, kv.bufs_a[li].dtype)
-            b = jax.random.normal(k2, kv.bufs_b[li].shape, kv.bufs_b[li].dtype)
+            a = jax.random.normal(k1, kv.bufs_a[li].shape,
+                                  kv.bufs_a[li].dtype)
+            b = jax.random.normal(k2, kv.bufs_b[li].shape,
+                                  kv.bufs_b[li].dtype)
             bufs_a.append(a)
             bufs_b.append(b)
-            if budget is not None:
-                cat = jnp.concatenate([a, b], -1).reshape(
-                    1, npages * args.page, -1
-                )
-                mn, mx = update_page_summaries(
-                    kv.smin[li], kv.smax[li], cat, pid
-                )
-                smin.append(mn)
-                smax.append(mx)
+            cat = jnp.concatenate([a, b], -1).reshape(
+                1, npages * args.page, -1
+            )
+            pl = update_page_summaries_cfg(
+                {"smin": kv.smin[li], "smax": kv.smax[li],
+                 "ssum": kv.ssum[li],
+                 "sfix": jnp.zeros_like(kv.ssum[li])},
+                cat, pid, pos, args.page,
+            )
+            for n in planes:
+                planes[n].append(pl[n])
         kv = PagedKVCache(
             bufs_a=bufs_a, bufs_b=bufs_b,
-            smin=smin or None, smax=smax or None, page_size=args.page,
+            smin=planes["smin"], smax=planes["smax"],
+            ssum=planes["ssum"], sfix=planes["sfix"],
+            page_size=args.page,
         )
         pt = jnp.arange(1, npages, dtype=jnp.int32)[None]
-        length = jnp.asarray([args.ctx - 1], jnp.int32)
+        length = jnp.asarray([ctx - 1], jnp.int32)
+        row = {}
 
-        from functools import partial
+        for mode in modes:
+            budget = None if mode == "dense" else args.budget
+            anchor = "quest" if mode == "dense" else mode
 
-        # params/pt/length are ARGUMENTS, not closures: closed-over arrays
-        # ship inside the HLO to the remote compile service (CLAUDE.md) —
-        # a 9.77 GB params closure made this compile hang at >50 GB RSS
-        @partial(jax.jit, donate_argnums=(2,), static_argnames=("b",))
-        def step(params, tok, kv, pt, length, b=budget):
-            logits, kv = forward_paged(
-                params, spec, tok, kv, pt, length, sparse_budget=b,
-            )
-            return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), kv
+            @partial(jax.jit, donate_argnums=(2,),
+                     static_argnames=("b", "anc"))
+            def step(params, tok, kv, pt, length, b=budget, anc=anchor):
+                logits, kv = forward_paged(
+                    params, spec, tok, kv, pt, length, sparse_budget=b,
+                    sparse_anchor=anc,
+                )
+                return (
+                    jnp.argmax(logits[:, -1], -1).astype(jnp.int32), kv
+                )
 
-        tok = jnp.zeros((1, 1), jnp.int32)
-        t0 = time.perf_counter()
-        tok, kv = step(params, tok, kv, pt, length)
-        jax.block_until_ready(tok)
-        print(f"{mode} compile {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
-            tok, kv = step(params, tok.reshape(1, 1), kv, pt, length)
-        jax.block_until_ready(tok)
-        dt = (time.perf_counter() - t0) / args.steps
-        results[mode] = round(1.0 / dt, 2)
-        print(f"{mode}: {1.0/dt:.2f} tok/s", file=sys.stderr)
+            tok = jnp.zeros((1, 1), jnp.int32)
+            t0 = time.perf_counter()
+            tok, kv = step(params, tok, kv, pt, length)
+            _ = int(np.asarray(tok)[0])
+            print(f"ctx {ctx//1024}K {mode}: compile "
+                  f"{time.perf_counter()-t0:.1f}s", file=sys.stderr,
+                  flush=True)
+            pending = collections.deque()
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                tok, kv = step(params, tok.reshape(1, 1), kv, pt, length)
+                try:
+                    tok.copy_to_host_async()
+                except Exception:
+                    pass
+                pending.append(tok)
+                if len(pending) > 8:
+                    _ = int(np.asarray(pending.popleft())[0])
+            while pending:
+                _ = int(np.asarray(pending.popleft())[0])
+            dt = (time.perf_counter() - t0) / args.steps
+            row[mode + "_tok_s"] = round(1.0 / dt, 2)
+            print(f"ctx {ctx//1024}K {mode}: {1.0/dt:.2f} tok/s",
+                  file=sys.stderr, flush=True)
 
-    out = {
-        "metric": f"decode tok/s @ {args.ctx // 1024}K ctx (16B int4, 1 chip)",
-        "dense_tok_s": results["dense"],
-        "sparse_tok_s": results["sparse"],
-        "sparse_budget_pages": args.budget,
-        "page_size": args.page,
-    }
+        if do_prefill_at_depth:
+            chunk = 2048
+            toks = jnp.zeros((1, chunk), jnp.int32)
+            depth = jnp.asarray([ctx - chunk - 2], jnp.int32)
+
+            @jax.jit
+            def pre_step(params, toks, kv, pt, depth):
+                logits, kv = forward_paged(
+                    params, spec, toks, kv, pt, depth,
+                    logits_last_only=True,
+                )
+                return (
+                    jnp.argmax(logits[:, -1], -1).astype(jnp.int32), kv
+                )
+
+            t0 = time.perf_counter()
+            tok1, kv = pre_step(params, toks, kv, pt, depth)
+            _ = int(np.asarray(tok1)[0])
+            print(f"ctx {ctx//1024}K prefill-at-depth compile "
+                  f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+            n = 4
+            prev = None
+            t0 = time.perf_counter()
+            for _ in range(n):
+                tok1, kv = pre_step(params, toks, kv, pt, depth)
+                try:
+                    tok1.copy_to_host_async()
+                except Exception:
+                    pass
+                if prev is not None:
+                    _ = int(np.asarray(prev)[0])
+                prev = tok1
+            _ = int(np.asarray(prev)[0])
+            dt = (time.perf_counter() - t0) / n
+            row["prefill_chunk_at_depth_tok_s"] = round(chunk / dt, 1)
+            print(f"ctx {ctx//1024}K prefill-at-depth: "
+                  f"{chunk/dt:.0f} tok/s", file=sys.stderr)
+        del kv
+        return row
+
+    # 27-layer model: 64K anchor A/B + 128K
+    spec27 = spec_from_hf_config(model_cfg(27))
+    params = init_params_synthetic(spec27, quant="int4_g",
+                                   moe_quant="int4_g")
+    jax.block_until_ready(params)
+    print("27-layer params ready", file=sys.stderr, flush=True)
+    out["64K"] = bench_ctx(
+        spec27, params, 65536,
+        ["dense", "quest", "block_max", "block_mean", "fixed"],
+    )
+    out["128K"] = bench_ctx(spec27, params, 131072, ["dense", "quest"])
+    del params
+
+    # 12-layer slice: 256K / 512K (+ prefill at depth)
+    spec12 = spec_from_hf_config(model_cfg(12))
+    params = init_params_synthetic(spec12, quant="int4_g",
+                                   moe_quant="int4_g")
+    jax.block_until_ready(params)
+    print("12-layer params ready", file=sys.stderr, flush=True)
+    out["256K_12layer"] = bench_ctx(
+        spec12, params, 262144, ["dense", "quest"],
+        do_prefill_at_depth=True,
+    )
+    out["512K_12layer"] = bench_ctx(spec12, params, 524288, ["quest"])
+
+    out["note"] = (
+        "r4 paced-readback methodology (earlier rounds' numbers used the "
+        "broken block_until_ready barrier). 256K/512K rows run a 12-layer "
+        "slice of the same model (27-layer KV at 256K is 8.2 GB and the "
+        "16B weights leave no room on one 16 GB chip); per-layer cost is "
+        "identical, so scale by 27/12 for the full-model estimate."
+    )
     print(json.dumps(out))
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_LONGCTX.json")
-    merged = {}
-    try:
-        with open(path) as f:
-            prev = json.load(f)
-        merged = prev if "dense_tok_s" not in prev else {
-            prev["metric"].split(" @ ")[1].split(" ")[0]: prev
-        }
-    except Exception:
-        pass
-    merged[f"{args.ctx // 1024}K"] = out
-    with open(path, "w") as f:
-        json.dump(merged, f)
+    with open("/root/repo/BENCH_LONGCTX.json", "w") as f:
+        json.dump(out, f)
 
 
 if __name__ == "__main__":

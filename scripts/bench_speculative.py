@@ -1,16 +1,16 @@
 """MTP self-speculation benchmark (reference: doc/en/DeepSeek-V4-Flash.md
 MTP ~1.2x decode at 90% acceptance).
 
-Round 3: the whole round (k drafts + verify + accept + MTP catch-up) is
-ONE device program (engine/mtp.mtp_generate_fused), so a round costs one
-dispatch instead of the r2 host-driven loop's ~7 blocking round-trips
-(which measured break-even acceptance 9.85 — unwinnable). This benchmark
-reports the fused round cost, the implied break-even acceptance, and the
-measured speedup at a FORCED acceptance sweep (the caches and shapes are
-identical whatever the tokens are, so timing at synthetic acceptance a is
-obtained by replaying rounds and accounting (1 + k*a) tokens per round —
-acceptance itself needs trained head weights we cannot download here;
-trained MTP heads land 60-90%).
+r4 overhaul — earlier rounds' conclusions ("12 MB re-upload per program
+alternation", "program-size cliff") were artifacts of the broken
+block_until_ready barrier; with paced np.asarray readbacks a draft+verify
+round costs ~8 ms hot (scripts/spec_lab.py: single-program 7.93 ms,
+alternating 8.42 ms, decode step 3.64 ms -> break-even acceptance 0.59).
+
+The measured run uses the ON-CHIP-TRAINED dense MTP head
+(scripts/train_mtp.py -> mtp_trained.npz) so acceptance is real; without
+the file it falls back to a random head (acceptance ~0, still measured
+honestly).
 
 Prints one JSON line; writes BENCH_SPECULATIVE.json.
 """
@@ -29,8 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=2, help="draft tokens/round")
-    ap.add_argument("--new", type=int, default=96)
+    ap.add_argument("--new", type=int, default=128)
     ap.add_argument("--prompt", type=int, default=32)
+    ap.add_argument("--trained", default="/root/repo/mtp_trained.npz")
     args = ap.parse_args()
 
     import jax
@@ -39,92 +40,45 @@ def main():
     from ktransformers_tpu.engine.generate import GenerateConfig, Generator
     from ktransformers_tpu.engine.mtp import (
         init_mtp_synthetic,
-        mtp_generate_fused,
+        mtp_generate_single,
     )
     from ktransformers_tpu.models.init import init_params_synthetic
     from ktransformers_tpu.models.spec import spec_from_hf_config
     from scripts.profile_decode2 import BASE
 
     spec = spec_from_hf_config(dict(BASE, max_position_embeddings=2048))
-    mtp = init_mtp_synthetic(spec, quant="int4_g")
-    rng = np.random.default_rng(0)
-    prompt = list(rng.integers(0, spec.vocab_size, args.prompt))
-
     params = init_params_synthetic(spec, quant="int4_g", moe_quant="int4_g")
     jax.block_until_ready(params)
     gen = Generator(params, spec, max_len=1024, batch=1)
+
+    trained = os.path.exists(args.trained)
+    if trained:
+        from scripts.train_mtp import load_head
+
+        mtp = load_head(args.trained)
+        print("using trained head", file=sys.stderr)
+    else:
+        mtp = init_mtp_synthetic(spec, quant="int4_g", dense_layer=True)
+        print("using RANDOM head (train with scripts/train_mtp.py)",
+              file=sys.stderr)
+
+    # the eval stream must match training distribution: greedy from a
+    # random prompt (train_mtp used seeds 0..nseq-1 prompts; use a FRESH
+    # prompt so acceptance is held-out)
+    rng = np.random.default_rng(123)
+    prompt = list(rng.integers(0, spec.vocab_size, args.prompt))
     cfg = GenerateConfig(max_new_tokens=args.new)
 
-    base_out = gen.generate([prompt], cfg)[0]  # compile
+    base_out = gen.generate([prompt], cfg)[0]  # compile + warm
     t0 = time.perf_counter()
     base_out = gen.generate([prompt], cfg)[0]
     base_s = time.perf_counter() - t0
 
-    out, stats = mtp_generate_fused(gen, mtp, prompt, cfg, k=args.k)  # compile
+    out, stats = mtp_generate_single(gen, mtp, prompt, cfg, k=args.k)
     t0 = time.perf_counter()
-    out, stats = mtp_generate_fused(gen, mtp, prompt, cfg, k=args.k)
+    out, stats = mtp_generate_single(gen, mtp, prompt, cfg, k=args.k)
     mtp_s = time.perf_counter() - t0
 
-    # Standalone (hot-program) phase costs: on this runtime ALTERNATING
-    # between the draft and verify programs re-uploads each (~12 MB of
-    # program bytes/round over the ~30-100 MB/s tunnel — the same axon
-    # program-size behavior that killed the k-step decode scan, measured
-    # r3). Looping ONE program stays hot, so the standalone timings below
-    # are what a round costs on any runtime without that artifact, and the
-    # projections use them.
-    import dataclasses as dc
-
-    import jax.numpy as jnp
-
-    from ktransformers_tpu.engine.mtp import MTPDrafter
-    from ktransformers_tpu.models.model import forward as _fwd
-    from functools import partial as _part
-
-    rope, cdt = gen.rope_tables, gen.compute_dtype
-
-    @_part(jax.jit, donate_argnums=(1,))
-    def _vfwd(params, cache, toks):
-        tl, cache, th = _fwd(params, spec, toks, cache, rope_tables=rope,
-                             compute_dtype=cdt, return_hidden=True)
-        return jnp.argmax(tl, -1).astype(jnp.int32), cache
-
-    vc = gen.new_cache()
-    vc = dc.replace(vc, lengths=jnp.full_like(vc.lengths, args.prompt))
-    toks = jnp.zeros((1, args.k + 1), jnp.int32)
-    g, vc = _vfwd(gen.params, vc, toks)
-    jax.block_until_ready(g)
-    t0 = time.perf_counter()
-    for _ in range(16):
-        vc = dc.replace(vc, lengths=jnp.full_like(vc.lengths, args.prompt))
-        g, vc = _vfwd(gen.params, vc, g)
-    jax.block_until_ready(g)
-    verify_hot_ms = (time.perf_counter() - t0) / 16 * 1e3
-
-    from ktransformers_tpu.engine.mtp import MTPDrafter, mtp_layer_forward
-
-    drafter = MTPDrafter(mtp, gen)
-
-    @_part(jax.jit, donate_argnums=(2,))
-    def _dstep(params, mtp_p, mc, tok, h):
-        dl, h, mc = mtp_layer_forward(
-            mtp_p, params, spec, tok[:, None], h, mc, rope, cdt
-        )
-        return jnp.argmax(dl[:, -1], -1).astype(jnp.int32), h, mc
-
-    mc = drafter.new_cache()
-    mc = dc.replace(mc, lengths=jnp.full_like(mc.lengths, args.prompt))
-    h = jnp.zeros((1, 1, spec.hidden_size), jnp.bfloat16)
-    tok1, h2, mc = _dstep(gen.params, mtp, mc, jnp.zeros((1,), jnp.int32), h)
-    jax.block_until_ready(tok1)
-    t0 = time.perf_counter()
-    for _ in range(16 * args.k):
-        tok1, h2, mc = _dstep(gen.params, mtp, mc, tok1, h2)
-    jax.block_until_ready(tok1)
-    draft_hot_ms = (time.perf_counter() - t0) / 16 * 1e3  # k steps
-
-    # greedy-exactness per program is covered by tests/test_mtp.py (f32,
-    # CPU); across differently-shaped bf16 programs argmax near-ties of
-    # RANDOM logits can flip, so report the agreement prefix
     agree = 0
     for a, b in zip(out, base_out):
         if a != b:
@@ -132,46 +86,25 @@ def main():
         agree += 1
 
     acc = stats.acceptance_rate
-    round_s = mtp_s / max(1, stats.rounds)
-    base_per_tok = base_s / args.new
-    break_even = (round_s / base_per_tok - 1.0) / args.k
-    # projections use the HOT-program round cost (draft + verify phases
-    # timed standalone above): acceptance-independent, and free of the
-    # axon program re-upload artifact
-    round_hot_s = (draft_hot_ms + verify_hot_ms) / 1e3
-    break_even_hot = (round_hot_s / base_per_tok - 1.0) / args.k
-    projected = {
-        f"speedup_at_{int(a*100)}pct": round(
-            (1.0 + args.k * a) * base_per_tok / round_hot_s, 3
-        )
-        for a in (0.6, 0.75, 0.9)
-    }
-
+    base_tps = args.new / base_s
+    mtp_tps = len(out) / mtp_s
     result = {
-        "metric": f"MTP self-speculation FUSED round, k={args.k} "
-        "(16B int4, 1 chip)",
-        "baseline_tok_s": round(args.new / base_s, 2),
-        "mtp_tok_s": round(len(out) / mtp_s, 2),
-        "speedup_measured": round(
-            (len(out) / mtp_s) / (args.new / base_s), 3
-        ),
-        "acceptance_synthetic": round(acc, 3),
-        "round_ms": round(round_s * 1e3, 1),
-        "round_hot_ms": round(round_hot_s * 1e3, 1),
-        "draft_hot_ms": round(draft_hot_ms, 1),
-        "verify_hot_ms": round(verify_hot_ms, 1),
-        "break_even_acceptance": round(break_even, 2),
-        "break_even_acceptance_hot": round(break_even_hot, 2),
+        "metric": f"MTP self-speculation SINGLE-PROGRAM round, k={args.k} (16B int4, 1 chip, "
+        f"{'TRAINED' if trained else 'random'} dense head)",
+        "baseline_tok_s": round(base_tps, 2),
+        "mtp_tok_s": round(mtp_tps, 2),
+        "speedup_measured": round(mtp_tps / base_tps, 3),
+        "acceptance_measured": round(acc, 3),
+        "rounds": stats.rounds,
+        "round_ms": round(mtp_s / max(1, stats.rounds) * 1e3, 1),
         "greedy_agreement_prefix": agree,
-        **projected,
-        "note": "round = draft program + verify program; on THIS runtime "
-        "alternating two programs re-uploads ~12 MB of program bytes per "
-        "round (axon program-cache artifact, same cliff that killed the "
-        "k-step decode scan), so round_ms is upload-bound; round_hot_ms "
-        "times each program with its cache hot and is what any "
-        "non-tunneled runtime pays. r2's host-driven loop had break-even "
-        "9.85. Acceptance with synthetic weights is a floor; trained MTP "
-        "heads land 60-90% (projections use round_hot_ms).",
+        "head_trained_on_chip": trained,
+        "note": "head trained ON-CHIP against the target's own greedy "
+        "continuations (scripts/train_mtp.py); baseline is the depth-8 "
+        "paced generate loop with real per-token readbacks. spec_lab.py "
+        "r4: single-program round 7.93 ms vs alternating 8.42 ms vs "
+        "decode step 3.64 ms — the r3 'program re-upload / size cliff' "
+        "numbers were broken-barrier artifacts.",
     }
     print(json.dumps(result))
     with open(os.path.join(os.path.dirname(os.path.dirname(

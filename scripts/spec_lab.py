@@ -43,9 +43,15 @@ def main():
     k = int(os.environ.get("SPEC_K", "2"))
     spec = spec_from_hf_config(dict(BASE, max_position_embeddings=2048))
     params = init_params_synthetic(spec, quant="int4_g", moe_quant="int4_g")
-    mtp = init_mtp_synthetic(spec, quant="int4_g")
     jax.block_until_ready(params)
     gen = Generator(params, spec, max_len=1024, batch=1)
+    # dense-layer head: matches the TRAINED head (scripts/train_mtp.py)
+    # and keeps HBM headroom (the MoE-layer head + compile workspace
+    # tipped the 16 GB chip over)
+    mtp = init_mtp_synthetic(spec, quant="int4_g", dense_layer=True)
+    jax.block_until_ready(mtp)
+    params = gen.params  # Generator repacks with donate=True; the original
+    # tree's buffers are freed (CLAUDE.md engine-init note)
     drafter = MTPDrafter(mtp, gen)
     rope, cdt = gen.rope_tables, gen.compute_dtype
     P = 32
@@ -59,12 +65,23 @@ def main():
     key = jax.random.PRNGKey(0)
     tok = jnp.zeros((1,), jnp.int32)
     tok, cache, key = decode(tok[:, None], cache, key)
-    _ = int(tok[0])
+    _ = int(np.asarray(tok)[0])
+    import collections
+
     n = 64
+    pending = collections.deque()
     t0 = time.perf_counter()
     for _ in range(n):
         tok, cache, key = decode(tok[:, None], cache, key)
-    _ = int(tok[0])
+        try:
+            tok.copy_to_host_async()
+        except Exception:
+            pass
+        pending.append(tok)
+        if len(pending) > 8:
+            _ = int(np.asarray(pending.popleft())[0])
+    while pending:
+        _ = int(np.asarray(pending.popleft())[0])
     base_ms = (time.perf_counter() - t0) / n * 1e3
     print(f"C. decode step: {base_ms:.2f} ms/tok", flush=True)
 
@@ -105,10 +122,11 @@ def main():
     bonus, h_b, a, t_cache, m_cache = round_single(
         params, mtp, t_cache, m_cache, bonus, h_b
     )
-    _ = int(a[0])
+    _ = int(np.asarray(a)[0])
     print(f"A. single-round compile+first: {time.perf_counter()-t0:.1f}s",
           flush=True)
     n = 32
+    pending = collections.deque()
     t0 = time.perf_counter()
     for _ in range(n):
         t_cache = dc.replace(
@@ -120,7 +138,15 @@ def main():
         bonus, h_b, a, t_cache, m_cache = round_single(
             params, mtp, t_cache, m_cache, bonus, h_b
         )
-    _ = int(a[0])
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            pass
+        pending.append(a)
+        if len(pending) > 4:
+            _ = int(np.asarray(pending.popleft())[0])
+    while pending:
+        _ = int(np.asarray(pending.popleft())[0])
     single_ms = (time.perf_counter() - t0) / n * 1e3
     print(f"A. single-program round: {single_ms:.2f} ms/round "
           f"(break-even acc {(single_ms/base_ms-1)/k:.2f}; "
@@ -155,8 +181,9 @@ def main():
 
     d, h_b2, m_cache = draft_only(params, mtp, m_cache, bonus, h_b)
     bonus, h_b2, a, t_cache = verify_only(params, t_cache, bonus, d)
-    _ = int(a[0])
+    _ = int(np.asarray(a)[0])
     n = 16
+    pending = collections.deque()
     t0 = time.perf_counter()
     for _ in range(n):
         m_cache = dc.replace(
@@ -167,7 +194,15 @@ def main():
         )
         d, h_b2, m_cache = draft_only(params, mtp, m_cache, bonus, h_b2)
         bonus, h_b2, a, t_cache = verify_only(params, t_cache, bonus, d)
-    _ = int(a[0])
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            pass
+        pending.append(a)
+        if len(pending) > 4:
+            _ = int(np.asarray(pending.popleft())[0])
+    while pending:
+        _ = int(np.asarray(pending.popleft())[0])
     alt_ms = (time.perf_counter() - t0) / n * 1e3
     print(f"B. alternating round: {alt_ms:.2f} ms/round", flush=True)
 

@@ -51,9 +51,15 @@ def load_head(path):
 
     import jax
     import jax.numpy as jnp
+    import ml_dtypes
 
     data = np.load(path)
-    flat = [jnp.asarray(data[k]) for k in data.files]
+    flat = []
+    for k in data.files:
+        a = data[k]
+        if a.dtype == np.dtype("V2"):  # np.savez stores bf16 as void16
+            a = a.view(ml_dtypes.bfloat16)
+        flat.append(jnp.asarray(a))
     with open(path + ".tree", "rb") as f:
         treedef = pickle.load(f)
     return jax.tree_util.tree_unflatten(treedef, flat)
@@ -84,6 +90,7 @@ def main():
     params = init_params_synthetic(spec, quant="int4_g", moe_quant="int4_g")
     jax.block_until_ready(params)
     gen = Generator(params, spec, max_len=1024, batch=1)
+    params = gen.params  # Generator repacks with donate=True (CLAUDE.md)
     rng = np.random.default_rng(0)
 
     # --- 1. greedy corpora from the target + hidden states ---
