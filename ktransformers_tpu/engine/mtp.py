@@ -468,7 +468,7 @@ def mtp_generate_single(
     h_bonus = th[:, -1:]
     stats = SpecStats()
 
-    depth = max(1, int(os.environ.get("KT_SPEC_PIPELINE", "2")))
+    depth = max(1, int(os.environ.get("KT_SPEC_PIPELINE", "4")))  # depth 4 measured 1.18x vs depth 2 0.72x (r4: resolve readbacks land free once wall-time > RTT)
     pending = []
 
     def resolve(entry):
@@ -654,7 +654,7 @@ def mtp_generate_fused(
     h_bonus = th[:, -1:]
     stats = SpecStats()
 
-    depth = max(1, int(os.environ.get("KT_SPEC_PIPELINE", "2")))
+    depth = max(1, int(os.environ.get("KT_SPEC_PIPELINE", "4")))  # depth 4 measured 1.18x vs depth 2 0.72x (r4: resolve readbacks land free once wall-time > RTT)
     pending = []  # (emitted, a) device arrays, read late
 
     def resolve(entry):
