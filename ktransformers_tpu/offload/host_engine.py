@@ -389,19 +389,26 @@ class HostOffloadGenerator:
         # more than the overlap gains. Worthwhile only when the host
         # GEMM is compute-bound.
     ) -> list[list[int]]:
-        """Greedy/temperature batch generation. Prompts are left-aligned;
-        per-row lengths tracked via the cache (rows shorter than the batch
-        max are padded at the END and their extra logits ignored — v1
-        requires equal prompt lengths for exactness)."""
+        """Greedy/temperature batch generation with VARIABLE prompt
+        lengths (r4; the old version asserted equal lengths): the batch
+        prefills to the SHORTEST prompt together, then rows with longer
+        prompts consume their remaining prompt tokens through the decode
+        path (teacher forcing) while finished rows generate — exact under
+        greedy, since each row's inputs are exactly its own tokens."""
         assert len(prompts) <= self.batch
-        lens = {len(p) for p in prompts}
-        assert len(lens) == 1, "v1: equal prompt lengths"
         m = microbatches
         assert self.batch % m == 0, (self.batch, m)
         bs = self.batch // m
         n = len(prompts)
-        pad = [prompts[0]] * (self.batch - n)
-        toks = np.asarray(list(prompts) + pad, np.int32)
+        row_lens = [len(p) for p in prompts] + [len(prompts[0])] * (
+            self.batch - n
+        )
+        min_len = min(row_lens)
+        max_len_p = max(row_lens)
+        pad_rows = [prompts[0]] * (self.batch - n)
+        toks = np.zeros((self.batch, max_len_p), np.int32)
+        for i, p in enumerate(list(prompts) + pad_rows):
+            toks[i, : len(p)] = p
         caches = [
             KVCache.create(self.spec, bs, self.max_len,
                            dtype=self.cache_dtype)
@@ -418,30 +425,43 @@ class HostOffloadGenerator:
                 caches[i] = c_i
             return jnp.concatenate([r[0] for r in res], 0)
 
-        # prefill in chunks
+        # joint prefill to the shortest prompt
         pos = 0
-        total = toks.shape[1]
-        while pos < total:
-            chunk = toks[:, pos : pos + prefill_chunk]
+        while pos < min_len:
+            end = min(pos + prefill_chunk, min_len)
+            chunk = toks[:, pos:end]
             key, *subs = jax.random.split(key, m + 1)
             tok = run(
                 [chunk[i * bs : (i + 1) * bs] for i in range(m)], subs
             )
             pos += chunk.shape[1]
             if progress:
-                progress(f"prefill {pos}/{total}")
-        toks_dev = [tok]
-        cur = tok
-        for step in range(max_new_tokens - 1):
+                progress(f"prefill {pos}/{min_len}")
+        # hybrid phase: rows with prompt left are teacher-forced; others
+        # decode. Row i's first GENERATED token is the sample taken when
+        # its last prompt token was the input (cache len == row_lens[i]).
+        cur = np.asarray(tok).reshape(-1)
+        cache_len = min_len
+        total_steps = (max_len_p - min_len) + max_new_tokens - 1
+        for step in range(total_steps):
+            forced = cache_len < np.asarray(row_lens)
+            inp = np.where(forced, toks[:, min(cache_len,
+                                               max_len_p - 1)], cur)
+            for i in range(n):
+                if not forced[i] and len(out[i]) < max_new_tokens:
+                    out[i].append(int(cur[i]))
+            if all(len(out[i]) >= max_new_tokens for i in range(n)):
+                break
             key, *subs = jax.random.split(key, m + 1)
-            cur = np.asarray(cur).reshape(-1, 1)
-            cur = run(
-                [cur[i * bs : (i + 1) * bs] for i in range(m)], subs
+            inp2 = inp.reshape(-1, 1).astype(np.int32)
+            tok = run(
+                [inp2[i * bs : (i + 1) * bs] for i in range(m)], subs
             )
-            toks_dev.append(cur)
+            cur = np.asarray(tok).reshape(-1)
+            cache_len += 1
             if progress:
-                progress(f"decode {step + 2}/{max_new_tokens}")
-        cols = [np.asarray(t) for t in toks_dev]
+                progress(f"step {step + 1}/{total_steps}")
         for i in range(n):
-            out[i] = [int(c[i]) for c in cols]
-        return out
+            if len(out[i]) < max_new_tokens:
+                out[i].append(int(cur[i]))
+        return [o[:max_new_tokens] for o in out]

@@ -64,32 +64,44 @@ class HostOffloadServeEngine(ServeEngine):
         )
         self.first_moe = moe_lis[0]
         self.transfer_dtype = transfer_dtype
-        assert kw.get("sparse_budget") is None, (
-            "sparse attention + host offload is not wired yet"
-        )
+        # r4: sparse attention composes with host offload — the attention
+        # segments thread the summary planes exactly like forward_paged
+        # (VERDICT r3 item 6: offload x sparse long-context)
         super().__init__(params, spec, cfg, **kw)
         # every segment boundary is a host sync — nothing to pipeline
         self.decode_pipeline_depth = 1
 
+    def _can_fuse_mixed(self, qs) -> bool:
+        # the fused mixed step runs forward_paged over RESIDENT params;
+        # offloaded experts live on host — always use the segment loop
+        return False
+
     # -- jitted segments (cached per shape in self._steps) -------------------
 
     def _attn_paged(self, lp, spec, xn, bufs, tables, lengths, rope_cs,
-                    valid):
+                    valid, summ=None, sparse=None):
         fn = _mla_paged if spec.attention.kind == "mla" else _gqa_paged
-        out, bufs, _ = fn(
+        out, bufs, nsm = fn(
             lp["attn"], spec, xn, bufs, tables, lengths, rope_cs,
-            self.kv.page_size, valid, None, None,
+            self.kv.page_size, valid, summ, sparse,
+            self.sparse_anchor, self.sparse_retrieval,
         )
-        return out, bufs
+        return out, bufs, nsm
 
-    def _layer_head(self, lp, x, bufs, tables, lengths, rope_cs, valid):
-        """paged attention + residual + post-norm + router + shared expert
-        of one MoE layer; the routed FFN happens on host afterwards."""
+    def _layer_head(self, lp, x, bufs, tables, lengths, rope_cs, valid,
+                    summ=None, sparse=None):
+        """paged attention + residual + post-norm + router + activation
+        packing of one MoE layer. The SHARED expert is NOT computed here
+        (r4): it runs in its own device program dispatched right after
+        this segment, so it overlaps the HOST routed-expert GEMM — the
+        reference's CPU/GPU overlap (archive/.../operators/experts.py:
+        1182-1189: GPU computes shared experts while CPU runs routed)."""
         spec = self.spec
         res = x
         xn = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
-        attn_out, bufs = self._attn_paged(
-            lp, spec, xn, bufs, tables, lengths, rope_cs, valid
+        attn_out, bufs, nsm = self._attn_paged(
+            lp, spec, xn, bufs, tables, lengths, rope_cs, valid, summ,
+            sparse,
         )
         x = res + attn_out
         res2 = x
@@ -103,18 +115,34 @@ class HostOffloadServeEngine(ServeEngine):
         topk_idx, topk_w = route(
             logits, spec.moe.gate, moe.get("router_bias_corr")
         )
-        shared_y = jnp.zeros_like(flat)
-        if moe.get("shared") is not None:
-            shared_y = _dense_mlp(moe["shared"], spec, flat)
-            if spec.moe.shared_expert_gate:
-                g = jax.nn.sigmoid(
-                    flat.astype(jnp.float32)
-                    @ moe["shared_gate"].astype(jnp.float32).T
-                )
-                shared_y = shared_y * g.astype(shared_y.dtype)
         packed = pack_activations(flat, topk_idx, topk_w,
                                   self.transfer_dtype)
-        return res2, shared_y.reshape(b, s, d), packed, bufs
+        return res2, flat, packed, bufs, nsm
+
+    def _shared_prog(self, b: int, s: int):
+        """Shared-expert device program, dispatched ASYNC while the host
+        computes the routed experts (true overlap: the host hop's
+        np.asarray of `packed` only syncs the head segment, and this
+        program executes on-device during the host GEMM)."""
+        key = ("off_shared", b, s)
+        if key not in self._steps:
+            spec = self.spec
+
+            @jax.jit
+            def fn(moe, flat):
+                if moe.get("shared") is None:
+                    return jnp.zeros_like(flat)
+                y = _dense_mlp(moe["shared"], spec, flat)
+                if spec.moe.shared_expert_gate:
+                    g = jax.nn.sigmoid(
+                        flat.astype(jnp.float32)
+                        @ moe["shared_gate"].astype(jnp.float32).T
+                    )
+                    y = y * g.astype(y.dtype)
+                return y
+
+            self._steps[key] = fn
+        return self._steps[key]
 
     def _rope_cs(self, lengths, s):
         cos_t, sin_t = self.rope_tables
@@ -127,30 +155,35 @@ class HostOffloadServeEngine(ServeEngine):
             spec, cdt = self.spec, self.compute_dtype
 
             @partial(jax.jit, donate_argnums=(2,))
-            def fn(params, tokens, bufs, tables, lengths, valid):
+            def fn(params, tokens, bufs, tables, lengths, valid, summs):
                 rope_cs = self._rope_cs(lengths, tokens.shape[1])
                 x = params["embed"][tokens].astype(cdt)
                 new_bufs = []
+                new_summs = []
                 for li in range(self.first_moe):
                     lp = params["layers"][li]
                     res = x
                     xn = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
-                    a, b2 = self._attn_paged(
+                    a, b2, nsm = self._attn_paged(
                         lp, spec, xn, bufs[li], tables, lengths, rope_cs,
-                        valid,
+                        valid, summs[li] if summs else None,
+                        self.sparse_budget,
                     )
                     new_bufs.append(b2)
+                    new_summs.append(nsm)
                     x = res + a
                     res = x
                     xn = rms_norm(x, lp["post_attn_norm"], spec.rms_norm_eps)
                     x = res + _dense_mlp(lp["mlp"], spec, xn)
                 lp = params["layers"][self.first_moe]
-                res2, sh, packed, b2 = self._layer_head(
+                res2, flat, packed, b2, nsm = self._layer_head(
                     lp, x, bufs[self.first_moe], tables, lengths, rope_cs,
-                    valid,
+                    valid, summs[self.first_moe] if summs else None,
+                    self.sparse_budget,
                 )
                 new_bufs.append(b2)
-                return res2, sh, packed, new_bufs
+                new_summs.append(nsm)
+                return res2, flat, packed, new_bufs, new_summs
 
             self._steps[key] = partial(fn, self.params)
         return self._steps[key]
@@ -161,11 +194,15 @@ class HostOffloadServeEngine(ServeEngine):
 
             @partial(jax.jit, donate_argnums=(4,))
             def fn(lp, res, shared_y, expert_y, bufs, tables, lengths,
-                   valid):
+                   valid, summ):
                 rope_cs = self._rope_cs(lengths, s)
-                y = expert_y.reshape(res.shape).astype(res.dtype) + shared_y
+                y = (
+                    expert_y.reshape(res.shape).astype(res.dtype)
+                    + shared_y.reshape(res.shape).astype(res.dtype)
+                )
                 return self._layer_head(
-                    lp, res + y, bufs, tables, lengths, rope_cs, valid
+                    lp, res + y, bufs, tables, lengths, rope_cs, valid,
+                    summ, self.sparse_budget,
                 )
 
             self._steps[key] = fn
@@ -178,7 +215,10 @@ class HostOffloadServeEngine(ServeEngine):
 
             @jax.jit
             def fn(params, res, shared_y, expert_y, valid):
-                y = expert_y.reshape(res.shape).astype(res.dtype) + shared_y
+                y = (
+                    expert_y.reshape(res.shape).astype(res.dtype)
+                    + shared_y.reshape(res.shape).astype(res.dtype)
+                )
                 x = res + y
                 x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
                 if valid is not None:
@@ -200,34 +240,60 @@ class HostOffloadServeEngine(ServeEngine):
 
     def _run_forward(self, tokens, tables, lengths, valid):
         """Full layer stack over one batch: device segments + host expert
-        hops. Updates self.kv in place; returns logits [B, 1, V]."""
+        hops. Per MoE layer the SHARED-expert device program is dispatched
+        async right after the head segment, so it executes on-chip WHILE
+        the host computes the routed experts (the reference's CPU/GPU
+        overlap). Updates self.kv in place; returns logits [B, 1, V]."""
         b, s = tokens.shape
         spec = self.spec
         bufs = list(zip(self.kv.bufs_a, self.kv.bufs_b))
-        res, sh, packed, new_bufs = self._seg_first(b, s)(
-            tokens, bufs[: self.first_moe + 1], tables, lengths, valid
+        plane_names = [
+            n for n in ("smin", "smax", "ssum", "sfix", "sdyn")
+            if getattr(self.kv, n) is not None
+        ]
+        summs = (
+            [
+                {n: getattr(self.kv, n)[li] for n in plane_names}
+                for li in range(spec.num_layers)
+            ]
+            if plane_names else None
+        )
+        shared_fn = self._shared_prog(b, s)
+        res, flat, packed, new_bufs, new_summs = self._seg_first(b, s)(
+            tokens, bufs[: self.first_moe + 1], tables, lengths, valid,
+            summs[: self.first_moe + 1] if summs else None,
         )
         k = spec.moe.gate.top_k
+        # async: shared expert on device || routed experts on host
+        sh = shared_fn(self.params["layers"][self.first_moe]["moe"], flat)
         expert_y = run_host_moe(
             self.host[self.first_moe], packed, spec.hidden_size, k,
             self.transfer_dtype,
         )
         mid = self._seg_mid(b, s)
         for li in range(self.first_moe + 1, spec.num_layers):
-            res, sh, packed, b2 = mid(
+            res, flat, packed, b2, nsm = mid(
                 self.params["layers"][li], res, sh, expert_y,
                 bufs[li], tables, lengths, valid,
+                summs[li] if summs else None,
             )
             new_bufs.append(b2)
+            new_summs.append(nsm)
+            sh = shared_fn(self.params["layers"][li]["moe"], flat)
             expert_y = run_host_moe(
                 self.host[li], packed, spec.hidden_size, k,
                 self.transfer_dtype,
             )
         logits = self._seg_final(b, s)(res, sh, expert_y, valid)
+        planes = {n: None for n in ("smin", "smax", "ssum", "sfix", "sdyn")}
+        if summs:
+            for n in plane_names:
+                planes[n] = [nsm[n] for nsm in new_summs]
         self.kv = PagedKVCache(
             bufs_a=[a for a, _ in new_bufs],
             bufs_b=[bb for _, bb in new_bufs],
             page_size=self.kv.page_size,
+            **planes,
         )
         return logits
 

@@ -64,13 +64,23 @@ def main():
 
     out = {"page_size": args.page, "sparse_budget_pages": args.budget}
 
+    NEED_PLANES = {
+        "dense": (), "quest": ("smin", "smax"),
+        "block_max": ("smin", "smax"),
+        "block_mean": ("smin", "smax", "ssum"),
+        "fixed": ("smin", "smax", "sfix"),
+    }
+
     def bench_ctx(spec, params, ctx, modes, do_prefill_at_depth=False):
         npages = ctx // args.page + 2
-        kv = PagedKVCache.create(
+        kv0 = PagedKVCache.create(
             spec, num_pages=npages, page_size=args.page, summaries=True,
             anchor="block_mean",  # allocates ssum too
         )
-        # synthesize full-length KV + every summary plane
+        # synthesize full-length KV + every summary plane (kept as the
+        # master copy; per-mode caches carry ONLY the planes that mode
+        # reads — 4 planes x 27 layers of scatter updates blew past the
+        # compile service's request size limit)
         key = jax.random.PRNGKey(0)
         bufs_a, bufs_b = [], []
         planes = {"smin": [], "smax": [], "ssum": [], "sfix": []}
@@ -82,29 +92,24 @@ def main():
 
         for li in range(spec.num_layers):
             key, k1, k2 = jax.random.split(key, 3)
-            a = jax.random.normal(k1, kv.bufs_a[li].shape,
-                                  kv.bufs_a[li].dtype)
-            b = jax.random.normal(k2, kv.bufs_b[li].shape,
-                                  kv.bufs_b[li].dtype)
+            a = jax.random.normal(k1, kv0.bufs_a[li].shape,
+                                  kv0.bufs_a[li].dtype)
+            b = jax.random.normal(k2, kv0.bufs_b[li].shape,
+                                  kv0.bufs_b[li].dtype)
             bufs_a.append(a)
             bufs_b.append(b)
             cat = jnp.concatenate([a, b], -1).reshape(
                 1, npages * args.page, -1
             )
             pl = update_page_summaries_cfg(
-                {"smin": kv.smin[li], "smax": kv.smax[li],
-                 "ssum": kv.ssum[li],
-                 "sfix": jnp.zeros_like(kv.ssum[li])},
+                {"smin": kv0.smin[li], "smax": kv0.smax[li],
+                 "ssum": kv0.ssum[li],
+                 "sfix": jnp.zeros_like(kv0.ssum[li])},
                 cat, pid, pos, args.page,
             )
             for n in planes:
-                planes[n].append(pl[n])
-        kv = PagedKVCache(
-            bufs_a=bufs_a, bufs_b=bufs_b,
-            smin=planes["smin"], smax=planes["smax"],
-            ssum=planes["ssum"], sfix=planes["sfix"],
-            page_size=args.page,
-        )
+                planes[n].append(np.asarray(pl[n]))  # host master copies
+        del kv0
         pt = jnp.arange(1, npages, dtype=jnp.int32)[None]
         length = jnp.asarray([ctx - 1], jnp.int32)
         row = {}
@@ -112,6 +117,14 @@ def main():
         for mode in modes:
             budget = None if mode == "dense" else args.budget
             anchor = "quest" if mode == "dense" else mode
+            keep = NEED_PLANES[mode]
+            kv = PagedKVCache(
+                bufs_a=bufs_a, bufs_b=bufs_b,
+                **{n: [jnp.asarray(x) for x in planes[n]]
+                   if n in keep else None
+                   for n in ("smin", "smax", "ssum", "sfix")},
+                page_size=args.page,
+            )
 
             @partial(jax.jit, donate_argnums=(2,),
                      static_argnames=("b", "anc"))
@@ -148,6 +161,7 @@ def main():
             row[mode + "_tok_s"] = round(1.0 / dt, 2)
             print(f"ctx {ctx//1024}K {mode}: {1.0/dt:.2f} tok/s",
                   file=sys.stderr, flush=True)
+            bufs_a, bufs_b = list(kv.bufs_a), list(kv.bufs_b)
 
         if do_prefill_at_depth:
             chunk = 2048

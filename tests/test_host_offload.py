@@ -160,3 +160,32 @@ def test_offload_microbatch_pipeline_matches():
     got = off.generate(prompts, max_new_tokens=6, prefill_chunk=8,
                        microbatches=2)
     assert got == want
+
+
+def test_offloaded_varlen_prompts_match_single(rng):
+    """UNEQUAL prompt lengths in one offloaded batch (r4: the equal-length
+    restriction is lifted via a teacher-forced tail): each row's greedy
+    output must equal its own single-prompt run."""
+    from ktransformers_tpu.engine.generate import GenerateConfig, Generator
+    from ktransformers_tpu.offload.host_engine import (
+        HostOffloadGenerator,
+        split_params_for_offload,
+    )
+
+    spec, params = _setup()
+    prompts = [list(range(5, 13)), list(range(40, 52))]  # lens 8 and 12
+
+    gen = Generator(params, spec, max_len=64, batch=1,
+                    cache_dtype=jnp.float32, compute_dtype=jnp.float32)
+    expected = [
+        gen.generate([p], GenerateConfig(max_new_tokens=6))[0]
+        for p in prompts
+    ]
+
+    dev_params, host_layers = split_params_for_offload(params, spec)
+    off = HostOffloadGenerator(
+        dev_params, spec, host_layers, max_len=64, batch=2,
+        cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+    )
+    got = off.generate(prompts, max_new_tokens=6, prefill_chunk=8)
+    assert got == expected

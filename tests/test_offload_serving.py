@@ -92,3 +92,32 @@ def test_offload_serving_sampling_params():
     )
     assert len(out) == 6
     assert all(0 <= t < 128 for t in out)
+
+
+def test_offload_sparse_full_budget_matches_dense():
+    """sparse attention x host offload (r4: the assert is gone): with a
+    budget covering the whole table the offloaded sparse engine matches
+    the offloaded dense engine exactly, while summaries update across the
+    segment loop."""
+    from ktransformers_tpu.offload.paged_engine import HostOffloadServeEngine
+
+    spec = spec_from_hf_config(dict(TINY_DS))
+    params = init_params(spec, seed=0, quant="bf16", moe_quant="int4_g",
+                         group_size=32)
+    rng = np.random.default_rng(5)
+    prompts = [list(rng.integers(0, 128, 12)) for _ in range(2)]
+
+    dense = HostOffloadServeEngine(
+        params, spec, _cfg(), num_pages=48,
+        cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+        transfer_dtype=None,
+    )
+    want = [dense.generate_sync(p, max_new_tokens=6) for p in prompts]
+
+    sp = HostOffloadServeEngine(
+        params, spec, _cfg(), num_pages=48,
+        cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+        transfer_dtype=None, sparse_budget=8,
+    )
+    got = [sp.generate_sync(p, max_new_tokens=6) for p in prompts]
+    assert got == want
