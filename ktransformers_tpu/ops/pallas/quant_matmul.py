@@ -249,8 +249,12 @@ def quant_matmul(x: jnp.ndarray, w: QTensor, interpret: bool = False):
         # offset-lo aware (offset_lo=w.act_quant)
 
     if w.kind in ("int8", "fp8"):
-        bn = _pick_bn(n, kdim)
-        bm = _pick_bm(m, kdim, bn, 1)
+        # account the in-kernel [kdim, bn] convert temps (int8->bf16 ~4
+        # B/byte; fp8->bf16 via f32 ~7): unaccounted they bust the 16 MB
+        # scoped-VMEM stack at prefill M (r4: fp8 K=2816 M=512 hit 23.8M)
+        tb = 7 if w.kind == "fp8" else 4
+        bn = _pick_bn(n, kdim * tb)
+        bm = _pick_bm(m, kdim, bn, tb)
         grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
         y = pl.pallas_call(
             _int8_kernel,
