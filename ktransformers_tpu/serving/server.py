@@ -91,8 +91,25 @@ class OpenAIServer:
 
     def _prompt_ids(self, body: dict) -> list[int]:
         if "messages" in body:
+            messages = body["messages"]
+            if body.get("tools"):
+                # OpenAI tool calling (serving/tools.py; reference:
+                # function_call_test.py protocol): inject the tool
+                # schemas as a system preamble and flatten tool-role /
+                # tool_calls turns for the template
+                from ktransformers_tpu.serving.tools import (
+                    render_tool_messages,
+                    render_tools_preamble,
+                )
+
+                pre = render_tools_preamble(
+                    body["tools"], body.get("tool_choice", "auto")
+                )
+                messages = [{"role": "system", "content": pre}] + (
+                    render_tool_messages(messages)
+                )
             text = self.tok.apply_chat_template(
-                body["messages"], tokenize=False, add_generation_prompt=True
+                messages, tokenize=False, add_generation_prompt=True
             )
             ids = self.tok.encode(text)
         else:
@@ -229,6 +246,52 @@ class OpenAIServer:
         rid = f"{'chatcmpl' if chat else 'cmpl'}-{uuid.uuid4().hex[:12]}"
         created = int(time.time())
 
+        if body.get("stream") and chat and body.get("tools") \
+                and body.get("tool_choice") != "none":
+            # tool-call streaming: collect, parse, emit ONE delta chunk
+            # (OpenAI-compatible enough for function_call_test-style
+            # clients; token-level tool-call deltas are a follow-up)
+            out = await self._collect(q)
+            text = self.tok.decode(out)
+            from ktransformers_tpu.serving.tools import parse_tool_calls
+
+            content, calls = parse_tool_calls(text)
+            resp = web.StreamResponse(
+                headers={
+                    "Content-Type": "text/event-stream",
+                    "Cache-Control": "no-cache",
+                }
+            )
+            await resp.prepare(request)
+            delta = {"role": "assistant"}
+            finish = q.finish_reason or "stop"
+            if calls:
+                for i, c in enumerate(calls):
+                    c["index"] = i
+                delta["tool_calls"] = calls
+                if content:
+                    delta["content"] = content
+                finish = "tool_calls"
+            else:
+                delta["content"] = text
+            await resp.write(_sse({
+                "id": rid, "object": "chat.completion.chunk",
+                "created": created, "model": self.model_name,
+                "choices": [
+                    {"index": 0, "delta": delta, "finish_reason": None}
+                ],
+            }))
+            await resp.write(_sse({
+                "id": rid, "object": "chat.completion.chunk",
+                "created": created, "model": self.model_name,
+                "choices": [
+                    {"index": 0, "delta": {}, "finish_reason": finish}
+                ],
+            }))
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
+
         if body.get("stream"):
             resp = web.StreamResponse(
                 headers={
@@ -299,6 +362,19 @@ class OpenAIServer:
             "total_tokens": len(ids) + len(out),
         }
         if chat:
+            message = {"role": "assistant", "content": text}
+            finish = q.finish_reason or "stop"
+            if body.get("tools") and body.get("tool_choice") != "none":
+                from ktransformers_tpu.serving.tools import parse_tool_calls
+
+                content, calls = parse_tool_calls(text)
+                if calls:
+                    message = {
+                        "role": "assistant",
+                        "content": content or None,
+                        "tool_calls": calls,
+                    }
+                    finish = "tool_calls"
             payload = {
                 "id": rid,
                 "object": "chat.completion",
@@ -307,8 +383,8 @@ class OpenAIServer:
                 "choices": [
                     {
                         "index": 0,
-                        "message": {"role": "assistant", "content": text},
-                        "finish_reason": q.finish_reason or "stop",
+                        "message": message,
+                        "finish_reason": finish,
                     }
                 ],
                 "usage": usage,
