@@ -25,6 +25,8 @@ def perplexity(
     token_ids: list[int],
     chunk: int = 512,
     compute_dtype=jnp.bfloat16,
+    return_nll: bool = False,  # mean NLL instead of exp(mean NLL) — for
+    # parity harnesses whose models are degenerate enough to overflow exp
 ) -> float:
     """Teacher-forced perplexity over a token stream (chunked prefill; the
     KV cache carries context across chunks)."""
@@ -50,6 +52,8 @@ def perplexity(
         total_tok += end - pos
         pos = end
     mean_nll = total_nll / max(total_tok, 1)
+    if return_nll:
+        return mean_nll
     try:
         return math.exp(mean_nll)
     except OverflowError:  # garbage-weight parity harnesses compare NLL

@@ -44,6 +44,7 @@ def main():
     from ktransformers_tpu.models.paged import forward_paged
     from ktransformers_tpu.models.spec import spec_from_hf_config
     from ktransformers_tpu.ops import pallas as kpallas
+    from ktransformers_tpu.ops.rope import precompute_rope_tables
 
     kpallas.maybe_enable()
 
@@ -128,18 +129,23 @@ def main():
 
             @partial(jax.jit, donate_argnums=(2,),
                      static_argnames=("b", "anc"))
-            def step(params, tok, kv, pt, length, b=budget, anc=anchor):
+            def step(params, tok, kv, pt, length, rope, b=budget,
+                     anc=anchor):
+                # rope tables MUST be jit arguments: at 1M max positions
+                # the trace-time-computed tables embed 536 MB of
+                # constants and the compile request gets HTTP 413
                 logits, kv = forward_paged(
-                    params, spec, tok, kv, pt, length, sparse_budget=b,
-                    sparse_anchor=anc,
+                    params, spec, tok, kv, pt, length, rope_tables=rope,
+                    sparse_budget=b, sparse_anchor=anc,
                 )
                 return (
                     jnp.argmax(logits[:, -1], -1).astype(jnp.int32), kv
                 )
 
+            rope = precompute_rope_tables(spec.rope)
             tok = jnp.zeros((1, 1), jnp.int32)
             t0 = time.perf_counter()
-            tok, kv = step(params, tok, kv, pt, length)
+            tok, kv = step(params, tok, kv, pt, length, rope)
             _ = int(np.asarray(tok)[0])
             print(f"ctx {ctx//1024}K {mode}: compile "
                   f"{time.perf_counter()-t0:.1f}s", file=sys.stderr,
@@ -147,7 +153,8 @@ def main():
             pending = collections.deque()
             t0 = time.perf_counter()
             for _ in range(args.steps):
-                tok, kv = step(params, tok.reshape(1, 1), kv, pt, length)
+                tok, kv = step(params, tok.reshape(1, 1), kv, pt, length,
+                               rope)
                 try:
                     tok.copy_to_host_async()
                 except Exception:
@@ -169,17 +176,18 @@ def main():
             depth = jnp.asarray([ctx - chunk - 2], jnp.int32)
 
             @jax.jit
-            def pre_step(params, toks, kv, pt, depth):
+            def pre_step(params, toks, kv, pt, depth, rope):
                 logits, kv = forward_paged(
-                    params, spec, toks, kv, pt, depth,
+                    params, spec, toks, kv, pt, depth, rope_tables=rope,
                     logits_last_only=True,
                 )
                 return (
                     jnp.argmax(logits[:, -1], -1).astype(jnp.int32), kv
                 )
 
+            rope = precompute_rope_tables(spec.rope)
             t0 = time.perf_counter()
-            tok1, kv = pre_step(params, toks, kv, pt, depth)
+            tok1, kv = pre_step(params, toks, kv, pt, depth, rope)
             _ = int(np.asarray(tok1)[0])
             print(f"ctx {ctx//1024}K prefill-at-depth compile "
                   f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
@@ -187,7 +195,7 @@ def main():
             prev = None
             t0 = time.perf_counter()
             for _ in range(n):
-                tok1, kv = pre_step(params, toks, kv, pt, depth)
+                tok1, kv = pre_step(params, toks, kv, pt, depth, rope)
                 try:
                     tok1.copy_to_host_async()
                 except Exception:

@@ -231,9 +231,18 @@ def main():
             qt = repack_ggml_exact(
                 np.frombuffer(raw, np.uint8), _t.upper(), (*lead, n, kdim)
             )
+            # tame the random block scales (applied EQUALLY to the quant
+            # tensor and its float twin: scaling per-group scales scales
+            # the dequant linearly) — raw random k-quant scales make the
+            # net saturate and both NLLs overflow to inf
+            import dataclasses as _dc
+
+            qt = _dc.replace(
+                qt, scales=(qt.scales.astype(jnp.float32) * 0.02)
+            )
             vals = np.asarray(expected, np.float32).reshape(
                 *lead, n, kdim
-            )
+            ) * 0.02
             fleaves.append(quantize(jnp.asarray(
                 np.ascontiguousarray(np.swapaxes(vals, -1, -2))
             ), "bf16"))
@@ -252,9 +261,8 @@ def main():
         t0 = time.perf_counter()
         import math as _math
 
-        pf = _math.log(perplexity(fparams, spec, ids, chunk=512)) \
-            if True else 0.0
-        pq = _math.log(perplexity(qparams, spec, ids, chunk=512))
+        pf = perplexity(fparams, spec, ids, chunk=512, return_nll=True)
+        pq = perplexity(qparams, spec, ids, chunk=512, return_nll=True)
         results[tname] = {
             "log_ppl": round(pq, 4),
             "dlogppl_compute": round(pq - pf, 4),
