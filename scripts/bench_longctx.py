@@ -33,6 +33,13 @@ def main():
     ap.add_argument("--page", type=int, default=64)
     ap.add_argument("--budget", type=int, default=64)
     ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--one", nargs=3, metavar=("LAYERS", "CTX", "MODE"),
+                    help="run ONE measurement in this process (MODE may "
+                    "be an anchor kind, 'dense', or 'prefill'); prints "
+                    "one JSON line. The driver loop runs each "
+                    "measurement in a fresh subprocess — compiled "
+                    "programs + buffers from prior modes otherwise "
+                    "accumulate in HBM and OOM by the 4th mode.")
     args = ap.parse_args()
 
     import jax
@@ -74,17 +81,19 @@ def main():
 
     def bench_ctx(spec, params, ctx, modes, do_prefill_at_depth=False):
         npages = ctx // args.page + 2
+        need = set()
+        for mode in modes:
+            need |= set(NEED_PLANES.get(mode, ()))
         kv0 = PagedKVCache.create(
-            spec, num_pages=npages, page_size=args.page, summaries=True,
-            anchor="block_mean",  # allocates ssum too
+            spec, num_pages=npages, page_size=args.page,
+            summaries=bool(need), anchor="block_mean",
         )
-        # synthesize full-length KV + every summary plane (kept as the
-        # master copy; per-mode caches carry ONLY the planes that mode
-        # reads — 4 planes x 27 layers of scatter updates blew past the
-        # compile service's request size limit)
+        # synthesize full-length KV + ONLY the planes these modes read;
+        # block per layer — async dispatch otherwise allocates many
+        # transient [P, page, R] normals ahead of frees and OOMs
         key = jax.random.PRNGKey(0)
         bufs_a, bufs_b = [], []
-        planes = {"smin": [], "smax": [], "ssum": [], "sfix": []}
+        planes = {n: [] for n in need}
         pid = jnp.repeat(jnp.arange(npages), args.page)[None]
         pos = jnp.arange(npages * args.page)[None]
         from ktransformers_tpu.ops.sparse_attention import (
@@ -99,17 +108,23 @@ def main():
                                   kv0.bufs_b[li].dtype)
             bufs_a.append(a)
             bufs_b.append(b)
-            cat = jnp.concatenate([a, b], -1).reshape(
-                1, npages * args.page, -1
-            )
-            pl = update_page_summaries_cfg(
-                {"smin": kv0.smin[li], "smax": kv0.smax[li],
-                 "ssum": kv0.ssum[li],
-                 "sfix": jnp.zeros_like(kv0.ssum[li])},
-                cat, pid, pos, args.page,
-            )
-            for n in planes:
-                planes[n].append(np.asarray(pl[n]))  # host master copies
+            if need:
+                cat = jnp.concatenate([a, b], -1).reshape(
+                    1, npages * args.page, -1
+                )
+                src_planes = {
+                    "smin": kv0.smin[li], "smax": kv0.smax[li],
+                    "ssum": kv0.ssum[li],
+                    "sfix": jnp.zeros_like(kv0.ssum[li]),
+                }
+                pl = update_page_summaries_cfg(
+                    {n: src_planes[n] for n in need},
+                    cat, pid, pos, args.page,
+                )
+                for n in need:
+                    planes[n].append(pl[n])
+                del cat
+            jax.block_until_ready((a, b))
         del kv0
         pt = jnp.arange(1, npages, dtype=jnp.int32)[None]
         length = jnp.asarray([ctx - 1], jnp.int32)
@@ -121,8 +136,7 @@ def main():
             keep = NEED_PLANES[mode]
             kv = PagedKVCache(
                 bufs_a=bufs_a, bufs_b=bufs_b,
-                **{n: [jnp.asarray(x) for x in planes[n]]
-                   if n in keep else None
+                **{n: list(planes[n]) if n in keep else None
                    for n in ("smin", "smax", "ssum", "sfix")},
                 page_size=args.page,
             )
@@ -171,6 +185,11 @@ def main():
             bufs_a, bufs_b = list(kv.bufs_a), list(kv.bufs_b)
 
         if do_prefill_at_depth:
+            if not modes:  # --one prefill: no mode loop ran
+                kv = PagedKVCache(
+                    bufs_a=bufs_a, bufs_b=bufs_b, page_size=args.page,
+                )
+                rope = precompute_rope_tables(spec.rope)
             chunk = 2048
             toks = jnp.zeros((1, chunk), jnp.int32)
             depth = jnp.asarray([ctx - chunk - 2], jnp.int32)
@@ -211,30 +230,47 @@ def main():
         del kv
         return row
 
-    # 27-layer model: 64K anchor A/B + 128K
-    spec27 = spec_from_hf_config(model_cfg(27))
-    params = init_params_synthetic(spec27, quant="int4_g",
-                                   moe_quant="int4_g")
-    jax.block_until_ready(params)
-    print("27-layer params ready", file=sys.stderr, flush=True)
-    out["64K"] = bench_ctx(
-        spec27, params, 65536,
-        ["dense", "quest", "block_max", "block_mean", "fixed"],
-    )
-    out["128K"] = bench_ctx(spec27, params, 131072, ["dense", "quest"])
-    del params
+    if args.one:
+        layers, ctx, mode = int(args.one[0]), int(args.one[1]), args.one[2]
+        spec = spec_from_hf_config(model_cfg(layers))
+        params = init_params_synthetic(spec, quant="int4_g",
+                                       moe_quant="int4_g")
+        jax.block_until_ready(params)
+        if mode == "prefill":
+            row = bench_ctx(spec, params, ctx, [],
+                            do_prefill_at_depth=True)
+        else:
+            row = bench_ctx(spec, params, ctx, [mode])
+        print(json.dumps(row))
+        return
 
-    # 12-layer slice: 256K / 512K (+ prefill at depth)
-    spec12 = spec_from_hf_config(model_cfg(12))
-    params = init_params_synthetic(spec12, quant="int4_g",
-                                   moe_quant="int4_g")
-    jax.block_until_ready(params)
-    print("12-layer params ready", file=sys.stderr, flush=True)
-    out["256K_12layer"] = bench_ctx(
-        spec12, params, 262144, ["dense", "quest"],
-        do_prefill_at_depth=True,
-    )
-    out["512K_12layer"] = bench_ctx(spec12, params, 524288, ["quest"])
+    # driver: one subprocess per measurement (fresh HBM each)
+    import subprocess
+
+    MATRIX = [
+        ("64K", 27, 65536,
+         ["dense", "quest", "block_max", "block_mean", "fixed"]),
+        ("128K", 27, 131072, ["dense", "quest"]),
+        ("256K_12layer", 12, 262144, ["dense", "quest", "prefill"]),
+        ("512K_12layer", 12, 524288, ["quest"]),
+    ]
+    for name, layers, ctx, modes in MATRIX:
+        row = {}
+        for mode in modes:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--one", str(layers), str(ctx), mode,
+                 "--steps", str(args.steps),
+                 "--budget", str(args.budget),
+                 "--page", str(args.page)],
+                capture_output=True, text=True, timeout=2400,
+            )
+            sys.stderr.write(r.stderr[-2000:])
+            try:
+                row.update(json.loads(r.stdout.strip().splitlines()[-1]))
+            except Exception:
+                row[mode] = "FAILED"
+        out[name] = row
 
     out["note"] = (
         "r4 paced-readback methodology (earlier rounds' numbers used the "
