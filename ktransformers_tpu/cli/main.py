@@ -98,7 +98,14 @@ def chat(model_path, quant, moe_quant, config_path, placement_yaml,
 @click.option("--page-size", default=None, type=int)
 @click.option("--max-pages-per-query", default=None, type=int)
 @click.option("--sparse-budget", default=None, type=int,
-              help="Quest top-K-page decode attention (long context)")
+              help="top-K-page decode attention (long context)")
+@click.option("--sparse-anchor", default=None,
+              type=click.Choice(["quest", "block_max", "block_mean",
+                                 "fixed", "dynamic"]),
+              help="page-summary anchor kind (reference AnchorType)")
+@click.option("--sparse-retrieval", default=None,
+              type=click.Choice(["layer", "kvhead", "qhead"]),
+              help="retrieval granularity (reference RetrievalType)")
 @click.option("--offload/--no-offload", default=None,
               help="bigger-than-HBM mode: routed experts compute in host "
               "RAM (offload/paged_engine.py); attention/router/shared "
@@ -108,7 +115,8 @@ def chat(model_path, quant, moe_quant, config_path, placement_yaml,
 def serve(model_path, quant, moe_quant, config_path, placement_yaml,
           tokenizer_path, config_file, host, port, api_key, model_name,
           max_batch_size, prefill_chunk, num_pages, page_size,
-          max_pages_per_query, sparse_budget, offload, mount_web):
+          max_pages_per_query, sparse_budget, sparse_anchor,
+          sparse_retrieval, offload, mount_web):
     """OpenAI-compatible server (balance_serve analog). All knobs also
     load from --config-file (the reference's ~80-flag ConfigArgs role)."""
     from ktransformers_tpu.engine.local_chat import load_tokenizer
@@ -123,7 +131,9 @@ def serve(model_path, quant, moe_quant, config_path, placement_yaml,
         max_batch_size=max_batch_size, prefill_chunk=prefill_chunk,
         num_pages=num_pages, page_size=page_size,
         max_pages_per_query=max_pages_per_query,
-        sparse_budget=sparse_budget, offload=offload, mount_web=mount_web,
+        sparse_budget=sparse_budget, sparse_anchor=sparse_anchor,
+        sparse_retrieval=sparse_retrieval, offload=offload,
+        mount_web=mount_web,
     )
     # quant kinds come from model_options with non-None defaults; only
     # treat them as overrides when a config file is NOT supplying them
@@ -159,6 +169,8 @@ def serve(model_path, quant, moe_quant, config_path, placement_yaml,
         sc.scheduler_config(),
         num_pages=sc.num_pages,
         sparse_budget=sc.sparse_budget,
+        sparse_anchor=sc.sparse_anchor or "quest",
+        sparse_retrieval=sc.sparse_retrieval or "layer",
         collect_routing=sc.collect_routing,
     )
     engine.decode_pipeline_depth = sc.decode_pipeline_depth

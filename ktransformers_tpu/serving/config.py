@@ -48,7 +48,9 @@ class ServerConfig:
 
     # features
     offload: bool = False  # bigger-than-HBM: host-resident experts
-    sparse_budget: int | None = None  # Quest top-K-page decode attention
+    sparse_budget: int | None = None  # top-K-page decode attention
+    sparse_anchor: str = "quest"  # anchor kind (reference AnchorType)
+    sparse_retrieval: str = "layer"  # retrieval granularity
     collect_routing: bool = False  # routing stats for expert re-placement
     rebalance_interval_steps: int = 0  # 0 = never; N = re-place every N
     decode_pipeline_depth: int = 3  # in-flight decode steps (engine)

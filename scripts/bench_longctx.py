@@ -94,38 +94,42 @@ def main():
         key = jax.random.PRNGKey(0)
         bufs_a, bufs_b = [], []
         planes = {n: [] for n in need}
-        pid = jnp.repeat(jnp.arange(npages), args.page)[None]
-        pos = jnp.arange(npages * args.page)[None]
-        from ktransformers_tpu.ops.sparse_attention import (
-            update_page_summaries_cfg,
-        )
 
+        shape_a, dtype_a = kv0.bufs_a[0].shape, kv0.bufs_a[0].dtype
+        shape_b, dtype_b = kv0.bufs_b[0].shape, kv0.bufs_b[0].dtype
+
+        @jax.jit
+        def synth(k1, k2):
+            a = jax.random.normal(k1, shape_a, dtype_a)
+            b = jax.random.normal(k2, shape_b, dtype_b)
+            # pages are dense-filled here, so per-page reductions give
+            # the summary planes directly (the per-step scatter form in
+            # update_page_summaries_cfg materialized a [1, S, 576] f32
+            # cat per layer — 1.2 GB at 512K, the OOM)
+            cat_min = jnp.concatenate(
+                [a.min(1).astype(jnp.float32),
+                 b.min(1).astype(jnp.float32)], -1)
+            cat_max = jnp.concatenate(
+                [a.max(1).astype(jnp.float32),
+                 b.max(1).astype(jnp.float32)], -1)
+            cat_sum = jnp.concatenate(
+                [a.sum(1).astype(jnp.float32),
+                 b.sum(1).astype(jnp.float32)], -1)
+            cat_fix = jnp.concatenate(
+                [a[:, 0].astype(jnp.float32),
+                 b[:, 0].astype(jnp.float32)], -1)
+            return a, b, {"smin": cat_min, "smax": cat_max,
+                          "ssum": cat_sum, "sfix": cat_fix}
+
+        del kv0
         for li in range(spec.num_layers):
             key, k1, k2 = jax.random.split(key, 3)
-            a = jax.random.normal(k1, kv0.bufs_a[li].shape,
-                                  kv0.bufs_a[li].dtype)
-            b = jax.random.normal(k2, kv0.bufs_b[li].shape,
-                                  kv0.bufs_b[li].dtype)
+            a, b, pl = synth(k1, k2)
             bufs_a.append(a)
             bufs_b.append(b)
-            if need:
-                cat = jnp.concatenate([a, b], -1).reshape(
-                    1, npages * args.page, -1
-                )
-                src_planes = {
-                    "smin": kv0.smin[li], "smax": kv0.smax[li],
-                    "ssum": kv0.ssum[li],
-                    "sfix": jnp.zeros_like(kv0.ssum[li]),
-                }
-                pl = update_page_summaries_cfg(
-                    {n: src_planes[n] for n in need},
-                    cat, pid, pos, args.page,
-                )
-                for n in need:
-                    planes[n].append(pl[n])
-                del cat
+            for n in need:
+                planes[n].append(pl[n])
             jax.block_until_ready((a, b))
-        del kv0
         pt = jnp.arange(1, npages, dtype=jnp.int32)[None]
         length = jnp.asarray([ctx - 1], jnp.int32)
         row = {}
