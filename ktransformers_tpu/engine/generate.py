@@ -130,8 +130,15 @@ class Generator:
 
             @partial(jax.jit, donate_argnums=(2,))
             def steps(params, tok, cache, key):
-                def body(carry, _):
-                    tok, cache, key = carry
+                # PURE Python unroll — no lax.scan wrapper. Even a
+                # fully-unrolled scan (length=k, unroll=k) keeps a while
+                # op around the body, and on this runtime that wrapper
+                # costs ~9 ms per program (r4 decode_multi_lab: scan k=2
+                # = 12.3 ms/program vs single-step 3.5 ms; the per-
+                # program fixed cost is ~3 ms and a decode step's real
+                # content is ~0.6 ms)
+                toks = []
+                for _ in range(k):
                     logits, cache = forward(
                         params,
                         spec,
@@ -141,16 +148,9 @@ class Generator:
                         compute_dtype=compute_dtype,
                     )
                     key, sub = jax.random.split(key)
-                    nxt = sample(logits[:, -1], sub, sampling)
-                    return (nxt, cache, key), nxt
-
-                # unroll=k: on the axon runtime a lax.scan/while body that
-                # contains custom calls iterates HOST-side (~36 ms/step,
-                # measured round 3); the unrolled program stays on-device
-                (tok, cache, key), toks = jax.lax.scan(
-                    body, (tok, cache, key), None, length=k, unroll=k
-                )
-                return jnp.swapaxes(toks, 0, 1), cache, key
+                    tok = sample(logits[:, -1], sub, sampling)
+                    toks.append(tok)
+                return jnp.stack(toks, axis=1), cache, key
 
             self._steps[key_] = lambda *a, _s=steps: _s(self.params, *a)
         return self._steps[key_]

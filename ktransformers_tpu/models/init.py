@@ -92,6 +92,34 @@ def init_params_synthetic(
                 ).astype(jnp.float8_e4m3fn)
                 scales = jnp.full((*lead, 1, n), scale / 57.0, jnp.float32)
                 return QTensor(data, scales, None, kind="fp8", group_size=0)
+            if kind in ("mxfp4", "mxfp8"):
+                from ktransformers_tpu.quant.formats import (
+                    effective_group_size,
+                )
+
+                g = effective_group_size(k_dim, 32)
+                # ue8m0 exponents: 2^(e-127); pick e so |w| ~ scale
+                # (e2m1 mean |v| ~ 1.3, e4m3 random ~ O(10))
+                import math
+
+                e_val = int(
+                    np.clip(127 + round(math.log2(max(scale, 1e-6) / 1.3)),
+                            1, 254)
+                )
+                scales = jnp.full(
+                    (*lead, k_dim // g, n), e_val, jnp.uint8
+                )
+                if kind == "mxfp4":
+                    data = jax.random.randint(
+                        nk(), (*lead, k_dim // 2, n), 0, 256, jnp.uint8
+                    )
+                else:
+                    data = (
+                        jax.random.normal(nk(), shape, jnp.float32) * 1.3
+                    ).astype(jnp.float8_e4m3fn)
+                return QTensor(
+                    data, scales, None, kind=kind, group_size=g
+                )
             raise ValueError(kind)
 
         def rand(shape, sc=0.02):
