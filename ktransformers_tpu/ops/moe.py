@@ -266,7 +266,14 @@ def moe_dispatch(
     return sort_order, token_of_row, group_sizes, keep.reshape(-1)
 
 
-DECODE_GATHER_MAX_TOKENS = 16
+# gather path above this many tokens re-fetches each routed expert's
+# block PER ROW (t*k grid steps); the sorted grouped path reads each
+# expert once. Crossover measured r4 at serving batch 16 (96 rows):
+# gather TBT 57.3 ms vs grouped 44.5 ms -> threshold 8 (single-user and
+# batch-8 decode keep the gather/fused-FFN path, which wins there).
+DECODE_GATHER_MAX_TOKENS = int(
+    __import__("os").environ.get("KT_DECODE_GATHER_MAX_TOKENS", "8")
+)
 
 
 def _moe_forward_gather(
