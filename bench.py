@@ -238,6 +238,11 @@ def main():
         baseline * ref_active_bytes / 700e9
     )
 
+    # --- the one stdout JSON line: COMPACT (VERDICT r4 weak 1: the r4
+    # line outgrew the driver's 2,000-char capture tail and BENCH_r04
+    # recorded neither headline; `parsed` was null). Headline numbers
+    # only here; every sub-benchmark detail lives in the committed
+    # BENCH_*.json files. Keep this line well under 1,800 chars.
     extra = {
         "prefill_tok_s": round(prefill_tps, 1) if prefill_tps else None,
         "prefill_compile_s": (
@@ -246,38 +251,70 @@ def main():
         "params_gb": round(nbytes / 1e9, 2),
         "vs_baseline_bandwidth_normalized": round(norm_ratio, 3),
     }
-    # fold in round-level extras measured by their own (long-running)
-    # harnesses during the round: bigger-than-HBM host-offload decode
-    # (scripts/bench_offload.py) and long-context decode
-    # (scripts/bench_longctx.py)
+    # fold in one headline number per sub-benchmark (details stay in the
+    # committed BENCH_*.json files; do NOT inline them here)
     here = os.path.dirname(os.path.abspath(__file__))
-    for fname, key in (
-        ("BENCH_OFFLOAD.json", "offload"),
-        ("BENCH_LONGCTX.json", "longctx"),
-        ("BENCH_SERVING.json", "serving"),
-        ("BENCH_SPECULATIVE.json", "speculative"),
-    ):
+
+    def _pick(fname, *paths):
         try:
             with open(os.path.join(here, fname)) as f:
-                extra[key] = json.load(f)
+                d = json.load(f)
+            out = {}
+            for p in paths:
+                cur = d
+                for k in p.split("."):
+                    cur = cur[k]
+                out[p.split(".")[-1] if "." not in p else p] = (
+                    round(cur, 2) if isinstance(cur, float) else cur
+                )
+            return out
         except Exception:
-            pass
+            return None
 
-    print(
-        json.dumps(
+    for key, fname, paths in (
+        ("serving", "BENCH_SERVING.json",
+         ("concurrency8.output_tok_s", "concurrency16.output_tok_s",
+          "concurrency32.output_tok_s")),
+        ("speculative", "BENCH_SPECULATIVE.json",
+         ("speedup_measured", "acceptance_measured")),
+        ("longctx", "BENCH_LONGCTX.json", ()),
+        ("offload", "BENCH_OFFLOAD.json", ("total_tok_s",)),
+        ("sft", "BENCH_SFT.json", ("step_ms", "hbm_peak_gb")),
+    ):
+        picked = _pick(fname, *paths) if paths else None
+        if key == "longctx":
+            # best 1M + 512K rows if present
+            picked = _pick(
+                fname, "1M_12layer.quest_tok_s", "512K_12layer.quest_tok_s"
+            ) or _pick(fname, "512K_12layer.quest_tok_s")
+        if picked:
+            extra[key] = picked
+
+    line = json.dumps(
+        {
+            "metric": (
+                "deepseek-v2-lite-16B-A2.4B int4 single-user decode, "
+                "1x TPU v5e (details in BENCH_*.json)"
+            ),
+            "value": round(decode_tps, 2),
+            "unit": "tok/s",
+            "vs_baseline": round(decode_tps / baseline, 3),
+            "extra": extra,
+        }
+    )
+    if len(line) > 1700:  # hard guard: driver captures a 2,000-char tail
+        line = json.dumps(
             {
-                "metric": (
-                    "deepseek-v2-lite-16B-A2.4B int4 single-user decode, "
-                    "1x TPU v5e chip (baseline: reference DeepSeek-V3-671B "
-                    "q4km decode on 2xXeon+4090)"
-                ),
+                "metric": "decode tok/s, 1x TPU v5e",
                 "value": round(decode_tps, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(decode_tps / baseline, 3),
-                "extra": extra,
+                "extra": {
+                    "prefill_tok_s": extra.get("prefill_tok_s"),
+                },
             }
         )
-    )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -78,13 +78,16 @@ def update_page_summaries_cfg(
         out["ssum"] = planes["ssum"].at[idx].add(flat)
     if planes.get("sfix") is not None:
         first = (pos.reshape(-1) % page_size) == 0
-        # redirect non-first rows to a harmless overwrite of their own
-        # current value via page 0? No: use .at[].set gated by where on idx
+        # Non-first rows must not write at all. Redirect them to an
+        # out-of-bounds index and scatter with mode="drop": deterministic
+        # regardless of which pages are live (the old page-0 redirect made
+        # duplicate-index writes nondeterministic if page 0 was ever a
+        # live page — only the serving engine's PageAllocator(reserved=1)
+        # guaranteed it wasn't).
         sfix = planes["sfix"]
-        sel_idx = jnp.where(first, idx, 0)
-        cur = sfix[sel_idx]
-        mask = first.reshape((-1,) + (1,) * (flat.ndim - 1))
-        out["sfix"] = sfix.at[sel_idx].set(jnp.where(mask, flat, cur))
+        n_pages = sfix.shape[0]
+        sel_idx = jnp.where(first, idx, n_pages)
+        out["sfix"] = sfix.at[sel_idx].set(flat, mode="drop")
     return out
 
 
@@ -103,11 +106,11 @@ def set_dynamic_anchors(planes: dict, buf_k, page_tables, page_scores_tok,
     base = jnp.arange(pmax)[None, :] * page_size
     live = (base < lengths[:, None]).reshape(-1)
     sdyn = planes["sdyn"]
-    sel_idx = jnp.where(live, pid, 0)
-    cur = sdyn[sel_idx]
-    mask = live.reshape((-1,) + (1,) * (keys.ndim - 1))
+    # dead rows scatter out-of-bounds with mode="drop" (deterministic; see
+    # update_page_summaries_cfg)
+    sel_idx = jnp.where(live, pid, sdyn.shape[0])
     out = dict(planes)
-    out["sdyn"] = sdyn.at[sel_idx].set(jnp.where(mask, keys, cur))
+    out["sdyn"] = sdyn.at[sel_idx].set(keys, mode="drop")
     return out
 
 
@@ -142,6 +145,14 @@ def snapkv_page_scores(q_obs, buf_a, buf_b, page_tables, lengths,
     pos = jnp.arange(pmax * page).reshape(pmax, page)
     live = pos[None] < lengths[:, None, None]
     scores = jnp.where(live[:, None, None], scores, NEG_INF)
+    # causal mask WITHIN the observation window: query w sits at absolute
+    # position lengths - W + w; keys after it (later window tokens are in
+    # the cached prefix too) must not contribute to its softmax, or page
+    # mass is biased toward recent pages vs SnapKV's per-query causal
+    # observation (ADVICE r4).
+    qpos = lengths[:, None] - w + jnp.arange(w)[None, :]  # [B, W]
+    causal = pos[None, None] <= qpos[:, :, None, None]  # [B, W, Pmax, page]
+    scores = jnp.where(causal[:, :, None], scores, NEG_INF)
     attn = jax.nn.softmax(scores.reshape(b, w, h, -1), axis=-1).reshape(
         scores.shape
     )

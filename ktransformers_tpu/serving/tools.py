@@ -62,13 +62,22 @@ def render_tool_messages(messages: list) -> list:
     for m in messages:
         role = m.get("role")
         if role == "assistant" and m.get("tool_calls"):
+            def _args(c):
+                a = c["function"].get("arguments", {})
+                if isinstance(a, str):
+                    # client-supplied history: malformed JSON must not 500
+                    # the request path — pass the raw string through
+                    try:
+                        return json.loads(a)
+                    except (json.JSONDecodeError, ValueError):
+                        return a
+                return a
+
             calls = "\n".join(
                 "<tool_call>\n"
                 + json.dumps({
                     "name": c["function"]["name"],
-                    "arguments": json.loads(c["function"]["arguments"])
-                    if isinstance(c["function"].get("arguments"), str)
-                    else c["function"].get("arguments", {}),
+                    "arguments": _args(c),
                 })
                 + "\n</tool_call>"
                 for c in m["tool_calls"]
