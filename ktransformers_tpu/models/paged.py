@@ -380,26 +380,27 @@ def _mla_paged_mixed(p, spec, rows, bufs, dec_tables, dec_lengths,
                      pre_table, pre_length, pre_valid, dec_rope_cs,
                      pre_rope_cs, page_size, b_dec, s_pre, summ=None):
     """Mixed-step MLA attention: ONE projection/output weights pass over
-    the concatenated decode+prefill rows [1, B+S, H]; the attention core
-    splits into the paged decode kernel (B rows) and the paged prefill
-    kernel (one S-token chunk). Returns (attn_rows [1, B+S, H'],
-    (buf_a, buf_b), new_summ)."""
+    the concatenated decode+prefill rows [1, B+C*S, H]; the attention
+    core splits into the paged decode kernel (B rows) and the paged
+    prefill kernel (C chunks x S tokens, distinct queries). Returns
+    (attn_rows [1, B+C*S, H'], (buf_a, buf_b), new_summ)."""
     a = spec.attention
     h = a.num_heads
     nope, dr, r = a.qk_nope_head_dim, a.qk_rope_head_dim, a.kv_lora_rank
+    c_pre = pre_table.shape[0]
 
-    q, ckv_kpe = mla_qkv_proj(p, spec, rows)  # [1, B+S, ...]
+    q, ckv_kpe = mla_qkv_proj(p, spec, rows)  # [1, B+C*S, ...]
     q = q[0]
     ckv_all = rms_norm(ckv_kpe[0, :, :r], p["kv_a_norm"], spec.rms_norm_eps)
     kpe_all = ckv_kpe[0, :, r:]
 
     # --- split ---
     q_d = q[:b_dec].reshape(b_dec, 1, h, nope + dr)
-    q_p = q[b_dec:].reshape(1, s_pre, h, nope + dr)
+    q_p = q[b_dec:].reshape(c_pre, s_pre, h, nope + dr)
     ckv_d = ckv_all[:b_dec].reshape(b_dec, 1, r)
-    ckv_p = ckv_all[b_dec:].reshape(1, s_pre, r)
+    ckv_p = ckv_all[b_dec:].reshape(c_pre, s_pre, r)
     kpe_d = kpe_all[:b_dec].reshape(b_dec, 1, dr)
-    kpe_p = kpe_all[b_dec:].reshape(1, s_pre, dr)
+    kpe_p = kpe_all[b_dec:].reshape(c_pre, s_pre, dr)
 
     def rope_qk(qh, kpe, cs):
         cos, sin = cs
@@ -421,7 +422,7 @@ def _mla_paged_mixed(p, spec, rows, bufs, dec_tables, dec_lengths,
         ).astype(rows.dtype)
 
     qn_d_eff = absorb(qn_d)  # [B, H, 1, R]
-    qn_p_eff = absorb(qn_p)  # [1, H, S, R]
+    qn_p_eff = absorb(qn_p)  # [C, H, S, R]
 
     # --- cache writes (disjoint page sets; decode first) ---
     buf_a = _write_pages(bufs[0], ckv_d, dec_tables, dec_lengths, page_size)
@@ -478,8 +479,9 @@ def _mla_paged_mixed(p, spec, rows, bufs, dec_tables, dec_lengths,
         return out.reshape(out.shape[0], out.shape[1], h * a.v_head_dim)
 
     out_rows = jnp.concatenate(
-        [unabsorb(ctx_d).reshape(b_dec, -1), unabsorb(ctx_p)[0]], axis=0
-    )[None]  # [1, B+S, H*v]
+        [unabsorb(ctx_d).reshape(b_dec, -1),
+         unabsorb(ctx_p).reshape(c_pre * s_pre, -1)], axis=0
+    )[None]  # [1, B+C*S, H*v]
     return (
         plinear(p, "o_proj", out_rows, p.get("o_bias")),
         (buf_a, buf_b),
@@ -494,6 +496,7 @@ def _gqa_paged_mixed(p, spec, rows, bufs, dec_tables, dec_lengths,
     """Mixed-step GQA attention (see _mla_paged_mixed)."""
     a = spec.attention
     h, hkv, d = a.num_heads, a.num_kv_heads, a.head_dim
+    c_pre = pre_table.shape[0]
 
     gate = None
     q_flat, k_flat, v_flat = gqa_qkv_proj(p, spec, rows)
@@ -536,9 +539,10 @@ def _gqa_paged_mixed(p, spec, rows, bufs, dec_tables, dec_lengths,
     )
     v_d = v_all[:b_dec][:, None]
     q_p, k_p = rope_qk(
-        q_all[b_dec:][None], k_all[b_dec:][None], pre_rope_cs
+        q_all[b_dec:].reshape(c_pre, s_pre, h, d),
+        k_all[b_dec:].reshape(c_pre, s_pre, hkv, d), pre_rope_cs
     )
-    v_p = v_all[b_dec:][None]
+    v_p = v_all[b_dec:].reshape(c_pre, s_pre, hkv, d)
 
     buf_a = _write_pages(bufs[0], k_d, dec_tables, dec_lengths, page_size)
     buf_b = _write_pages(bufs[1], v_d, dec_tables, dec_lengths, page_size)
@@ -585,7 +589,7 @@ def _gqa_paged_mixed(p, spec, rows, bufs, dec_tables, dec_lengths,
 
     out_rows = jnp.concatenate(
         [out_d.reshape(b_dec, h * d),
-         out_p.transpose(0, 2, 1, 3).reshape(s_pre, h * d)],
+         out_p.transpose(0, 2, 1, 3).reshape(c_pre * s_pre, h * d)],
         axis=0,
     )[None]
     if gate is not None:
@@ -602,35 +606,41 @@ def forward_paged_mixed(
     params,
     spec: ModelSpec,
     dec_tokens: jnp.ndarray,  # [B] int32 decode-batch tokens
-    pre_tokens: jnp.ndarray,  # [S] int32 one prefill chunk (padded)
+    pre_tokens: jnp.ndarray,  # [C, S] int32 prefill chunks (padded);
+    # [S] accepted as C=1
     kv: PagedKVCache,
     dec_tables: jnp.ndarray,  # [B, Pmax]
     dec_lengths: jnp.ndarray,  # [B]
-    pre_table: jnp.ndarray,  # [1, Pmax]
-    pre_length: jnp.ndarray,  # [1] tokens already cached for the query
-    pre_valid: jnp.ndarray,  # [1] live tokens in this chunk
+    pre_table: jnp.ndarray,  # [C, Pmax]
+    pre_length: jnp.ndarray,  # [C] tokens already cached per query
+    pre_valid: jnp.ndarray,  # [C] live tokens in each chunk
     rope_tables=None,
     compute_dtype=jnp.bfloat16,
 ):
     """ONE model invocation for a mixed scheduler batch (VERDICT r3 item
     4; reference: balance_serve's combined ForwardBatchInput,
-    archive/.../inference/forward_batch.py:18-816): the decode batch and a
-    prefill chunk share every dense/MoE weights pass — at decode batch 8 a
-    separate prefill program used to re-stream the full model bytes.
+    archive/.../inference/forward_batch.py:18-816): the decode batch and
+    C prefill chunks (distinct queries; VERDICT r4 item 5 asked for >1)
+    share every dense/MoE weights pass — separate programs re-stream the
+    full model bytes per chunk.
 
-    Returns (dec_logits [B, V], pre_last_logits [1, V], new kv).
+    Returns (dec_logits [B, V], pre_last_logits [C, V], new kv).
     """
     b = dec_tokens.shape[0]
-    s = pre_tokens.shape[0]
+    if pre_tokens.ndim == 1:
+        pre_tokens = pre_tokens[None]
+    c, s = pre_tokens.shape
     x_d = params["embed"][dec_tokens].astype(compute_dtype)  # [B, H]
-    x_p = params["embed"][pre_tokens].astype(compute_dtype)  # [S, H]
-    rows = jnp.concatenate([x_d, x_p], axis=0)[None]  # [1, B+S, H]
+    x_p = params["embed"][pre_tokens.reshape(-1)].astype(
+        compute_dtype
+    )  # [C*S, H]
+    rows = jnp.concatenate([x_d, x_p], axis=0)[None]  # [1, B+C*S, H]
 
     if rope_tables is None:
         rope_tables = precompute_rope_tables(spec.rope)
     cos_t, sin_t = rope_tables
     dec_pos = dec_lengths[:, None]  # [B, 1]
-    pre_pos = pre_length[:, None] + jnp.arange(s)[None, :]  # [1, S]
+    pre_pos = pre_length[:, None] + jnp.arange(s)[None, :]  # [C, S]
     dec_rope = (cos_t[dec_pos], sin_t[dec_pos])
     pre_rope = (cos_t[pre_pos], sin_t[pre_pos])
 
@@ -682,12 +692,13 @@ def forward_paged_mixed(
             rows = res + _dense_mlp(lp["mlp"], spec, xn)
 
     x = rms_norm(rows[0], params["final_norm"], spec.rms_norm_eps)
-    # decode rows + the prefill chunk's last VALID row
-    pre_last = b + jnp.maximum(pre_valid[0] - 1, 0)
-    sel = jnp.concatenate(
-        [jnp.arange(b, dtype=jnp.int32), pre_last[None]]
+    # decode rows + each prefill chunk's last VALID row
+    pre_last = (
+        b + jnp.arange(c, dtype=jnp.int32) * s
+        + jnp.maximum(pre_valid - 1, 0)
     )
-    x_sel = x[sel]  # [B+1, H]
+    sel = jnp.concatenate([jnp.arange(b, dtype=jnp.int32), pre_last])
+    x_sel = x[sel]  # [B+C, H]
     lm_head = params.get("lm_head")
     if lm_head is None:
         logits = x_sel @ params["embed"].astype(x_sel.dtype).T
