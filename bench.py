@@ -135,8 +135,10 @@ def main():
     # pays queue + RTT per readback (measured 25.7 tok/s vs ~200 real).
     import collections
 
-    n_steps = 128
-    depth = 8
+    n_steps = 192
+    depth = 24  # r5: depth sweep shows 8 -> ~230-295, 16 -> ~319,
+    # 24-64 -> ~350 plateau (scripts/ab_decode2.py); past ~24 the cap is
+    # device content + ~1.3 ms/program tunnel-side work, not the pipeline
     pending = collections.deque()
     t0 = time.perf_counter()
     for _ in range(n_steps):

@@ -287,7 +287,10 @@ class Generator:
         # D-1 steps late (a few wasted device steps per sequence).
         import os
 
-        depth = max(1, int(os.environ.get("KT_GENERATE_PIPELINE", "8")))
+        # r5 depth sweep (scripts/ab_decode2.py, honest readbacks):
+        # 8 -> 229-295 tok/s, 16 -> 319, 24+ -> ~350 plateau (the
+        # delivery cap moves to device content + per-program overhead).
+        depth = max(1, int(os.environ.get("KT_GENERATE_PIPELINE", "24")))
         # Multi-token dispatches (KT_DECODE_CHUNK, opt-in): each dispatch
         # runs `chunk` decode steps in one program (_decode_steps), so
         # per-dispatch host cost amortizes chunk-fold on top of the depth-D

@@ -145,7 +145,19 @@ def _attn_mask(pos_offset: jnp.ndarray, q_len: int, kv_len: int,
 
 
 def _write_cache(buf: jnp.ndarray, new: jnp.ndarray, offset: jnp.ndarray):
-    """Write new [B, S, ...] into buf [B, Smax, ...] at per-seq offset [B]."""
+    """Write new [B, S, ...] into buf [B, Smax, ...] at per-seq offset [B].
+
+    B=1 uses a plain dynamic_update_slice: the vmapped per-row DUS lowers
+    to a scatter, which XLA:TPU neither aliases nor updates in place —
+    lab13 (r5) measured the 54 per-layer cache writes at ~1.0 ms/step of
+    the 16B decode program (~18 us per 1.2 MB write); the direct DUS is
+    aliasable and effectively free."""
+    if buf.shape[0] == 1:
+        return jax.lax.dynamic_update_slice(
+            buf, new.astype(buf.dtype),
+            (jnp.zeros((), offset.dtype), offset.reshape(-1)[0])
+            + (jnp.zeros((), offset.dtype),) * (buf.ndim - 2),
+        )
 
     def one(b, n, off):
         return jax.lax.dynamic_update_slice(
