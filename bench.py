@@ -280,6 +280,8 @@ def main():
         ("speculative", "BENCH_SPECULATIVE.json",
          ("speedup_measured", "acceptance_measured")),
         ("longctx", "BENCH_LONGCTX.json", ()),
+        ("needle", "BENCH_NEEDLE.json",
+         ("1048576.block_max.retrieval_acc", "65536.quest.dense_cosine")),
         ("offload", "BENCH_OFFLOAD.json", ("total_tok_s",)),
         ("sft", "BENCH_SFT.json", ("step_ms", "hbm_peak_gb")),
     ):
@@ -287,7 +289,7 @@ def main():
         if key == "longctx":
             # best 1M + 512K rows if present
             picked = _pick(
-                fname, "1M_12layer.quest_tok_s", "512K_12layer.quest_tok_s"
+                fname, "1M_6layer.quest_tok_s", "512K_12layer.quest_tok_s"
             ) or _pick(fname, "512K_12layer.quest_tok_s")
         if picked:
             extra[key] = picked

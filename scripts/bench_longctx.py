@@ -257,6 +257,13 @@ def main():
         ("128K", 27, 131072, ["dense", "quest"]),
         ("256K_12layer", 12, 262144, ["dense", "quest", "prefill"]),
         ("512K_12layer", 12, 524288, ["quest"]),
+        # 1M row (VERDICT r4 item 7; reference: 1M ctx @ ~16 tok/s,
+        # long_context_introduction.md:7). 6-layer slice: 12-layer KV at
+        # 1M is 14.4 GB and cannot sit beside any weights; 6 layers =
+        # 7.2 GB KV + 2.1 GB weights. Scale by 27/6 for the full model.
+        # Needle-accuracy at 1M is recorded per anchor in
+        # BENCH_NEEDLE.json (scripts/bench_needle.py).
+        ("1M_6layer", 6, 1048576, ["quest", "block_max", "prefill"]),
     ]
     for name, layers, ctx, modes in MATRIX:
         row = {}
@@ -281,7 +288,9 @@ def main():
         "broken block_until_ready barrier). 256K/512K rows run a 12-layer "
         "slice of the same model (27-layer KV at 256K is 8.2 GB and the "
         "16B weights leave no room on one 16 GB chip); per-layer cost is "
-        "identical, so scale by 27/12 for the full-model estimate."
+        "identical, so scale by 27/12 (27/6 for the 1M row) for the "
+        "full-model estimate. Retrieval accuracy per anchor/depth incl. "
+        "1M: BENCH_NEEDLE.json."
     )
     print(json.dumps(out))
     with open("/root/repo/BENCH_LONGCTX.json", "w") as f:

@@ -49,12 +49,16 @@ def main():
 
     t0 = time.perf_counter()
     loss0 = trainer.train_step(ids, labels)
+    loss0 = float(loss0)  # real barrier (block_until_ready is a no-op
+    # on axon; r5 honest-readback rule)
     compile_s = time.perf_counter() - t0
 
     n = 4
     t0 = time.perf_counter()
     for _ in range(n):
         loss = trainer.train_step(ids, labels)
+    loss = float(loss)  # readback INSIDE the timed region: without it
+    # this loop measured host dispatch rate, not step time
     step_s = (time.perf_counter() - t0) / n
 
     # device.memory_stats() returns None on the axon backend (r3 shipped
@@ -84,8 +88,8 @@ def main():
         "adapters, 1 x seq " + str(seq) + ", 1 TPU v5e chip",
         "step_s": round(step_s, 3),
         "tok_s": round(seq / step_s, 1),
-        "loss_first": round(float(loss0), 3),
-        "loss_last": round(float(loss), 3),
+        "loss_first": round(loss0, 3),
+        "loss_last": round(loss, 3),
         "compile_s": round(compile_s, 1),
         "pallas_active": pallas_active,
         **mem,
