@@ -65,8 +65,14 @@ def _load(model_path, quant, moe_quant, config_path, placement_yaml,
 @click.option("--temperature", default=0.6, show_default=True)
 @click.option("--top-p", default=0.95, show_default=True)
 @click.option("--max-len", default=4096, show_default=True)
+@click.option("--speculative-model", default=None,
+              help="path to a smaller DRAFT model sharing the tokenizer; "
+              "greedy requests then run draft-model speculation "
+              "(engine/draft_spec.py; reference --speculative_model, "
+              "archive/ktransformers/server/args.py:31)")
 def chat(model_path, quant, moe_quant, config_path, placement_yaml,
-         tokenizer_path, max_new_tokens, temperature, top_p, max_len):
+         tokenizer_path, max_new_tokens, temperature, top_p, max_len,
+         speculative_model):
     """Interactive chat with a local model (local_chat analog)."""
     from ktransformers_tpu.engine.local_chat import chat_loop, load_tokenizer
 
@@ -74,10 +80,18 @@ def chat(model_path, quant, moe_quant, config_path, placement_yaml,
         model_path, quant, moe_quant, config_path, placement_yaml
     )
     tok = load_tokenizer(model_path, tokenizer_path)
+    draft = None
+    if speculative_model:
+        d_spec, d_params = _load(
+            speculative_model, quant, moe_quant, None, None
+        )
+        from ktransformers_tpu.engine.generate import Generator
+
+        draft = Generator(d_params, d_spec, max_len=max_len, batch=1)
     chat_loop(
         spec, params, tok,
         max_len=max_len, max_new_tokens=max_new_tokens,
-        temperature=temperature, top_p=top_p,
+        temperature=temperature, top_p=top_p, draft=draft,
     )
 
 

@@ -14,6 +14,7 @@ import sys
 import time
 
 import jax.numpy as jnp
+import numpy as np
 
 from ktransformers_tpu.engine.generate import GenerateConfig, Generator
 from ktransformers_tpu.engine.sampler import SamplingConfig
@@ -167,6 +168,8 @@ def chat_loop(
     max_new_tokens: int = 512,
     temperature: float = 0.6,
     top_p: float = 0.95,
+    draft=None,  # optional draft Generator: greedy turns run
+    # draft-model speculation (engine/draft_spec.py)
 ):
     """Interactive REPL (reference local_chat.py main loop)."""
     gen = Generator(params, spec, max_len=max_len, batch=1)
@@ -197,15 +200,19 @@ def chat_loop(
             pieces.append(text)
             print(text, end="", flush=True)
 
-        out = gen.generate(
-            [list(ids)],
-            GenerateConfig(
-                max_new_tokens=max_new_tokens,
-                sampling=SamplingConfig(temperature=temperature, top_p=top_p),
-                eos_token_id=getattr(tokenizer, "eos_token_id", None),
-            ),
-            on_token=on_token,
-        )[0]
+        cfg_g = GenerateConfig(
+            max_new_tokens=max_new_tokens,
+            sampling=SamplingConfig(temperature=temperature, top_p=top_p),
+            eos_token_id=getattr(tokenizer, "eos_token_id", None),
+        )
+        if draft is not None and temperature <= 0:
+            from ktransformers_tpu.engine.draft_spec import draft_generate
+
+            out, _stats = draft_generate(gen, draft, list(ids), cfg_g)
+            for t in out:
+                on_token(np.asarray([t]))
+        else:
+            out = gen.generate([list(ids)], cfg_g, on_token=on_token)[0]
         dt = time.perf_counter() - t0
         print(
             f"\n[{len(out)} tokens, {len(out)/dt:.1f} tok/s]",
