@@ -34,6 +34,25 @@ from ktransformers_tpu.ops.pallas.quant_matmul import (
 from ktransformers_tpu.quant.formats import QTensor
 
 
+def _pad_n(n: int, bn: int, *arrays):
+    """Zero-pad each array's LAST axis from n to the next multiple of bn.
+
+    In the transposed kernels N is the CONTRACTION axis, so a partial
+    last n-block would read out-of-bounds garbage that contaminates every
+    output element (r5: the fused-QKV N=3648 has no 128-multiple divisor;
+    uninitialized tail floats carried NaNs and the whole SFT backward
+    NaN'd — the forward kernels only leak garbage into discarded output
+    columns, which is why this went unnoticed). Explicit zeros are exact:
+    0-valued dy/scales annihilate whatever the padded codes decode to."""
+    npad = -(-n // bn) * bn
+    if npad == n:
+        return arrays
+    return tuple(
+        jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, npad - n)])
+        for a in arrays
+    )
+
+
 def _mx_scale_exp(s_u8, n_groups, rows_per_group, k_rows, bn):
     """ue8m0 exponents [>=ng, bn] -> f32 scales expanded to [k_rows, bn]."""
     s = jnp.exp2(
@@ -173,7 +192,9 @@ def quant_matmul_t(dy: jnp.ndarray, w: QTensor, interpret: bool = False):
     if w.kind in ("int8", "fp8"):
         kdim = w.data.shape[-2]
         bn = _pick_bn(n, kdim)
-        grid = (m_tiles, pl.cdiv(n, bn))
+        dy2p, wd, ws = _pad_n(n, bn, dy2, w.data, w.scales)
+        np_ = dy2p.shape[-1]
+        grid = (m_tiles, np_ // bn)
         dx = pl.pallas_call(
             functools.partial(_int8_t_kernel, n_s=grid[1]),
             grid=grid,
@@ -185,7 +206,7 @@ def quant_matmul_t(dy: jnp.ndarray, w: QTensor, interpret: bool = False):
             out_specs=pl.BlockSpec((bm, kdim), lambda i, j: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((m8, kdim), jnp.float32),
             interpret=interpret,
-        )(dy2, w.data, w.scales)
+        )(dy2p, wd, ws)
         return dx[:m].reshape(*lead, kdim)
 
     if w.kind in INT4_KINDS:
@@ -207,7 +228,8 @@ def quant_matmul_t(dy: jnp.ndarray, w: QTensor, interpret: bool = False):
         if has_zeros:
             ins.append(w.zeros.reshape(-1, n))
             in_specs.append(pl.BlockSpec((ngp, bn), lambda i, j: (0, j)))
-        grid = (m_tiles, pl.cdiv(n, bn))
+        ins = list(_pad_n(n, bn, *ins))  # dy2, data, scales(, zeros)
+        grid = (m_tiles, ins[0].shape[-1] // bn)
         dxl, dxh = pl.pallas_call(
             functools.partial(
                 _int4_t_kernel, n_groups=ng, gs2=gs2, has_zeros=has_zeros,
@@ -235,7 +257,8 @@ def quant_matmul_t(dy: jnp.ndarray, w: QTensor, interpret: bool = False):
         ng = kdim // gs
         bn = _pick_bn(n, k2 * 13)
         scales = w.scales.reshape(-1, n)
-        grid = (m_tiles, pl.cdiv(n, bn))
+        dy2, wdat, scales = _pad_n(n, bn, dy2, w.data, scales)
+        grid = (m_tiles, dy2.shape[-1] // bn)
         dxl, dxh = pl.pallas_call(
             functools.partial(
                 _mx4_t_kernel, n_groups=ng, gs2=gs // 2, n_s=grid[1]
@@ -255,7 +278,7 @@ def quant_matmul_t(dy: jnp.ndarray, w: QTensor, interpret: bool = False):
                 jax.ShapeDtypeStruct((m8, k2), jnp.float32),
             ],
             interpret=interpret,
-        )(dy2, w.data, scales)
+        )(dy2, wdat, scales)
         dx = merge_int4_halves(dxl[:m], dxh[:m], kdim, gs)
         return dx.reshape(*lead, kdim)
 
@@ -265,7 +288,8 @@ def quant_matmul_t(dy: jnp.ndarray, w: QTensor, interpret: bool = False):
         ng = kdim // gs
         bn = _pick_bn(n, kdim * 9)
         scales = w.scales.reshape(-1, n)
-        grid = (m_tiles, pl.cdiv(n, bn))
+        dy2, wdat, scales = _pad_n(n, bn, dy2, w.data, scales)
+        grid = (m_tiles, dy2.shape[-1] // bn)
         dx = pl.pallas_call(
             functools.partial(
                 _mx8_t_kernel, n_groups=ng, gs=gs, n_s=grid[1]
@@ -279,7 +303,7 @@ def quant_matmul_t(dy: jnp.ndarray, w: QTensor, interpret: bool = False):
             out_specs=pl.BlockSpec((bm, kdim), lambda i, j: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((m8, kdim), jnp.float32),
             interpret=interpret,
-        )(dy2, w.data, scales)
+        )(dy2, wdat, scales)
         return dx[:m].reshape(*lead, kdim)
 
     raise ValueError(f"quant_matmul_t: unsupported kind {w.kind}")
@@ -377,9 +401,11 @@ def grouped_quant_matmul_t(
     if w.kind in ("int8", "fp8"):
         kdim = w.data.shape[-2]
         bn = _pick_bn(n, kdim)
+        dyp, wd, ws = _pad_n(n, bn, dy_tiles, w.data, w.scales)
+        nb = dyp.shape[-1] // bn
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(mtiles, pl.cdiv(n, bn)),
+            grid=(mtiles, nb),
             in_specs=[
                 pl.BlockSpec((bm, bn), lambda i, j, tg: (i, j)),
                 pl.BlockSpec((1, kdim, bn), lambda i, j, tg: (tg[i], 0, j)),
@@ -388,11 +414,11 @@ def grouped_quant_matmul_t(
             out_specs=pl.BlockSpec((bm, kdim), lambda i, j, tg: (i, 0)),
         )
         dx = pl.pallas_call(
-            functools.partial(_grouped_int8_t_kernel, n_s=pl.cdiv(n, bn)),
+            functools.partial(_grouped_int8_t_kernel, n_s=nb),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((mpad, kdim), jnp.float32),
             interpret=interpret,
-        )(tile_group, dy_tiles, w.data, w.scales)
+        )(tile_group, dyp, wd, ws)
         return dx
 
     if w.kind in INT4_KINDS:
@@ -416,9 +442,11 @@ def grouped_quant_matmul_t(
             in_specs.append(
                 pl.BlockSpec((1, ngp, bn), lambda i, j, tg: (tg[i], 0, j))
             )
+        ins = [ins[0]] + list(_pad_n(n, bn, *ins[1:]))
+        nb = ins[1].shape[-1] // bn
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(mtiles, pl.cdiv(n, bn)),
+            grid=(mtiles, nb),
             in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((bm, k2), lambda i, j, tg: (i, 0)),
@@ -429,7 +457,7 @@ def grouped_quant_matmul_t(
             functools.partial(
                 _grouped_t_kernel, n_groups=ng, gs2=gs2,
                 has_zeros=has_zeros, offset_lo=w.act_quant,
-                n_s=pl.cdiv(n, bn),
+                n_s=nb,
             ),
             grid_spec=grid_spec,
             out_shape=[
@@ -447,9 +475,11 @@ def grouped_quant_matmul_t(
         ng = kdim // gs
         bn = _pick_bn(n, k2 * 13)
         scales = w.scales.reshape(e, -1, n)
+        dy_t, wdat, scales = _pad_n(n, bn, dy_tiles, w.data, scales)
+        nb = dy_t.shape[-1] // bn
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(mtiles, pl.cdiv(n, bn)),
+            grid=(mtiles, nb),
             in_specs=[
                 pl.BlockSpec((bm, bn), lambda i, j, tg: (i, j)),
                 pl.BlockSpec((1, k2, bn), lambda i, j, tg: (tg[i], 0, j)),
@@ -465,7 +495,7 @@ def grouped_quant_matmul_t(
         dxl, dxh = pl.pallas_call(
             functools.partial(
                 _grouped_mx4_t_kernel, n_groups=ng, gs2=gs // 2,
-                n_s=pl.cdiv(n, bn),
+                n_s=nb,
             ),
             grid_spec=grid_spec,
             out_shape=[
@@ -473,7 +503,7 @@ def grouped_quant_matmul_t(
                 jax.ShapeDtypeStruct((mpad, k2), jnp.float32),
             ],
             interpret=interpret,
-        )(tile_group, dy_tiles, w.data, scales)
+        )(tile_group, dy_t, wdat, scales)
         return merge_int4_halves(dxl, dxh, kdim, gs)
 
     if w.kind == "mxfp8":
@@ -482,9 +512,11 @@ def grouped_quant_matmul_t(
         ng = kdim // gs
         bn = _pick_bn(n, kdim * 9)
         scales = w.scales.reshape(e, -1, n)
+        dy_t, wdat, scales = _pad_n(n, bn, dy_tiles, w.data, scales)
+        nb = dy_t.shape[-1] // bn
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(mtiles, pl.cdiv(n, bn)),
+            grid=(mtiles, nb),
             in_specs=[
                 pl.BlockSpec((bm, bn), lambda i, j, tg: (i, j)),
                 pl.BlockSpec((1, kdim, bn), lambda i, j, tg: (tg[i], 0, j)),
@@ -497,12 +529,12 @@ def grouped_quant_matmul_t(
         dx = pl.pallas_call(
             functools.partial(
                 _grouped_mx8_t_kernel, n_groups=ng, gs=gs,
-                n_s=pl.cdiv(n, bn),
+                n_s=nb,
             ),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((mpad, kdim), jnp.float32),
             interpret=interpret,
-        )(tile_group, dy_tiles, w.data, scales)
+        )(tile_group, dy_t, wdat, scales)
         return dx
 
     raise ValueError(f"grouped_quant_matmul_t: unsupported kind {w.kind}")

@@ -127,7 +127,8 @@ def main():
                 doc = json.load(f)
         except Exception:
             pass
-        doc = {k: v for k, v in doc.items() if k.startswith("concurrency")}
+        doc = {k: v for k, v in doc.items()
+               if k.startswith("concurrency") and isinstance(v, dict)}
         doc[f"concurrency{args.concurrency}"] = result
         with open(path, "w") as f:
             json.dump(doc, f, indent=1)

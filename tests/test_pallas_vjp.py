@@ -115,3 +115,26 @@ def test_custom_vjp_zero_weight_cotangents(rng):
         assert float(jnp.sum(dw.scales)) == 0
     finally:
         V._INTERPRET = False
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("kind", ["int8", "int4_g", "mxfp4", "mxfp8"])
+def test_quant_matmul_t_nondivisible_n(rng, kind):
+    """N with no 128-multiple divisor (the fused-QKV 3648 case, scaled):
+    the transposed contraction must zero-pad the partial last n-block —
+    an unmasked OOB tail poisons EVERY output element because N is the
+    contraction axis (r5 SFT-NaN root cause)."""
+    k, n = 256, 1824  # 1824 = 14.25 * 128
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.1)
+    qt = quantize(w, kind, group_size=128)
+    if kind.startswith("int4"):
+        qt = pad_scale_sublanes(repack_offset_lo(qt))
+    dy = jnp.asarray(rng.standard_normal((9, n)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    ref = np.asarray(
+        dy.astype(jnp.float32) @ dequantize(qt, jnp.float32).T, np.float32
+    )
+    out = np.asarray(quant_matmul_t(dy, qt, interpret=True), np.float32)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
