@@ -281,7 +281,7 @@ def main():
          ("speedup_measured", "acceptance_measured")),
         ("longctx", "BENCH_LONGCTX.json", ()),
         ("needle", "BENCH_NEEDLE.json",
-         ("1048576.block_max.retrieval_acc", "65536.quest.dense_cosine")),
+         ("1048576.quest.outlier_acc", "65536.quest.dense_cosine")),
         ("offload", "BENCH_OFFLOAD.json", ("total_tok_s",)),
         ("sft", "BENCH_SFT.json", ("step_ms", "hbm_peak_gb")),
     ):
