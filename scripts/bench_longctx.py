@@ -194,12 +194,14 @@ def main():
                     bufs_a=bufs_a, bufs_b=bufs_b, page_size=args.page,
                 )
                 rope = precompute_rope_tables(spec.rope)
-            chunk = 2048
+            chunk = int(os.environ.get("KT_LONGCTX_CHUNK", "2048"))
             toks = jnp.zeros((1, chunk), jnp.int32)
             depth = jnp.asarray([ctx - chunk - 2], jnp.int32)
 
-            @jax.jit
+            @partial(jax.jit, donate_argnums=(2,))
             def pre_step(params, toks, kv, pt, depth, rope):
+                # donate kv: without it the in+out page pools co-reside
+                # (2x 7.2 GB at 1M/6-layer -> RESOURCE_EXHAUSTED)
                 logits, kv = forward_paged(
                     params, spec, toks, kv, pt, depth, rope_tables=rope,
                     logits_last_only=True,
