@@ -468,7 +468,12 @@ def mtp_generate_single(
     h_bonus = th[:, -1:]
     stats = SpecStats()
 
-    depth = max(1, int(os.environ.get("KT_SPEC_PIPELINE", "4")))  # depth 4 measured 1.18x vs depth 2 0.72x (r4: resolve readbacks land free once wall-time > RTT)
+    depth = max(1, int(os.environ.get("KT_SPEC_PIPELINE", "4")))
+    # r5 sweep: depth 8 / k 2 is the best measured config (round 8.7 ms,
+    # 273.8 tok/s, acceptance 0.676) — but k=3 at depth>=8 WEDGES the
+    # tunnel (deep queues of large round programs; BENCH_SPECULATIVE
+    # r5_sweep), so the safe default stays 4; set KT_SPEC_PIPELINE=8
+    # explicitly for k<=2 workloads.
     pending = []
 
     def resolve(entry):
@@ -654,7 +659,12 @@ def mtp_generate_fused(
     h_bonus = th[:, -1:]
     stats = SpecStats()
 
-    depth = max(1, int(os.environ.get("KT_SPEC_PIPELINE", "4")))  # depth 4 measured 1.18x vs depth 2 0.72x (r4: resolve readbacks land free once wall-time > RTT)
+    depth = max(1, int(os.environ.get("KT_SPEC_PIPELINE", "4")))
+    # r5 sweep: depth 8 / k 2 is the best measured config (round 8.7 ms,
+    # 273.8 tok/s, acceptance 0.676) — but k=3 at depth>=8 WEDGES the
+    # tunnel (deep queues of large round programs; BENCH_SPECULATIVE
+    # r5_sweep), so the safe default stays 4; set KT_SPEC_PIPELINE=8
+    # explicitly for k<=2 workloads.
     pending = []  # (emitted, a) device arrays, read late
 
     def resolve(entry):
