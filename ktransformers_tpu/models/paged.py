@@ -378,7 +378,8 @@ def _gqa_paged(p, spec, x, bufs, page_tables, lengths, rope_cs, page_size,
 
 def _mla_paged_mixed(p, spec, rows, bufs, dec_tables, dec_lengths,
                      pre_table, pre_length, pre_valid, dec_rope_cs,
-                     pre_rope_cs, page_size, b_dec, s_pre, summ=None):
+                     pre_rope_cs, page_size, b_dec, s_pre, summ=None,
+                     sparse=None):
     """Mixed-step MLA attention: ONE projection/output weights pass over
     the concatenated decode+prefill rows [1, B+C*S, H]; the attention
     core splits into the paged decode kernel (B rows) and the paged
@@ -460,10 +461,27 @@ def _mla_paged_mixed(p, spec, rows, bufs, dec_tables, dec_lengths,
     scale = a.softmax_scale or (
         (nope + dr) ** -0.5 * rope_attention_scale(spec.rope)
     )
-    ctx_d = _PAGED_MLA_DECODE(
-        qn_d_eff[:, :, 0], qpe_d[:, :, 0], buf_a, buf_b,
-        dec_tables, dec_lengths + 1, scale,
-    )[:, :, None]  # [B, H, 1, R]
+    if sparse is not None and new_summ is not None:
+        # sparse decode inside the FUSED step (r5: sparse serving was the
+        # one _can_fuse_mixed exclusion left): top-K pages by anchor
+        # score over the planes updated by THIS step's writes
+        from ktransformers_tpu.ops.sparse_attention import (
+            sparse_mla_decode,
+        )
+
+        budget, anchor, retrieval = sparse
+        ctx_d = sparse_mla_decode(
+            qn_d_eff[:, :, 0].astype(jnp.float32),
+            qpe_d[:, :, 0].astype(jnp.float32),
+            buf_a, buf_b, new_summ["smin"], new_summ["smax"],
+            dec_tables, dec_lengths + 1, page_size, budget, scale,
+            anchor=anchor, retrieval=retrieval, planes=new_summ,
+        )[:, :, None]
+    else:
+        ctx_d = _PAGED_MLA_DECODE(
+            qn_d_eff[:, :, 0], qpe_d[:, :, 0], buf_a, buf_b,
+            dec_tables, dec_lengths + 1, scale,
+        )[:, :, None]  # [B, H, 1, R]
     ctx_p = _PAGED_MLA_PREFILL(
         qn_p_eff, qpe_p, buf_a, buf_b, pre_table, pre_length, pre_valid,
         scale,
@@ -492,7 +510,7 @@ def _mla_paged_mixed(p, spec, rows, bufs, dec_tables, dec_lengths,
 def _gqa_paged_mixed(p, spec, rows, bufs, dec_tables, dec_lengths,
                      pre_table, pre_length, pre_valid, dec_rope_cs,
                      pre_rope_cs, page_size, b_dec, s_pre,
-                     use_rope=True, window=0, summ=None):
+                     use_rope=True, window=0, summ=None, sparse=None):
     """Mixed-step GQA attention (see _mla_paged_mixed)."""
     a = spec.attention
     h, hkv, d = a.num_heads, a.num_kv_heads, a.head_dim
@@ -578,10 +596,22 @@ def _gqa_paged_mixed(p, spec, rows, bufs, dec_tables, dec_lengths,
         )
 
     scale = a.softmax_scale or d**-0.5
-    out_d = _PAGED_GQA_DECODE(
-        q_d[:, 0], buf_a, buf_b, dec_tables, dec_lengths + 1, scale,
-        window,
-    )  # [B, H, D]
+    if sparse is not None and new_summ is not None and window == 0:
+        from ktransformers_tpu.ops.sparse_attention import (
+            sparse_gqa_decode,
+        )
+
+        budget, anchor, retrieval = sparse
+        out_d = sparse_gqa_decode(
+            q_d[:, 0], buf_a, buf_b, new_summ["smin"], new_summ["smax"],
+            dec_tables, dec_lengths + 1, page_size, budget, scale,
+            anchor=anchor, retrieval=retrieval, planes=new_summ,
+        )
+    else:
+        out_d = _PAGED_GQA_DECODE(
+            q_d[:, 0], buf_a, buf_b, dec_tables, dec_lengths + 1, scale,
+            window,
+        )  # [B, H, D]
     out_p = _PAGED_GQA_PREFILL(
         q_p.transpose(0, 2, 1, 3), buf_a, buf_b, pre_table, pre_length,
         pre_valid, scale, window,
@@ -616,6 +646,11 @@ def forward_paged_mixed(
     pre_valid: jnp.ndarray,  # [C] live tokens in each chunk
     rope_tables=None,
     compute_dtype=jnp.bfloat16,
+    sparse_budget: int | None = None,  # decode rows attend top-K pages
+    # by anchor score (requires a summaries=True cache); prefill chunks
+    # stay dense and update the planes
+    sparse_anchor: str = "quest",
+    sparse_retrieval: str = "layer",
 ):
     """ONE model invocation for a mixed scheduler batch (VERDICT r3 item
     4; reference: balance_serve's combined ForwardBatchInput,
@@ -645,6 +680,10 @@ def forward_paged_mixed(
     pre_rope = (cos_t[pre_pos], sin_t[pre_pos])
 
     mla = spec.attention.kind == "mla"
+    sparse = (
+        (sparse_budget, sparse_anchor, sparse_retrieval)
+        if sparse_budget is not None else None
+    )
     plane_names = [
         n for n in ("smin", "smax", "ssum", "sfix", "sdyn")
         if getattr(kv, n) is not None
@@ -670,6 +709,7 @@ def forward_paged_mixed(
                 lp["attn"], spec, xn, (kv.bufs_a[li], kv.bufs_b[li]),
                 dec_tables, dec_lengths, pre_table, pre_length, pre_valid,
                 dec_rope, pre_rope, kv.page_size, b, s, summ,
+                sparse=sparse,
             )
         else:
             attn_out, (buf_a, buf_b), nsm = _gqa_paged_mixed(
@@ -677,6 +717,7 @@ def forward_paged_mixed(
                 dec_tables, dec_lengths, pre_table, pre_length, pre_valid,
                 dec_rope, pre_rope, kv.page_size, b, s,
                 spec.layer_uses_rope(li), spec.layer_window(li), summ,
+                sparse=sparse,
             )
         new_a.append(buf_a)
         new_b.append(buf_b)

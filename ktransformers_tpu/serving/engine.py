@@ -320,6 +320,9 @@ class ServeEngine:
                     params, spec, dec_tokens, pre_tokens, kv,
                     dec_tables, dec_lengths, pre_table, pre_length,
                     pre_valid, rope_tables=rope, compute_dtype=cdt,
+                    sparse_budget=self.sparse_budget,
+                    sparse_anchor=self.sparse_anchor,
+                    sparse_retrieval=self.sparse_retrieval,
                 )
                 key, sub = jax.random.split(key)
                 toks = sample_batched(
@@ -337,7 +340,6 @@ class ServeEngine:
         return (
             os.environ.get("KT_FUSED_MIXED", "1") != "0"
             and not self._hybrid
-            and self.sparse_budget is None
             and not self.collect_routing
             and not any(q.sampling.needs_counts for q in qs)
             and paged_model._PAGED_MLA_DECODE is not None

@@ -166,3 +166,67 @@ def test_serving_sparse_budget_full_equals_dense():
                      sparse_budget=8)
     got = [sp.generate_sync(p, max_new_tokens=6) for p in prompts]
     assert got == expected
+
+
+@pytest.mark.fast
+def test_sparse_fused_mixed_matches_unfused(monkeypatch):
+    """Sparse serving through the FUSED mixed step (r5: the last
+    _can_fuse_mixed exclusion): staggered submissions force mixed
+    decode+prefill programs with sparse_budget set; tokens must match the
+    unfused sparse engine exactly (budget covers the whole table)."""
+    from ktransformers_tpu.models import paged as paged_model
+    from ktransformers_tpu.ops.pallas.paged_attention import (
+        gqa_paged_decode,
+        gqa_paged_prefill,
+        mla_paged_decode,
+        mla_paged_prefill,
+    )
+    from ktransformers_tpu.serving.engine import ServeEngine
+    from ktransformers_tpu.serving.scheduler import SchedulerConfig
+
+    paged_model.set_pallas_paged_decode(
+        lambda qn, qp, ckv, kpe, pt, lens, scale: mla_paged_decode(
+            qn, qp, ckv, kpe, pt, lens, scale, interpret=True
+        ),
+        lambda q, k, v, pt, lens, scale, window=0: gqa_paged_decode(
+            q, k, v, pt, lens, scale, window=window, interpret=True
+        ),
+    )
+    paged_model.set_pallas_paged_prefill(
+        lambda qn, qp, ckv, kpe, pt, lens, valid, scale: mla_paged_prefill(
+            qn, qp, ckv, kpe, pt, lens, valid, scale, interpret=True
+        ),
+        lambda q, k, v, pt, lens, valid, scale, window: gqa_paged_prefill(
+            q, k, v, pt, lens, valid, scale, window=window, interpret=True
+        ),
+    )
+    try:
+        spec = spec_from_hf_config(dict(TINY_DS))
+        params = init_params(spec, seed=0, quant="bf16")
+        cfg = dict(max_batch_size=2, prefill_chunk=8, page_size=8,
+                   max_pages_per_query=8)
+
+        def run(fused):
+            monkeypatch.setenv("KT_FUSED_MIXED", "1" if fused else "0")
+            eng = ServeEngine(
+                params, spec, SchedulerConfig(**cfg), num_pages=32,
+                cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+                sparse_budget=8, enable_prefix_cache=False,
+            )
+            q1 = eng.submit(list(range(4, 14)), max_new_tokens=10)
+            for _ in range(20):
+                eng.step()
+                if q1.state == "decode":
+                    break
+            q2 = eng.submit(list(range(20, 37)), max_new_tokens=6)
+            while q1.state != "done" or q2.state != "done":
+                if not eng.step():
+                    break
+            return list(q1.output_ids), list(q2.output_ids)
+
+        fused_out = run(True)
+        unfused_out = run(False)
+        assert fused_out == unfused_out
+    finally:
+        paged_model.set_pallas_paged_decode(None, None)
+        paged_model.set_pallas_paged_prefill(None, None)
