@@ -64,6 +64,17 @@ def set_pallas_ffn(fn) -> None:
     _PALLAS_FFN = fn
 
 
+_PALLAS_GROUPED_FFN = None
+
+
+def set_pallas_grouped_ffn(fn) -> None:
+    """Fused prefill expert-FFN kernel over the sorted expert-tile layout
+    (gate_up -> GLU -> down in one launch per tile); fn returns None when
+    the weights/activation are ineligible."""
+    global _PALLAS_GROUPED_FFN
+    _PALLAS_GROUPED_FFN = fn
+
+
 _PALLAS_DENSE_FFN = None
 
 
@@ -387,11 +398,23 @@ def moe_forward(
         )
         return h + lb.astype(h.dtype)
 
-    h = grouped_matmul(xs, weights.gate_up, group_sizes, impl=cfg.impl)
-    h = lora_add(h, xs, "gate_up")
-    a = glu_activate(h[:, :inter], h[:, inter:], cfg.activation)
-    y = grouped_matmul(a, weights.down, group_sizes, impl=cfg.impl)  # [T*k, d]
-    y = lora_add(y, a, "down")
+    y = None
+    if (
+        _PALLAS_GROUPED_FFN is not None
+        and weights.lora is None
+        and cfg.impl in ("auto", "pallas")
+    ):
+        # one launch per expert tile: the two grouped matmuls, the GLU
+        # round trip, and the down-input re-quant never touch HBM
+        y = _PALLAS_GROUPED_FFN(
+            xs, weights.gate_up, weights.down, group_sizes, cfg.activation
+        )
+    if y is None:
+        h = grouped_matmul(xs, weights.gate_up, group_sizes, impl=cfg.impl)
+        h = lora_add(h, xs, "gate_up")
+        a = glu_activate(h[:, :inter], h[:, inter:], cfg.activation)
+        y = grouped_matmul(a, weights.down, group_sizes, impl=cfg.impl)
+        y = lora_add(y, a, "down")
 
     combine = (topk_weights.reshape(-1) * keep)[sort_order]
     y = y * combine[:, None].astype(y.dtype)

@@ -66,6 +66,8 @@ def enable() -> None:
         dense_w4a8_ffn,
         ffn_fits,
         gathered_w4a8_ffn,
+        grouped_ffn_fits,
+        grouped_w4a8_ffn,
     )
 
     def _ffn(x_rows, gate_up, down, ids, act_cfg):
@@ -80,6 +82,19 @@ def enable() -> None:
             return None
         return gathered_w4a8_ffn(x_rows, gate_up, down, ids,
                                  act=act_cfg.kind)
+
+    def _grouped_ffn(x_sorted, gate_up, down, group_sizes, act_cfg):
+        if gate_up.kind not in PALLAS_KINDS or down.kind not in PALLAS_KINDS:
+            return None
+        if _os.environ.get("KT_GROUPED_FFN", "1") == "0":
+            return None
+        from ktransformers_tpu.ops.pallas.quant_matmul import GROUP_BM
+
+        if not grouped_ffn_fits(gate_up, down, act_cfg.kind,
+                                act_cfg.swiglu_limit, bm=GROUP_BM):
+            return None
+        return grouped_w4a8_ffn(x_sorted, gate_up, down, group_sizes,
+                                act=act_cfg.kind)
 
     def _dense_ffn(rows, gate_up, down, act_cfg):
         if (gate_up.kind not in PALLAS_KINDS
@@ -102,6 +117,7 @@ def enable() -> None:
     moe.set_pallas_gather(_gather)
     moe.set_pallas_gmm(_gmm)
     moe.set_pallas_ffn(_ffn)
+    moe.set_pallas_grouped_ffn(_grouped_ffn)
     moe.set_pallas_dense_ffn(_dense_ffn)
     attention.set_pallas_mla_decode(_mla_decode)
     import os as _os

@@ -698,6 +698,214 @@ def grouped_w4a8_matmul(
     return out.astype(out_dtype)
 
 
+def _grouped_ffn_kernel(tg_ref, nlive_ref, qa_ref, qb_ref, sa_ref, sb_ref,
+                        t_ref, xs_ref, *rest, ng1, gs2_1, gz1, ng2, gs2_2,
+                        gz2, inter, act):
+    """Whole expert FFN for one bm-row expert tile: gate_up int8-MXU dots
+    -> GLU -> in-kernel activation re-quant -> down int8-MXU dots, writing
+    the tile's FFN output in ONE launch. The prefill companion of
+    _ffn_w4a8_kernel (decode, one row per grid step): here the grid is the
+    sorted expert-tile layout of grouped_quant_matmul, so the unfused
+    chain's f32 intermediates (gate_up out 4B*M*2I, the GLU round trip,
+    the down re-prep) never touch HBM — at S=512 on the 16B bench model
+    those intermediates are ~220 MB/layer of the ~750 MB routed traffic.
+
+    Weight decode is per group slice (the _dense_w4a8_kernel discipline)
+    so temps stay [gs2, bn]. Trailing all-padding tiles (the layout's
+    static worst case allocates cdiv(m,bm)+e tiles) skip all compute via
+    the prefetched live-tile count and write zeros; their weight blocks
+    all index expert e-1 consecutively, so Mosaic's pipeline skips the
+    re-fetch and dead tiles cost neither HBM nor MXU.
+
+    Reference analog: the prefill expert FFN pass of
+    kt-kernel/operators/amx/moe_base.hpp forward_prefill (gate+up GEMM ->
+    act -> down GEMM per expert bucket, fused at the tile level)."""
+    rest = list(rest)
+    gu_w = rest.pop(0)
+    gu_s = rest.pop(0)
+    gu_z = rest.pop(0) if gz1 else None
+    dn_w = rest.pop(0)
+    dn_s = rest.pop(0)
+    dn_z = rest.pop(0) if gz2 else None
+    o_ref = rest.pop(0)
+    i = pl.program_id(0)
+
+    @pl.when(i >= nlive_ref[0])
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(i < nlive_ref[0])
+    def _():
+        qa, qb = qa_ref[:], qb_ref[:]
+        sa, sb, t, xsum = sa_ref[:], sb_ref[:], t_ref[:], xs_ref[:]
+        m = qa.shape[0]
+        n2x = gu_w.shape[-1]
+        h = jnp.zeros((m, n2x), jnp.float32)
+        for g in range(ng1):
+            wl = slice(g * gs2_1, (g + 1) * gs2_1)
+            braw = gu_w[0, wl]
+            u = braw & jnp.int8(0xF)
+            pa = jnp.dot(qa[:, wl], u, preferred_element_type=jnp.int32)
+            pb = jnp.dot(qb[:, wl], braw, preferred_element_type=jnp.int32)
+            val = (
+                pa.astype(jnp.float32) * sa[:, g][:, None]
+                + pb.astype(jnp.float32) * sb[:, g][:, None]
+                - t[:, g][:, None]
+            )
+            if gz1:
+                val = val - xsum[:, g][:, None] * gu_z[0][g][None, :]
+            h += val * gu_s[0][g][None, :]
+        a = _glu(h[:, :inter], h[:, inter:], act)  # [bm, inter] f32
+
+        kdim_out = dn_w.shape[-1]
+        gs = 2 * gs2_2
+        y = jnp.zeros((m, kdim_out), jnp.float32)
+        for g in range(ng2):
+            seg = a[:, g * gs : (g + 1) * gs]
+            lo, hi = seg[:, :gs2_2], seg[:, gs2_2:]
+            ca, sa2 = _quant_rows(lo - hi / 16.0)
+            cb, sb2 = _quant_rows(hi / 16.0)
+            wl = slice(g * gs2_2, (g + 1) * gs2_2)
+            braw = dn_w[0, wl]
+            u = braw & jnp.int8(0xF)
+            pa = jnp.dot(ca, u, preferred_element_type=jnp.int32)
+            pb = jnp.dot(cb, braw, preferred_element_type=jnp.int32)
+            val = (
+                pa.astype(jnp.float32) * sa2[:, None]
+                + pb.astype(jnp.float32) * sb2[:, None]
+                - 8.0 * jnp.sum(lo, -1)[:, None]
+            )
+            if gz2:
+                val = val - jnp.sum(lo + hi, -1)[:, None] * dn_z[0][g][None, :]
+            y += val * dn_s[0][g][None, :]
+        o_ref[:] = y.astype(o_ref.dtype)
+
+
+def grouped_ffn_fits(gate_up: QTensor, down: QTensor, act_kind: str,
+                     swiglu_limit, bm: int) -> bool:
+    """Static eligibility for grouped_w4a8_ffn: act_quant int4 kinds, a
+    supported GLU, and one expert's whole gate_up+down blocks double-
+    buffered + the bm-row temps inside the scoped-VMEM stack."""
+    if not (isinstance(gate_up, QTensor) and isinstance(down, QTensor)):
+        return False
+    if not (getattr(gate_up, "act_quant", False)
+            and getattr(down, "act_quant", False)):
+        return False
+    if act_kind not in ("silu", "relu", "gelu") or swiglu_limit is not None:
+        return False
+    if gate_up.data.ndim != 3 or down.data.ndim != 3:
+        return False
+    e, k2, n2x = gate_up.data.shape
+    _, i2, kdim = down.data.shape
+    inter = n2x // 2
+    if 2 * i2 != inter or kdim != 2 * k2:
+        return False
+    gs_dn = down.group_size or inter
+    if inter % gs_dn:
+        return False
+    need = (
+        2 * (k2 * n2x + i2 * kdim)   # weight blocks double-buffered
+        + 2 * (bm * k2) * 2          # qa/qb int8 double-buffered
+        + bm * n2x * 4               # h f32
+        + bm * inter * 4             # a f32
+        + 2 * bm * kdim * 4          # y f32 + out
+        + 2 * bm * n2x * 4           # pa/pb int32 (gate_up dots)
+    )
+    return need <= 15 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("act", "interpret"))
+def grouped_w4a8_ffn(
+    x_sorted: jnp.ndarray,  # [M, K] float rows sorted by expert
+    gate_up: QTensor,  # act_quant int4 kind, [E, K/2, 2*inter]
+    down: QTensor,  # act_quant int4 kind, [E, inter/2, K]
+    group_sizes: jnp.ndarray,  # [E] int32
+    act: str = "silu",
+    interpret: bool = False,
+):
+    """Fused prefill-MoE expert FFN over the sorted expert-tile layout.
+
+    Returns [M, K] x.dtype (rows past sum(group_sizes) are zero). See
+    _grouped_ffn_kernel; callers should gate on grouped_ffn_fits."""
+    from ktransformers_tpu.ops.pallas.quant_matmul import (
+        GROUP_BM,
+        grouped_tile_layout,
+    )
+
+    m, kdim = x_sorted.shape
+    e = gate_up.data.shape[0]
+    n2x = gate_up.out_features
+    inter = n2x // 2
+    out_dtype = x_sorted.dtype
+    gs1 = gate_up.group_size or kdim
+    ng1 = kdim // gs1
+    gs_dn = down.group_size or inter
+    ng2 = inter // gs_dn
+    bm = GROUP_BM
+
+    dest, valid, tile_group, mpad = grouped_tile_layout(m, e, group_sizes, bm)
+    mtiles = mpad // bm
+    x_padded = jnp.zeros((mpad, kdim), x_sorted.dtype).at[dest].set(
+        jnp.where(valid[:, None], x_sorted, 0)
+    )
+    qa, qb, sa, sb, t, xsum = w4a8_prep(x_padded, kdim, gate_up.group_size)
+    n_live = jnp.cumsum(
+        (group_sizes.astype(jnp.int32) + bm - 1) // bm
+    )[-1:].astype(jnp.int32)
+
+    gz1 = gate_up.zeros is not None
+    gz2 = down.zeros is not None
+    gu_s = gate_up.scales.reshape(e, -1, n2x)
+    dn_s = down.scales.reshape(e, -1, kdim)
+    ng1p, ng2p = gu_s.shape[1], dn_s.shape[1]
+    k2 = kdim // 2
+    i2 = inter // 2
+    ins = [tile_group, n_live, qa, qb, sa, sb, t, xsum,
+           _as_i8(gate_up.data), gu_s]
+    in_specs = [
+        pl.BlockSpec((bm, k2), lambda i, tg, nl: (i, 0)),
+        pl.BlockSpec((bm, k2), lambda i, tg, nl: (i, 0)),
+        pl.BlockSpec((bm, ng1), lambda i, tg, nl: (i, 0)),
+        pl.BlockSpec((bm, ng1), lambda i, tg, nl: (i, 0)),
+        pl.BlockSpec((bm, ng1), lambda i, tg, nl: (i, 0)),
+        pl.BlockSpec((bm, ng1), lambda i, tg, nl: (i, 0)),
+        pl.BlockSpec((1, k2, n2x), lambda i, tg, nl: (tg[i], 0, 0)),
+        pl.BlockSpec((1, ng1p, n2x), lambda i, tg, nl: (tg[i], 0, 0)),
+    ]
+    if gz1:
+        ins.append(gate_up.zeros.reshape(e, -1, n2x))
+        in_specs.append(
+            pl.BlockSpec((1, ng1p, n2x), lambda i, tg, nl: (tg[i], 0, 0))
+        )
+    ins += [_as_i8(down.data), dn_s]
+    in_specs += [
+        pl.BlockSpec((1, i2, kdim), lambda i, tg, nl: (tg[i], 0, 0)),
+        pl.BlockSpec((1, ng2p, kdim), lambda i, tg, nl: (tg[i], 0, 0)),
+    ]
+    if gz2:
+        ins.append(down.zeros.reshape(e, -1, kdim))
+        in_specs.append(
+            pl.BlockSpec((1, ng2p, kdim), lambda i, tg, nl: (tg[i], 0, 0))
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(mtiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, kdim), lambda i, tg, nl: (i, 0)),
+    )
+    y = pl.pallas_call(
+        functools.partial(
+            _grouped_ffn_kernel, ng1=ng1, gs2_1=gs1 // 2, gz1=gz1,
+            ng2=ng2, gs2_2=gs_dn // 2, gz2=gz2, inter=inter, act=act,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mpad, kdim), out_dtype),
+        interpret=interpret,
+    )(*ins)
+    out = jnp.where(valid[:, None], y[dest], 0)
+    return out.astype(out_dtype)
+
+
 def _pick_bm_w4a8(m8: int, k2: int, bn: int, ng: int) -> int:
     """M tile under the scoped-VMEM stack: double-buffered qa/qb planes,
     the w block + per-group decode temps, activation scales, f32 out."""

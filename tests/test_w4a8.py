@@ -306,3 +306,103 @@ def test_dense_ffn_plan_rejects():
     assert dense_ffn_plan(gu, dn, "silu", None) is None
     assert dense_ffn_plan(gu8, dn8, "silu", 7.0) is None
     assert dense_ffn_plan(gu8, dn8, "silu2", None) is None
+
+
+@pytest.mark.parametrize("kind", ["int4_g", "int4_gz"])
+def test_grouped_ffn_fused(rng, kind):
+    """grouped_w4a8_ffn (prefill fused expert FFN: gate_up -> GLU ->
+    in-kernel re-quant -> down, one launch per expert tile) matches the
+    float reference FFN at W4A8 accuracy, including empty experts, rows
+    past sum(group_sizes), and the trailing dead-tile zero path."""
+    from ktransformers_tpu.ops.moe import moe_dispatch
+    from ktransformers_tpu.ops.pallas.w4a8_matmul import (
+        grouped_ffn_fits,
+        grouped_w4a8_ffn,
+    )
+
+    e, k, inter, t, topk = 4, 256, 256, 24, 2
+    gu = jnp.asarray(
+        rng.standard_normal((e, k, 2 * inter)).astype(np.float32) * 0.1
+    )
+    dn = jnp.asarray(
+        rng.standard_normal((e, inter, k)).astype(np.float32) * 0.1
+    )
+    qgu = repack_offset_lo(quantize(gu, kind, group_size=128))
+    qdn = repack_offset_lo(quantize(dn, kind, group_size=128))
+    assert grouped_ffn_fits(qgu, qdn, "silu", None, bm=64)
+
+    ids = jnp.asarray(rng.integers(0, e - 1, (t, topk)), jnp.int32)  # e-1 empty
+    x = jnp.asarray(rng.standard_normal((t, k)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    order, token_of_row, sizes, _ = moe_dispatch(ids, e)
+    xs = x[token_of_row]
+    out = np.asarray(
+        grouped_w4a8_ffn(xs, qgu, qdn, sizes, act="silu", interpret=True),
+        np.float32,
+    )
+
+    gud = np.asarray(dequantize(qgu, jnp.float32))
+    dnd = np.asarray(dequantize(qdn, jnp.float32))
+    row_expert = np.repeat(np.arange(e), np.asarray(sizes))
+    xf = np.asarray(xs, np.float32)
+    h = np.einsum("mk,mkn->mn", xf, gud[row_expert])
+    g, u = h[:, :inter], h[:, inter:]
+    a = g / (1.0 + np.exp(-g)) * u
+    ref = np.einsum("mi,mik->mk", a, dnd[row_expert])
+    scale = max(np.abs(ref).max(), 1e-6)
+    np.testing.assert_allclose(out / scale, ref / scale, atol=4e-2)
+    # masked tail rows (beyond sum(sizes)) must come back zero
+    m = t * topk
+    assert out.shape[0] == m
+    np.testing.assert_array_equal(
+        out[int(np.asarray(sizes).sum()):],
+        np.zeros_like(out[int(np.asarray(sizes).sum()):]),
+    )
+
+
+def test_moe_forward_grouped_ffn_hook(rng):
+    """moe_forward routes the sorted grouped path through the fused FFN
+    hook when registered, matching the unhooked path at W4A8 accuracy."""
+    from ktransformers_tpu.ops import moe as moe_mod
+    from ktransformers_tpu.ops.pallas.w4a8_matmul import grouped_w4a8_ffn
+
+    e, k, inter, t, topk = 4, 256, 256, 24, 2
+    gu = jnp.asarray(
+        rng.standard_normal((e, k, 2 * inter)).astype(np.float32) * 0.1
+    )
+    dn = jnp.asarray(
+        rng.standard_normal((e, inter, k)).astype(np.float32) * 0.1
+    )
+    w = MoEWeights(
+        gate_up=repack_offset_lo(quantize(gu, "int4_g", group_size=128)),
+        down=repack_offset_lo(quantize(dn, "int4_g", group_size=128)),
+    )
+    ids = jnp.asarray(rng.integers(0, e, (t, topk)), jnp.int32)
+    tw = jnp.asarray(
+        rng.random((t, topk)).astype(np.float32)
+    )
+    x = jnp.asarray(rng.standard_normal((t, k)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    cfg = MoEConfig(impl="ragged")
+    ref = np.asarray(moe_forward(x, w, ids, tw, cfg), np.float32)
+
+    calls = []
+
+    def hook(xs, qgu, qdn, sizes, act_cfg):
+        calls.append(1)
+        return grouped_w4a8_ffn(xs, qgu, qdn, sizes, act=act_cfg.kind,
+                                interpret=True)
+
+    old = moe_mod._PALLAS_GROUPED_FFN
+    moe_mod.set_pallas_grouped_ffn(hook)
+    try:
+        out = np.asarray(
+            moe_forward(x, w, ids, tw, MoEConfig(impl="pallas")), np.float32
+        )
+    finally:
+        moe_mod.set_pallas_grouped_ffn(old)
+    assert calls, "fused grouped FFN hook was not used"
+    scale = max(np.abs(ref).max(), 1e-6)
+    np.testing.assert_allclose(out / scale, ref / scale, atol=4e-2)
