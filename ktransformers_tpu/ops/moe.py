@@ -419,8 +419,11 @@ def moe_forward(
     combine = (topk_weights.reshape(-1) * keep)[sort_order]
     y = y * combine[:, None].astype(y.dtype)
     # Un-sort and reduce over the k expert copies (gather beats scatter-add
-    # on TPU).
-    inv = jnp.argsort(sort_order)
+    # on TPU). The inverse permutation is a scatter of iota, not a second
+    # sort (argsort is a bitonic network; the scatter is one pass).
+    inv = jnp.zeros_like(sort_order).at[sort_order].set(
+        jnp.arange(sort_order.shape[0], dtype=sort_order.dtype)
+    )
     y = y[inv].reshape(t, k, d)
     return jnp.sum(y, axis=1).astype(x.dtype)
 

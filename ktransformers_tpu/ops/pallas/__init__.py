@@ -93,25 +93,28 @@ def enable() -> None:
         if not grouped_ffn_fits(gate_up, down, act_cfg.kind,
                                 act_cfg.swiglu_limit, bm=GROUP_BM):
             return None
-        return grouped_w4a8_ffn(x_sorted, gate_up, down, group_sizes,
-                                act=act_cfg.kind)
+        from ktransformers_tpu.ops.pallas.vjp import grouped_w4a8_ffn_diff
+
+        return grouped_w4a8_ffn_diff(x_sorted, gate_up, down, group_sizes,
+                                     act_cfg.kind)
 
     def _dense_ffn(rows, gate_up, down, act_cfg):
         if (gate_up.kind not in PALLAS_KINDS
                 or down.kind not in PALLAS_KINDS):
             return None
-        if rows.shape[0] > 128:
-            # decode/serving-batch kernel: its in-kernel f32/int32 temps
-            # (pa/pb/y per chunk) scale with bm and bust the 16 MB scoped-
-            # VMEM stack at prefill M (measured: bm=512 -> 19.6 MB, the
-            # r3 prefill-compile failure); prefill M amortizes two dense
-            # W4A8 launches fine
+        # r5: the old rows>128 gate (r3 bm=512 VMEM bust) is stale —
+        # dense_w4a8_ffn self-fits bm by halving (lands at bm=64 for the
+        # shared-expert shape) and at prefill M the fused launch measured
+        # 0.176 vs 0.699 ms/layer unfused (scripts/probe_dense_ffn.py)
+        if rows.shape[0] > int(_os.environ.get("KT_DENSE_FFN_MAX_M", "4096")):
             return None
         bc = dense_ffn_plan(gate_up, down, act_cfg.kind,
                             act_cfg.swiglu_limit)
         if bc is None:
             return None
-        return dense_w4a8_ffn(rows, gate_up, down, act=act_cfg.kind, bc=bc)
+        from ktransformers_tpu.ops.pallas.vjp import dense_w4a8_ffn_diff
+
+        return dense_w4a8_ffn_diff(rows, gate_up, down, act_cfg.kind, bc)
 
     linear.set_pallas_qmatmul(_qmatmul)
     moe.set_pallas_gather(_gather)

@@ -13,6 +13,8 @@ ops/pallas/quant_matmul_t.py, so gradient HBM traffic is the packed bytes
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -179,3 +181,88 @@ def _gather_bwd(res, dy):
 
 
 gathered_quant_matmul_diff.defvjp(_gather_fwd, _gather_bwd)
+
+
+# --- fused FFN kernels (prefill grouped / dense shared) -----------------------
+#
+# Forward runs the one-launch fused kernel; backward REMATERIALIZES the
+# unfused composition (grouped/dense diff matmuls + GLU) and pulls dy
+# through it, so gradients ride the transposed fused kernels like every
+# other path. The forward's in-kernel activation re-quant and the
+# backward's out-of-kernel re-quant differ by bf16 rounding — the same
+# W4A8 approximation class as the rest of the frozen-base SFT path.
+
+
+def _glu_f32(h, inter, act):
+    g = h[..., :inter].astype(jnp.float32)
+    u = h[..., inter:].astype(jnp.float32)
+    if act == "silu":
+        return g * jax.nn.sigmoid(g) * u
+    if act == "relu":
+        return jnp.maximum(g, 0.0) * u
+    if act == "gelu":
+        return 0.5 * g * (1.0 + jax.lax.erf(g / 2.0**0.5)) * u
+    raise ValueError(act)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def grouped_w4a8_ffn_diff(x_sorted, gate_up, down, group_sizes, act):
+    from ktransformers_tpu.ops.pallas.w4a8_matmul import grouped_w4a8_ffn
+
+    return grouped_w4a8_ffn(x_sorted, gate_up, down, group_sizes, act=act,
+                            interpret=_INTERPRET)
+
+
+def _gffn_fwd(x_sorted, gate_up, down, group_sizes, act):
+    y = grouped_w4a8_ffn_diff(x_sorted, gate_up, down, group_sizes, act)
+    return y, (x_sorted, gate_up, down, group_sizes)
+
+
+def _gffn_bwd(act, res, dy):
+    x_sorted, gate_up, down, group_sizes = res
+    inter = gate_up.out_features // 2
+
+    def ref(x):
+        h = grouped_quant_matmul_diff(x, gate_up, group_sizes)
+        a = _glu_f32(h, inter, act).astype(x.dtype)
+        return grouped_quant_matmul_diff(a, down, group_sizes)
+
+    _, pull = jax.vjp(ref, x_sorted)
+    (dx,) = pull(dy)
+    return (
+        dx.astype(dy.dtype), _w_cot(gate_up), _w_cot(down),
+        np.zeros(group_sizes.shape, jax.dtypes.float0),
+    )
+
+
+grouped_w4a8_ffn_diff.defvjp(_gffn_fwd, _gffn_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def dense_w4a8_ffn_diff(x2, gate_up, down, act, bc):
+    from ktransformers_tpu.ops.pallas.w4a8_matmul import dense_w4a8_ffn
+
+    return dense_w4a8_ffn(x2, gate_up, down, act=act, bc=bc,
+                          interpret=_INTERPRET)
+
+
+def _dffn_fwd(x2, gate_up, down, act, bc):
+    y = dense_w4a8_ffn_diff(x2, gate_up, down, act, bc)
+    return y, (x2, gate_up, down)
+
+
+def _dffn_bwd(act, bc, res, dy):
+    x2, gate_up, down = res
+    inter = gate_up.out_features // 2
+
+    def ref(x):
+        h = quant_matmul_diff(x, gate_up)
+        a = _glu_f32(h, inter, act).astype(x.dtype)
+        return quant_matmul_diff(a, down)
+
+    _, pull = jax.vjp(ref, x2)
+    (dx,) = pull(dy)
+    return dx.astype(dy.dtype), _w_cot(gate_up), _w_cot(down)
+
+
+dense_w4a8_ffn_diff.defvjp(_dffn_fwd, _dffn_bwd)

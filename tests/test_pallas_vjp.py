@@ -173,3 +173,70 @@ def test_grouped_t_nondivisible_n(rng, kind):
     np.testing.assert_allclose(dx, ref, rtol=2e-2, atol=5e-2)
     # atol 5e-2: bf16 accumulation over N=1824 (observed 0.032 abs
     # noise on ~0.07-magnitude entries; 0.02% of elements)
+
+
+def test_fused_ffn_diff_input_grads(rng):
+    """grouped_w4a8_ffn_diff / dense_w4a8_ffn_diff: forward == fused
+    kernel, d/dx == the unfused differentiable composition (the SFT path
+    can route prefill MoE + shared experts through the fused launches)."""
+    import ktransformers_tpu.ops.pallas.vjp as V
+    from ktransformers_tpu.ops.moe import moe_dispatch
+    from ktransformers_tpu.ops.pallas.w4a8_matmul import dense_ffn_plan
+
+    e, k, inter, t, topk = 4, 256, 256, 12, 2
+    gu = jnp.asarray(
+        rng.standard_normal((e, k, 2 * inter)).astype(np.float32) * 0.1
+    )
+    dn = jnp.asarray(
+        rng.standard_normal((e, inter, k)).astype(np.float32) * 0.1
+    )
+    qgu = repack_offset_lo(quantize(gu, "int4_g", group_size=128))
+    qdn = repack_offset_lo(quantize(dn, "int4_g", group_size=128))
+    ids = jnp.asarray(rng.integers(0, e, (t, topk)), jnp.int32)
+    x = jnp.asarray(
+        rng.standard_normal((t, k)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    _, token_of_row, sizes, _ = moe_dispatch(ids, e)
+    xs = x[token_of_row]
+
+    V._INTERPRET = True
+    try:
+        def f_fused(z):
+            y = V.grouped_w4a8_ffn_diff(z, qgu, qdn, sizes, "silu")
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        def f_ref(z):
+            h = V.grouped_quant_matmul_diff(z, qgu, sizes)
+            a = V._glu_f32(h, inter, "silu").astype(z.dtype)
+            y = V.grouped_quant_matmul_diff(a, qdn, sizes)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        gf = np.asarray(jax.grad(f_fused)(xs), np.float32)
+        gr = np.asarray(jax.grad(f_ref)(xs), np.float32)
+        scale = max(np.abs(gr).max(), 1e-6)
+        # forward values differ by in-kernel vs out-of-kernel re-quant;
+        # the pullback itself is the same composition
+        np.testing.assert_allclose(gf / scale, gr / scale, atol=8e-2)
+
+        # dense (shared-expert) variant
+        qgu2 = repack_offset_lo(quantize(gu[0], "int4_g", group_size=128))
+        qdn2 = repack_offset_lo(quantize(dn[0], "int4_g", group_size=128))
+        bc = dense_ffn_plan(qgu2, qdn2, "silu", None)
+        assert bc is not None
+
+        def d_fused(z):
+            y = V.dense_w4a8_ffn_diff(z, qgu2, qdn2, "silu", bc)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        def d_ref(z):
+            h = V.quant_matmul_diff(z, qgu2)
+            a = V._glu_f32(h, inter, "silu").astype(z.dtype)
+            y = V.quant_matmul_diff(a, qdn2)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        gf2 = np.asarray(jax.grad(d_fused)(x), np.float32)
+        gr2 = np.asarray(jax.grad(d_ref)(x), np.float32)
+        scale2 = max(np.abs(gr2).max(), 1e-6)
+        np.testing.assert_allclose(gf2 / scale2, gr2 / scale2, atol=8e-2)
+    finally:
+        V._INTERPRET = False
